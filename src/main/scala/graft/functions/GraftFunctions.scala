@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cross-engine-deterministic column helpers.
+  *
+  * The correctness gate compares Spark results against DuckDB running
+  * ANSI SQL on the same parquet. Floating-point aggregation order differs
+  * between engines, so every money/ratio aggregate here is computed in
+  * exact integer space (cents / basis points) and only divided back to
+  * doubles at the very end (single IEEE op = deterministic). All helpers
+  * are built from `org.apache.spark.sql.functions` only — they stay
+  * inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** Money double → exact integer cents. DuckDB twin: CAST(round(x*100) AS BIGINT). */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Rate double (0.04) → exact integer basis points out of 100. */
+  def pct(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Timestamp → epoch microseconds (BIGINT); floor semantics match
+    * DuckDB's epoch_us(). */
+  def tsUs(c: Column): Column = unix_micros(c)
+
+  /** Timestamp → epoch milliseconds; DuckDB twin epoch_ms(). */
+  def tsMs(c: Column): Column = unix_millis(c)
+
+  /** Reference fio concat (rep_fraud.py:15 `last_name || ' ' || ...`):
+    * here the client "name" analog. */
+  def fio(parts: Column*): Column = concat_ws(" ", parts: _*)
+
+  /** Minutes between two timestamps, floored — the reference's
+    * `cast((julianday(a) - julianday(b)) * 24 * 60 as integer)`
+    * (rep_fraud.py:148) computed in exact integer µs. */
+  def minutesBetween(later: Column, earlier: Column): Column =
+    floor((unix_micros(later) - unix_micros(earlier)) / lit(60000000L))
+}

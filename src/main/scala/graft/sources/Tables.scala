@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the testdata star schema.
+  *
+  * Mirrors the reference DWH's table surface
+  * (/root/reference/sql_project-master/sql_scripts/DWH_tables.sql) on the
+  * driver-generated TPC-H-ish tables. Loaders return raw scans — callers
+  * `select` the columns they need so Catalyst prunes the parquet
+  * `ReadSchema` (at 100 TB a full-width scan is the first thing to kill).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Events = the transaction-stream analog (reference
+    * DWH_FACT_TRANSACTIONS). `ts` is nanosecond-precision INT64 in the
+    * parquet, which Spark's parquet reader rejects as a timestamp; we
+    * read it as raw nanos (`nanosAsLong`) and expose:
+    *   - `ts_us`  epoch microseconds BIGINT (== DuckDB `epoch_us(ts)`,
+    *     both floor-truncate ns→µs) — the canonical event time for all
+    *     arithmetic; exact integers survive any engine's precision rules.
+    *   - `ts_t`   TimestampType reconstructed from `ts_us` for window /
+    *     date functions.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+}
