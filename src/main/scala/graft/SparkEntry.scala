@@ -6,6 +6,8 @@ import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
 import graft.functions.GraftFunctions._
+import graft.fraud.{FraudModel, FraudRules}
+import graft.relational.RelationalQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every query key has a DuckDB twin in [[oracleSql]]; cross-engine
@@ -16,7 +18,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_fraud_mart")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,8 +58,124 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .withColumn("city", col("k") % 5)
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // ---- C1..C5: the reference's fraud rules (SURVEY §2 C)
+    "q_fraud_passport" -> ((s, d) =>
+      FraudRules.allRules(s, d).head
+        .orderBy(col("client_key"), col("event_dt_us"))),
+    "q_fraud_account" -> ((s, d) =>
+      FraudRules.allRules(s, d)(1)
+        .orderBy(col("client_key"), col("event_dt_us"))),
+    "q_fraud_city" -> ((s, d) =>
+      FraudRules.allRules(s, d)(2)
+        .orderBy(col("client_key"))),
+    "q_fraud_amount" -> ((s, d) =>
+      FraudRules.allRules(s, d)(3)
+        .orderBy(col("client_key"), col("event_dt_us"))),
+    "q_fraud_mart" -> ((s, d) =>
+      FraudRules.mart(FraudRules.allRules(s, d))
+        .orderBy(col("rule"), col("client_key"), col("event_dt_us"))),
+
+    // ---- B1, D2..D9: ETL rename + relational engine
+    "q_etl_rename" -> ((s, d) => RelationalQueries.etlRename(s, d)),
+    "q3_join" -> ((s, d) => RelationalQueries.q3Join(s, d)),
+    "q5_join5" -> ((s, d) => RelationalQueries.q5Join5(s, d)),
+    "q_window_topn" -> ((s, d) => RelationalQueries.windowTopN(s, d)),
+    "q_window_running" -> ((s, d) => RelationalQueries.windowRunning(s, d)),
+    "q_semi_anti" -> ((s, d) => RelationalQueries.semiAnti(s, d)),
+    "q_setops" -> ((s, d) => RelationalQueries.setOps(s, d)),
+    "q_rollup" -> ((s, d) => RelationalQueries.rollup(s, d)),
+    "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d))
   )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle twins. Shared CTE bodies keep the analog model
+  // definitions in one place (must mirror graft.fraud.FraudModel).
+  // ---------------------------------------------------------------------
+
+  private val sqlTxns =
+    """txns AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value*100) AS BIGINT) AS amt_cents, event_type,
+      |    CASE WHEN event_type='error' THEN 'REJECT' ELSE 'SUCCESS' END AS oper_result,
+      |    CAST(json_extract_string(props,'$.k') AS BIGINT) % 5 AS city
+      |  FROM events)""".stripMargin
+
+  private val sqlClients =
+    """clients AS (
+      |  SELECT c_custkey, c_name || ' ' || c_mktsegment AS fio,
+      |    c_mktsegment AS segment, c_acctbal,
+      |    DATE '2024-01-01' + CAST((c_custkey * 7) % 400 AS INTEGER) AS passport_valid_to
+      |  FROM customer)""".stripMargin
+
+  private def fraudPassportBody =
+    s"""(WITH $sqlTxns, $sqlClients,
+       |invalid AS (
+       |  SELECT * FROM clients
+       |  WHERE DATE '2024-06-30' > passport_valid_to
+       |     OR c_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+       |SELECT t.ts_us AS event_dt_us, i.c_custkey AS client_key, i.fio, i.segment,
+       |  'passport_fraud' AS rule
+       |FROM txns t JOIN invalid i ON t.user_id = i.c_custkey)""".stripMargin
+
+  private def fraudAccountBody =
+    s"""(WITH $sqlTxns, $sqlClients,
+       |accounts AS (
+       |  SELECT o_orderkey AS account_num, o_custkey AS client, o_orderstatus,
+       |    CAST(o_orderdate AS DATE) + 9000 AS valid_to
+       |  FROM orders),
+       |invalid AS (
+       |  SELECT a.client, c.fio, c.segment FROM accounts a
+       |  LEFT JOIN clients c ON a.client = c.c_custkey
+       |  WHERE DATE '2024-06-30' > a.valid_to AND a.o_orderstatus = 'P')
+       |SELECT t.ts_us AS event_dt_us, i.client AS client_key, i.fio, i.segment,
+       |  'account_fraud' AS rule
+       |FROM txns t JOIN invalid i ON t.user_id = i.client)""".stripMargin
+
+  private def fraudCityBody =
+    s"""(WITH $sqlTxns, $sqlClients,
+       |multi AS (
+       |  SELECT user_id FROM txns GROUP BY user_id HAVING count(DISTINCT city) > 1),
+       |led AS (
+       |  SELECT user_id, ts_us, city,
+       |    lead(ts_us) OVER w AS lead_us, lead(city) OVER w AS lead_city
+       |  FROM txns WHERE user_id IN (SELECT user_id FROM multi)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |flagged AS (
+       |  SELECT user_id, max(ts_us) AS event_dt_us FROM led
+       |  WHERE city <> lead_city AND lead_us >= ts_us
+       |    AND (lead_us - ts_us) // 60000000 <= 60
+       |  GROUP BY user_id)
+       |SELECT f.event_dt_us, f.user_id AS client_key, c.fio, c.segment,
+       |  'city_fraud' AS rule
+       |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
+
+  private def fraudAmountBody =
+    s"""(WITH $sqlTxns, $sqlClients,
+       |ops AS (
+       |  SELECT user_id, ts_us, amt_cents, oper_result FROM txns
+       |  WHERE event_type IN ('purchase','error')),
+       |lagd AS (
+       |  SELECT *,
+       |    lag(amt_cents,1) OVER w AS lag_amt_1,
+       |    lag(amt_cents,2) OVER w AS lag_amt_2,
+       |    lag(amt_cents,3) OVER w AS lag_amt_3,
+       |    lag(oper_result,1) OVER w AS lag_res_1,
+       |    lag(oper_result,2) OVER w AS lag_res_2,
+       |    lag(oper_result,3) OVER w AS lag_res_3,
+       |    lag(ts_us,3) OVER w AS lag_us_3
+       |  FROM ops WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |flagged AS (
+       |  SELECT * FROM lagd
+       |  WHERE oper_result='SUCCESS' AND lag_res_1='REJECT'
+       |    AND lag_res_2='REJECT' AND lag_res_3='REJECT'
+       |    AND lag_amt_3 > lag_amt_2 AND lag_amt_2 > lag_amt_1
+       |    AND lag_amt_1 > amt_cents
+       |    AND (ts_us - lag_us_3) // 60000000 <= 4320)
+       |SELECT f.ts_us AS event_dt_us, f.user_id AS client_key, c.fio, c.segment,
+       |  'guessing_amount_fraud' AS rule
+       |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
 
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
@@ -87,6 +205,109 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS city
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_fraud_passport" ->
+      s"SELECT * FROM $fraudPassportBody ORDER BY client_key, event_dt_us",
+    "q_fraud_account" ->
+      s"SELECT * FROM $fraudAccountBody ORDER BY client_key, event_dt_us",
+    "q_fraud_city" ->
+      s"SELECT * FROM $fraudCityBody ORDER BY client_key",
+    "q_fraud_amount" ->
+      s"SELECT * FROM $fraudAmountBody ORDER BY client_key, event_dt_us",
+    "q_fraud_mart" ->
+      s"""SELECT * FROM (
+         |SELECT * FROM $fraudPassportBody
+         |UNION ALL SELECT * FROM $fraudAccountBody
+         |UNION ALL SELECT * FROM $fraudCityBody
+         |UNION ALL SELECT * FROM $fraudAmountBody)
+         |ORDER BY rule, client_key, event_dt_us""".stripMargin,
+
+    "q_etl_rename" ->
+      """SELECT o_orderkey AS account_num, o_custkey AS client,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS create_dt,
+        |  o_totalprice AS balance
+        |FROM orders ORDER BY account_num""".stripMargin,
+
+    "q3_join" ->
+      """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cp
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue_cp DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join5" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cp
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey AND c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue_cp DESC, n.n_name""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS tp_cents,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setops" ->
+      """SELECT * FROM (
+        |  SELECT partkey, 'sold_extreme' AS tag FROM (
+        |    SELECT DISTINCT l_partkey AS partkey FROM lineitem
+        |    INTERSECT (
+        |      SELECT p_partkey FROM part WHERE p_size <= 10
+        |      UNION ALL SELECT p_partkey FROM part WHERE p_size >= 40))
+        |  UNION ALL
+        |  SELECT partkey, 'small_unsold' AS tag FROM (
+        |    SELECT p_partkey AS partkey FROM part WHERE p_size <= 10
+        |    EXCEPT SELECT DISTINCT l_partkey FROM lineitem))
+        |ORDER BY tag, partkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_distinct_cond" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS open_cents
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft.fraud
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Analog data model mapping the testdata star schema onto the
+  * reference DWH (SURVEY.md §3):
+  *
+  *   DWH_FACT_TRANSACTIONS → events   (card→user_id, amt→value cents,
+  *     oper_result := error→REJECT else SUCCESS, city := props.k % 5)
+  *   DWH_DIM_CLIENTS       → customer (passport_valid_to synthesized
+  *     deterministically from c_custkey; blacklist := c_acctbal < 0)
+  *   DWH_DIM_ACCOUNTS      → orders   (valid_to := o_orderdate + 9000d)
+  *
+  * All derived columns use exact integer / date arithmetic so the DuckDB
+  * oracle computes bit-identical values (SURVEY.md §5).
+  */
+object FraudModel {
+
+  /** Transaction-stream analog of DWH_FACT_TRANSACTIONS
+    * (reference sql_scripts/DWH_tables.sql). */
+  def transactions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("user_id"),
+      col("ts_us"),
+      col("ts_t"),
+      cents(col("value")).as("amt_cents"),
+      col("event_type"),
+      when(col("event_type") === "error", lit("REJECT"))
+        .otherwise(lit("SUCCESS")).as("oper_result"),
+      (get_json_object(col("props"), "$.k").cast(LongType) % 5).as("city"))
+
+  /** Client dimension analog of DWH_DIM_CLIENTS; `fio` mirrors the
+    * reference's name concatenation (rep_fraud.py:15). */
+  def clients(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      concat(col("c_name"), lit(" "), col("c_mktsegment")).as("fio"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal"),
+      date_add(to_date(lit("2024-01-01")), ((col("c_custkey") * 7) % 400).cast("int"))
+        .as("passport_valid_to"))
+
+  /** Blacklisted-passport fact analog of DWH_FACT_PASSPORT_BLACKLIST. */
+  def passportBlacklist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey"))
+
+  /** Account dimension analog of DWH_DIM_ACCOUNTS: contract expiry
+    * `valid_to` := o_orderdate + 9000 days. */
+  def accounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("account_num"),
+      col("o_custkey").as("client"),
+      col("o_orderstatus"),
+      date_add(to_date(col("o_orderdate")), 9000).as("valid_to"))
+}

@@ -1,0 +1,147 @@
+package graft.fraud
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's four fraud rules (rep_fraud.py), re-expressed as
+  * composable Spark transforms. Each returns the mart schema
+  * `(event_dt_us, client_key, fio, segment, rule)` — the analog of
+  * REP_FRAUD `(event_dt, passport, fio, phone, event_type)`.
+  *
+  * Scale notes (SURVEY.md §6): the client/account dimensions are tiny
+  * relative to the event stream, so every dim join here broadcasts; the
+  * window rules shuffle once on the card/user key — the same hash
+  * partitioning a real cluster would use — and never sort globally.
+  */
+object FraudRules {
+
+  private val martCols: Seq[Column] = Seq(
+    col("event_dt_us"), col("client_key"), col("fio"), col("segment"), col("rule"))
+
+  /** Rule 1 — operation on an expired or blacklisted passport
+    * (rep_fraud.py:6-55). Invalid-client set = expiry filter UNION
+    * blacklist semi-join (the reference's `WHERE date > valid_to OR
+    * passport IN (SELECT …)`), then the transaction join.
+    */
+  def passportFraud(clients: DataFrame, blacklist: DataFrame,
+                    txns: DataFrame, batchDate: String): DataFrame = {
+    val expired = clients.filter(to_date(lit(batchDate)) > col("passport_valid_to"))
+    val blacklisted = clients.join(broadcast(blacklist), Seq("c_custkey"), "left_semi")
+    val invalid = expired.unionByName(blacklisted).dropDuplicates("c_custkey")
+    txns
+      .join(broadcast(invalid), txns("user_id") === invalid("c_custkey"))
+      .select(
+        col("ts_us").as("event_dt_us"),
+        col("c_custkey").as("client_key"),
+        col("fio"), col("segment"),
+        lit("passport_fraud").as("rule"))
+  }
+
+  /** Rule 2 — operation on an inactive contract (rep_fraud.py:59-106):
+    * expired-account filter, LEFT join to the client dim (reference
+    * keeps accounts with no client), then the transaction join.
+    */
+  def accountFraud(accounts: DataFrame, clients: DataFrame,
+                   txns: DataFrame, batchDate: String): DataFrame = {
+    val invalid = accounts
+      .filter(to_date(lit(batchDate)) > col("valid_to") && col("o_orderstatus") === "P")
+      .join(broadcast(clients), accounts("client") === clients("c_custkey"), "left")
+    txns
+      .join(broadcast(invalid), txns("user_id") === invalid("client"))
+      .select(
+        col("ts_us").as("event_dt_us"),
+        col("client").as("client_key"),
+        col("fio"), col("segment"),
+        lit("account_fraud").as("rule"))
+  }
+
+  /** Rule 3 — operations in different cities within one hour
+    * (rep_fraud.py:110-184): cards seen in >1 distinct city (groupBy +
+    * HAVING), `lead()` over (card, ts) flagging a different city within
+    * `maxMinutes`, `max(ts)` per card, dim join-back.
+    *
+    * The reference computes the minute delta as `julianday(t) -
+    * julianday(lead(t))` — a negative number, so its `<= 60` bound is
+    * vacuously true; we implement the documented intent (next event at
+    * most `maxMinutes` later).
+    */
+  def cityFraud(txns: DataFrame, clients: DataFrame,
+                maxMinutes: Long = 60): DataFrame = {
+    val multiCity = txns.groupBy(col("user_id"))
+      .agg(countDistinct(col("city")).as("cnt_city"))
+      .filter(col("cnt_city") > 1)
+      .select(col("user_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val flagged = txns
+      .join(multiCity, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("ts_us"), col("city"))
+      .withColumn("lead_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("lead_city", lead(col("city"), 1).over(w))
+      .filter(col("city") =!= col("lead_city") &&
+        expr("(lead_us - ts_us) div 60000000") <= maxMinutes &&
+        col("lead_us") >= col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("event_dt_us"))
+    flagged
+      .join(broadcast(clients), flagged("user_id") === clients("c_custkey"), "left")
+      .select(
+        col("event_dt_us"),
+        col("user_id").as("client_key"),
+        col("fio"), col("segment"),
+        lit("city_fraud").as("rule"))
+  }
+
+  /** Rule 4 — amount-guessing (rep_fraud.py:187-261): within the
+    * PAYMENT/WITHDRAW analog subset, `lag()`×3 over (card, ts) — three
+    * consecutive REJECTs with strictly decreasing amounts followed by a
+    * SUCCESS with a lower amount, the whole run inside `maxMinutes`.
+    */
+  def guessingAmountFraud(txns: DataFrame, clients: DataFrame,
+                          maxMinutes: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val ops = txns
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts_us"), col("amt_cents"), col("oper_result"))
+    val lagged = ops
+      .withColumn("lag_amt_1", lag(col("amt_cents"), 1).over(w))
+      .withColumn("lag_amt_2", lag(col("amt_cents"), 2).over(w))
+      .withColumn("lag_amt_3", lag(col("amt_cents"), 3).over(w))
+      .withColumn("lag_res_1", lag(col("oper_result"), 1).over(w))
+      .withColumn("lag_res_2", lag(col("oper_result"), 2).over(w))
+      .withColumn("lag_res_3", lag(col("oper_result"), 3).over(w))
+      .withColumn("lag_us_3", lag(col("ts_us"), 3).over(w))
+    val flagged = lagged.filter(
+      col("oper_result") === "SUCCESS" &&
+      col("lag_res_1") === "REJECT" &&
+      col("lag_res_2") === "REJECT" &&
+      col("lag_res_3") === "REJECT" &&
+      col("lag_amt_3") > col("lag_amt_2") &&
+      col("lag_amt_2") > col("lag_amt_1") &&
+      col("lag_amt_1") > col("amt_cents") &&
+      expr("(ts_us - lag_us_3) div 60000000") <= maxMinutes)
+    flagged
+      .join(broadcast(clients), flagged("user_id") === clients("c_custkey"), "left")
+      .select(
+        col("ts_us").as("event_dt_us"),
+        col("user_id").as("client_key"),
+        col("fio"), col("segment"),
+        lit("guessing_amount_fraud").as("rule"))
+  }
+
+  /** REP_FRAUD mart: tagged UNION ALL of all rules (main.py:20-26). */
+  def mart(rules: Seq[DataFrame]): DataFrame =
+    rules.map(_.select(martCols: _*)).reduce(_ unionByName _)
+
+  /** All four rules with the calibrated analog parameters. */
+  def allRules(s: SparkSession, d: String, batchDate: String = "2024-06-30")
+      : Seq[DataFrame] = {
+    val txns = FraudModel.transactions(s, d)
+    val cls = FraudModel.clients(s, d)
+    Seq(
+      passportFraud(cls, FraudModel.passportBlacklist(s, d), txns, batchDate),
+      accountFraud(FraudModel.accounts(s, d), cls, txns, batchDate),
+      cityFraud(txns, cls, maxMinutes = 60),
+      guessingAmountFraud(txns, cls, maxMinutes = 4320))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Core relational operator surface (SURVEY.md §2 D). These generalize
+  * the SQL shapes the reference uses (joins, windows, aggregation) into
+  * the standard analytic patterns a warehouse on this schema needs.
+  * Exact-integer money rules per SURVEY.md §5.
+  */
+object RelationalQueries {
+
+  /** D4 — top-N per group via row_number (deterministic tie-break on key). */
+  def windowTopN(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("tp_cents").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("tp_cents"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= n)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** D5 — running sum per partition (ROWS UNBOUNDED PRECEDING). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity").cast(LongType).as("qty"))
+      .withColumn("running_qty", sum(col("qty")).over(w))
+      .drop("qty", "l_shipdate")
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** D2 — TPC-H Q3 shape: selective filters, 3-way join, agg, top-N.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
+  def q3Join(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("rev_cp"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** D3 — TPC-H Q5 shape: 5-way join, all dims broadcast, single fact
+    * shuffle on orderkey. */
+  def q5Join5(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val nation = Tables.nation(s, d).select(
+      col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .as("rev_cp"))
+    val asiaNations = nation.join(broadcast(region),
+      nation("n_regionkey") === region("r_regionkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(asiaNations),
+        supp("s_nationkey") === col("n_nationkey") &&
+        cust("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("n_name"))
+  }
+
+  /** D6 — semi + anti join: customers with an open-priority order but no
+    * 'F' order (EXISTS ∧ NOT EXISTS). */
+  def semiAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val finished = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    cust
+      .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(finished, cust("c_custkey") === finished("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D7 — set ops on part-key domains reached via different facts. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val sold = Tables.lineitem(s, d).select(col("l_partkey").as("partkey")).distinct()
+    val small = Tables.part(s, d).filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("partkey"))
+    val large = Tables.part(s, d).filter(col("p_size") >= 40)
+      .select(col("p_partkey").as("partkey"))
+    val both = sold.intersect(small.unionByName(large))
+    val never = small.except(sold)
+    both.withColumn("tag", lit("sold_extreme"))
+      .unionByName(never.withColumn("tag", lit("small_unsold")))
+      .orderBy(col("tag"), col("partkey"))
+  }
+
+  /** D8 — ROLLUP over (returnflag, linestatus) with exact money. */
+  def rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("price_cents")).as("sum_price_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** D9 — exact distinct + conditional aggregation (FILTER/CASE). */
+  def distinctCond(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O",
+          cents(col("o_totalprice"))).otherwise(0L)).as("open_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
+  def etlRename(s: SparkSession, d: String): DataFrame =
+    graft.etl.ColumnMapping.apply(
+      Tables.orders(s, d),
+      Seq(
+        "o_orderkey" -> "account_num",
+        "o_custkey" -> "client",
+        "o_orderdate" -> "create_dt",
+        "o_totalprice" -> "balance"))
+      .withColumn("create_dt", date_format(col("create_dt"), "yyyy-MM-dd"))
+      .orderBy(col("account_num"))
+}
