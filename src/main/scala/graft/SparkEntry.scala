@@ -86,7 +86,45 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => RelationalQueries.semiAnti(s, d)),
     "q_setops" -> ((s, d) => RelationalQueries.setOps(s, d)),
     "q_rollup" -> ((s, d) => RelationalQueries.rollup(s, d)),
-    "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d))
+    "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d)),
+
+    // ---- B2..B6: SCD2 dimension maintenance on deterministic snapshots
+    "q_scd2_new" -> ((s, d) =>
+      etl.Scd2.detectNew(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.day2(s, d),
+        etl.Scd2Snapshots.Key).orderBy(col("terminal_id"))),
+    "q_scd2_deleted" -> ((s, d) =>
+      etl.Scd2.detectDeleted(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.day2(s, d),
+        etl.Scd2Snapshots.Key).orderBy(col("terminal_id"))),
+    "q_scd2_changed" -> ((s, d) =>
+      etl.Scd2.detectChanged(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.day2(s, d),
+        etl.Scd2Snapshots.Key, etl.Scd2Snapshots.Attrs).orderBy(col("terminal_id"))),
+    "q_scd2_apply" -> ((s, d) => {
+      val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
+      etl.Scd2.merge(h0, etl.Scd2Snapshots.day2(s, d), etl.Scd2Snapshots.Key,
+        etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2)
+        .orderBy(col("terminal_id"), col("effective_from"), col("deleted_flg"))
+    }),
+    "q_scd2_current" -> ((s, d) => {
+      val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
+      etl.Scd2.currentView(
+        etl.Scd2.merge(h0, etl.Scd2Snapshots.day2(s, d), etl.Scd2Snapshots.Key,
+          etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2))
+        .orderBy(col("terminal_id"))
+    }),
+
+    // ---- A1: delimited decode semantics (file-level reader: DelimitedSource)
+    "q_src_csv" -> ((s, d) => {
+      val lines = Tables.customer(s, d).select(
+        concat_ws(";", col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment")).as("line"))
+      val f = split(col("line"), ";")
+      lines.select(
+        f.getItem(0).cast(LongType).as("custkey"),
+        f.getItem(1).as("name"),
+        f.getItem(2).cast(LongType).as("nationkey"),
+        f.getItem(3).as("segment"))
+        .orderBy(col("custkey"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -177,8 +215,85 @@ object SparkEntry {
        |  'guessing_amount_fraud' AS rule
        |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
 
+  private val sqlSnaps =
+    """snap1 AS (
+      |  SELECT p_partkey AS terminal_id, p_brand AS terminal_type,
+      |         p_type AS terminal_city, p_name AS terminal_address
+      |  FROM part),
+      |snap2 AS (
+      |  SELECT terminal_id, terminal_type,
+      |    CASE WHEN terminal_id % 7 = 0 THEN terminal_city || ' UPD'
+      |         ELSE terminal_city END AS terminal_city,
+      |    terminal_address
+      |  FROM snap1 WHERE terminal_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT terminal_id + 1000000, terminal_type, terminal_city, terminal_address
+      |  FROM snap1 WHERE terminal_id % 23 = 0),
+      |scd_new AS (
+      |  SELECT n.* FROM snap2 n
+      |  WHERE NOT EXISTS (SELECT 1 FROM snap1 o WHERE o.terminal_id = n.terminal_id)),
+      |scd_deleted AS (
+      |  SELECT o.* FROM snap1 o
+      |  WHERE NOT EXISTS (SELECT 1 FROM snap2 n WHERE n.terminal_id = o.terminal_id)),
+      |scd_changed AS (
+      |  SELECT n.* FROM snap2 n JOIN snap1 o ON n.terminal_id = o.terminal_id
+      |  WHERE n.terminal_type <> o.terminal_type
+      |     OR n.terminal_city <> o.terminal_city
+      |     OR n.terminal_address <> o.terminal_address),
+      |touched AS (
+      |  SELECT terminal_id FROM scd_changed
+      |  UNION ALL SELECT terminal_id FROM scd_deleted)""".stripMargin
+
+  private val sqlScd2History =
+    s"""(WITH $sqlSnaps
+       |SELECT s.terminal_id, s.terminal_type, s.terminal_city, s.terminal_address,
+       |  '2024-03-01' AS effective_from,
+       |  CASE WHEN t.terminal_id IS NOT NULL THEN '2024-03-02'
+       |       ELSE '2999-12-31' END AS effective_to,
+       |  CAST(0 AS BIGINT) AS deleted_flg
+       |FROM snap1 s LEFT JOIN touched t ON s.terminal_id = t.terminal_id
+       |UNION ALL
+       |SELECT terminal_id, terminal_type, terminal_city, terminal_address,
+       |  '2024-03-02', '2999-12-31', CAST(0 AS BIGINT)
+       |FROM scd_new
+       |UNION ALL
+       |SELECT terminal_id, terminal_type, terminal_city, terminal_address,
+       |  '2024-03-02', '2999-12-31', CAST(0 AS BIGINT)
+       |FROM scd_changed
+       |UNION ALL
+       |SELECT terminal_id, terminal_type, terminal_city, terminal_address,
+       |  '2024-03-02', '2999-12-31', CAST(1 AS BIGINT)
+       |FROM scd_deleted)""".stripMargin
+
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
+    "q_scd2_new" ->
+      s"""WITH $sqlSnaps
+         |SELECT * FROM scd_new ORDER BY terminal_id""".stripMargin,
+    "q_scd2_deleted" ->
+      s"""WITH $sqlSnaps
+         |SELECT * FROM scd_deleted ORDER BY terminal_id""".stripMargin,
+    "q_scd2_changed" ->
+      s"""WITH $sqlSnaps
+         |SELECT * FROM scd_changed ORDER BY terminal_id""".stripMargin,
+    "q_scd2_apply" ->
+      s"""SELECT * FROM $sqlScd2History
+         |ORDER BY terminal_id, effective_from, deleted_flg""".stripMargin,
+    "q_scd2_current" ->
+      s"""SELECT * FROM $sqlScd2History
+         |WHERE deleted_flg = 0 AND effective_to = '2999-12-31'
+         |ORDER BY terminal_id""".stripMargin,
+
+    "q_src_csv" ->
+      """WITH lines AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) || ';' || c_name || ';' ||
+        |         CAST(c_nationkey AS VARCHAR) || ';' || c_mktsegment AS line
+        |  FROM customer),
+        |p AS (SELECT string_split(line, ';') AS f FROM lines)
+        |SELECT CAST(f[1] AS BIGINT) AS custkey, f[2] AS name,
+        |       CAST(f[3] AS BIGINT) AS nationkey, f[4] AS segment
+        |FROM p ORDER BY custkey""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SCD2 (slowly-changing-dimension type 2) maintenance, the Spark-native
+  * re-expression of the reference's terminal-history pipeline
+  * (data_to_db.py:145-271): detect new / deleted / changed rows between
+  * the current dimension view and an incoming snapshot, close the
+  * affected versions, and append the replacements (tombstones carry
+  * `deleted_flg = 1`).
+  *
+  * Unlike the reference's in-place sqlite UPDATEs, this is pure
+  * DataFrame algebra — rewrite-the-partition semantics, which is what an
+  * immutable data lake at 100 TB needs. Every detect is a key-join the
+  * planner can broadcast when the snapshot is small; the merge is
+  * union-of-joins with a single shuffle on the business key.
+  *
+  * Effective-time columns are caller-supplied batch labels (strings),
+  * not wall-clock `current_timestamp` — deterministic replays beat the
+  * reference's now()-based versioning at scale.
+  */
+object Scd2 {
+
+  val HighDate = "2999-12-31"
+
+  /** Rows in `snapshot` whose key is absent from `current`
+    * (data_to_db.py:171-180 STG_NEW_TERMINALS). */
+  def detectNew(current: DataFrame, snapshot: DataFrame, key: String): DataFrame =
+    snapshot.join(current, Seq(key), "left_anti")
+
+  /** Rows in `current` whose key is absent from `snapshot`
+    * (data_to_db.py:183-192 STG_DELETED_TERMINALS). */
+  def detectDeleted(current: DataFrame, snapshot: DataFrame, key: String): DataFrame =
+    current.join(snapshot, Seq(key), "left_anti")
+
+  /** Snapshot rows whose key exists in `current` but with any attribute
+    * changed (data_to_db.py:195-206 STG_CHANGED_TERMINALS). */
+  def detectChanged(current: DataFrame, snapshot: DataFrame,
+                    key: String, attrs: Seq[String]): DataFrame = {
+    val n = snapshot.alias("n")
+    val o = current.alias("o")
+    val anyDiff: Column = attrs
+      .map(a => col(s"n.$a") =!= col(s"o.$a"))
+      .reduce(_ || _)
+    n.join(o, col(s"n.$key") === col(s"o.$key"))
+      .filter(anyDiff)
+      .select((key +: attrs).map(c => col(s"n.$c")): _*)
+  }
+
+  /** Seed a history table from a first snapshot. */
+  def init(snapshot: DataFrame, batchDate: String): DataFrame =
+    snapshot
+      .withColumn("effective_from", lit(batchDate))
+      .withColumn("effective_to", lit(HighDate))
+      .withColumn("deleted_flg", lit(0L))
+
+  /** Merge `snapshot` (labeled `batchDate`) into `history`
+    * (data_to_db.py:209-271 update_terminals_hist): close open versions
+    * of changed/deleted keys, append changed+new rows, append deleted
+    * tombstones.
+    */
+  def merge(history: DataFrame, snapshot: DataFrame, key: String,
+            attrs: Seq[String], batchDate: String): DataFrame = {
+    val cols = key +: attrs
+    val current = history
+      .filter(col("deleted_flg") === 0L && col("effective_to") === HighDate)
+      .select(cols.map(col): _*)
+
+    val newRows = detectNew(current, snapshot, key)
+    val deletedRows = detectDeleted(current, snapshot, key)
+    val changedRows = detectChanged(current, snapshot, key, attrs)
+
+    val touchedKeys = changedRows.select(col(key))
+      .unionByName(deletedRows.select(col(key)))
+
+    // Close the open version of every touched key (reference's UPDATE …
+    // SET effective_to = now()-1s, re-expressed as a column rewrite).
+    val closed = history
+      .join(touchedKeys, Seq(key), "left_semi")
+      .filter(col("effective_to") === HighDate)
+      .withColumn("effective_to", lit(batchDate))
+    val untouched = history
+      .join(touchedKeys, Seq(key), "left_anti")
+      .unionByName(history
+        .join(touchedKeys, Seq(key), "left_semi")
+        .filter(col("effective_to") =!= HighDate))
+
+    val inserts = newRows.unionByName(changedRows)
+      .withColumn("effective_from", lit(batchDate))
+      .withColumn("effective_to", lit(HighDate))
+      .withColumn("deleted_flg", lit(0L))
+      .unionByName(deletedRows
+        .withColumn("effective_from", lit(batchDate))
+        .withColumn("effective_to", lit(HighDate))
+        .withColumn("deleted_flg", lit(1L)))
+
+    untouched.unionByName(closed).unionByName(inserts)
+  }
+
+  /** The reference's STG_V_TERMINALS current view (data_to_db.py:158-168):
+    * open, non-deleted versions only. */
+  def currentView(history: DataFrame): DataFrame =
+    history.filter(col("deleted_flg") === 0L && col("effective_to") === HighDate)
+}
