@@ -124,7 +124,20 @@ object SparkEntry {
         f.getItem(2).cast(LongType).as("nationkey"),
         f.getItem(3).as("segment"))
         .orderBy(col("custkey"))
-    })
+    }),
+
+    // ---- E1..E11: training-data pipeline operators
+    "q_dedup_exact" -> ((s, d) => ops.Dedup.exact(Tables.documents(s, d))),
+    "q_dedup_ngram" -> ((s, d) => ops.Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => ops.Dedup.simhash(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
+    "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
+    "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -423,6 +436,215 @@ object SparkEntry {
         |    THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS open_cents
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // ---- E section: training-data ops
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |  WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS n_sum
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, n_inter, n_sum - n_inter AS n_union,
+        |  n_inter / (n_sum - n_inter) AS jaccard
+        |FROM p ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val sigDefs = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, x -> CAST(('0x'||substr(md5('$i:'||x),1,8)) AS BIGINT))) AS sig_$i")
+        .mkString(",\n    ")
+      val bandDefs = (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(CAST(sig_${2*b} AS VARCHAR)||'_'||CAST(sig_${2*b+1} AS VARCHAR)) AS bucket FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 250 = 0),
+         |t AS (
+         |  SELECT doc_id, string_split(text,' ') AS toks FROM base
+         |  WHERE len(string_split(text,' ')) >= 3),
+         |s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigDefs
+         |  FROM s),
+         |bands AS (
+         |  $bandDefs)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  count(DISTINCT a.band) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_dedup_simhash" ->
+      """WITH toksd AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h
+        |  FROM toksd),
+        |v AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0,16) r(bit) GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val lex = Map(
+        "de" -> "['join','merge','sort','order']",
+        "en" -> "['the','a','of','key']",
+        "es" -> "['data','row','table','column']",
+        "fr" -> "['query','filter','group','window']",
+        "zh" -> "['spark','stream','batch','vector']")
+      val scores = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"CAST(len(list_filter(toks, x -> list_contains(${lex(c)}, x))) AS BIGINT) AS score_$c")
+        .mkString(",\n    ")
+      val cases = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"WHEN score_$c = g THEN '$c'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM t),
+         |g AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS g FROM s)
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |  CASE $cases ELSE 'und' END AS pred_lang
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS BIGINT) AS sum_tok_len,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['join','merge','sort','order','the','a','of','key','data','row','table','column',
+        |       'query','filter','group','window','spark','stream','batch','vector'], x))) AS BIGINT) AS stop_hits
+        |  FROM t),
+        |r AS (
+        |  SELECT *,
+        |    n_distinct / n_tokens AS distinct_ratio,
+        |    sum_tok_len / n_tokens AS mean_tok_len,
+        |    stop_hits / n_tokens AS stop_ratio
+        |  FROM c)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct, sum_tok_len, stop_hits,
+        |  distinct_ratio, mean_tok_len, stop_ratio,
+        |  CAST((n_tokens >= 20 AND n_tokens <= 1000 AND distinct_ratio >= 0.05) AS BIGINT) AS quality_ok
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text,' '),
+        |      t -> CAST(('0x'||substr(md5(t),1,8)) AS BIGINT))),
+        |    (a,b) -> (a*1000003 + b) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2 FROM n WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.q_id, n.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*n.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cos
+        |  FROM n JOIN q ON n.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2 FROM n WHERE vec_id < 10),
+        |cent0 AS (
+        |  SELECT label, i, SUM(svec[i]) AS s
+        |  FROM n, range(1,65) t(i) GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(s ORDER BY i) AS cvec FROM cent0 GROUP BY label),
+        |centn AS (
+        |  SELECT label, cvec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(cvec, x -> x*x)), (a,b) -> a+b) AS cnorm2
+        |  FROM cent),
+        |routed0 AS (
+        |  SELECT q.q_id, q.q_svec, q.q_norm2, c.label,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) AS ccos
+        |  FROM q CROSS JOIN centn c),
+        |routed AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS crnk
+        |    FROM routed0) WHERE crnk = 1),
+        |sc AS (
+        |  SELECT r.q_id, CAST(n.label AS BIGINT) AS label, n.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> r.q_svec[i]*n.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(r.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cos
+        |  FROM n JOIN routed r ON n.label = r.label AND n.vec_id <> r.q_id),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT q_id, label, vec_id, cos, rnk FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_emb_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT))), (a,b) -> a + b*b
+        |    ) AS norm2
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  CAST(sum(norm2) AS BIGINT) AS sum_norm2,
+        |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+        |  CAST(max(norm2) AS BIGINT) AS max_norm2
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
   )
 }

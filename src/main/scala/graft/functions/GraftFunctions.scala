@@ -38,4 +38,17 @@ object GraftFunctions {
     * (rep_fraud.py:148) computed in exact integer µs. */
   def minutesBetween(later: Column, earlier: Column): Column =
     floor((unix_micros(later) - unix_micros(earlier)) / lit(60000000L))
+
+  /** 32-bit hash from the md5 hex prefix — the only hash both Spark and
+    * DuckDB compute identically (`('0x'||substr(md5(x),1,8))::BIGINT`
+    * on the DuckDB side). Codegen'd end to end (md5/substring/conv are
+    * all built-ins). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Embedding float → exact scaled integer (µ-units). Float→double
+    * promotion then one multiply and round: bit-identical across
+    * engines, and all downstream sums/products stay in exact BIGINT. */
+  def scaled(c: Column): Column =
+    round(c.cast("double") * 1000000d).cast(LongType)
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (SURVEY.md §2 E5/E6/E11).
+  *
+  * Numeric determinism: embedding floats are promoted to double and
+  * scaled to exact integer µ-units (`round(x*1e6)`); dot products and
+  * norms are then exact BIGINT folds, and the final cosine is a handful
+  * of IEEE ops on exact inputs — bit-identical across engines, so even
+  * ranking needs no rounding fudge.
+  *
+  * Scale posture: brute force broadcasts the (small) query set and is
+  * one fact scan — the right baseline and the verifier for any ANN
+  * index. IVF keeps a tiny centroid table (broadcast), routes each query
+  * to its nearest cell, and only scans that cell — at 100 TB the cell
+  * assignment is a partition-pruning key (store vectors bucketed by
+  * cell id) so a probe touches 1/cells of the data.
+  */
+object Ann {
+
+  /** Exact scaled-integer vector + its exact norm². */
+  def withScaledVec(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df
+      .withColumn("svec", transform(col(embCol), x => scaled(x)))
+      .withColumn("norm2",
+        aggregate(col("svec"), lit(0L), (acc, x) => acc + x * x))
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact integer dot and norms (double ops on exact ints). */
+  private def cosCol(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** E5 — brute-force cosine top-k: queries = vec_id < nQueries. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = withScaledVec(emb).select(
+      col("vec_id"), col("svec"), col("norm2"))
+    val q = v.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("svec").as("q_svec"), col("norm2").as("q_norm2"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosCol(dotCol(col("q_svec"), col("svec")), col("q_norm2"), col("norm2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Per-label centroids in scaled-SUM space (cosine is scale-invariant,
+    * so the un-normalized exact integer sum vector ranks identically to
+    * the mean — no float averaging anywhere). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    withScaledVec(emb)
+      .select(col("label"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cvec"))
+      .withColumn("cnorm2",
+        aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x))
+
+  /** E6 — IVF-style probe: route each query to its nearest label
+    * centroid (coarse quantizer), then exact top-k inside that cell. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val v = withScaledVec(emb).select(
+      col("vec_id"), col("label"), col("svec"), col("norm2"))
+    val q = v.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("svec").as("q_svec"), col("norm2").as("q_norm2"))
+    val cents = labelCentroids(emb)
+
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosCol(dotCol(col("q_svec"), col("cvec")), col("q_norm2"), col("cnorm2")))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") === 1)
+      .select(col("q_id"), col("q_svec"), col("q_norm2"), col("label"))
+
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(routed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosCol(dotCol(col("q_svec"), col("svec")), col("q_norm2"), col("norm2")))
+      .withColumn("rnk", row_number().over(wv).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("label").cast(LongType).as("label"),
+        col("vec_id"), col("cos"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** E11 — per-label embedding stats, all exact integers. */
+  def labelStats(emb: DataFrame): DataFrame =
+    withScaledVec(emb)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("norm2")).as("sum_norm2"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+      .withColumn("label", col("label").cast(LongType))
+      .orderBy(col("label"))
+}

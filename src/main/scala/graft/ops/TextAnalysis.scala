@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2 E7–E10):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * array functions — per-row work with no shuffle at all, so these scan
+  * at parquet speed and scale embarrassingly: at 100 TB they are pure
+  * map-side operators whose cost is the read itself. No UDFs — every
+  * expression stays inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language lexicons for the stopword-overlap heuristic. On
+    * real corpora these would be the classic top-N function words per
+    * language; the synthetic corpus shares one vocabulary, so the
+    * operator's value here is its (deterministic) mechanics. */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "merge", "sort", "order"),
+    "en" -> Seq("the", "a", "of", "key"),
+    "es" -> Seq("data", "row", "table", "column"),
+    "fr" -> Seq("query", "filter", "group", "window"),
+    "zh" -> Seq("spark", "stream", "batch", "vector"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Hits counted with duplicates (len(filter(tokens, t ∈ lex))) — the
+    * duplicate-preserving form DuckDB mirrors exactly. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(toks, t => array_contains(lex, t))).cast(LongType)
+  }
+
+  /** E7 — language ID: score each lexicon, argmax with ties broken by
+    * language-code order. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Lexicons.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (code, lex)) => df.withColumn(s"score_$code", lexiconHits(toks, lex))
+    }
+    val best = greatest(Lexicons.map { case (c, _) => col(s"score_$c") }: _*)
+    val pred = Lexicons.foldRight(lit("und")) { case ((c, _), other) =>
+      when(col(s"score_$c") === best, lit(c)).otherwise(other)
+    }
+    // foldRight gives earlier languages priority on ties (de first).
+    scored
+      .withColumn("pred_lang", pred)
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** E8 — quality scoring: exact integer counts, ratios as single IEEE
+    * divisions of those ints (deterministic cross-engine). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast(LongType))
+      .withColumn("sum_tok_len",
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("stop_hits", lexiconHits(toks, Lexicons.flatMap(_._2)))
+      .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+      .withColumn("mean_tok_len", col("sum_tok_len") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits") / col("n_tokens"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+          col("distinct_ratio") >= 0.05).cast(LongType))
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** E9 — token counting: whitespace split, word-regex extraction, and
+    * the chars/4 BPE-ish estimate (integer math). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_ws", size(tokens(col("text"))).cast(LongType))
+      .withColumn("n_words",
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast(LongType))
+      .withColumn("n_bpe_est", expr("cast((length(text) + 3) div 4 as bigint)"))
+      .drop("text")
+      .orderBy(col("doc_id"))
+
+  /** E10 — document fingerprint: left fold of a polynomial rolling hash
+    * over per-token 32-bit hashes, mod a Mersenne prime. Order-sensitive
+    * (same bag, different order → different fingerprint), unlike a
+    * bag-of-words hash. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("fp",
+        aggregate(transform(tokens(col("text")), t => h32(t)),
+          lit(0L), (acc, h) => (acc * 1000003L + h) % 2147483647L))
+      .drop("text")
+      .orderBy(col("doc_id"))
+}
