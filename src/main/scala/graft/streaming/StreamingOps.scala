@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.GraftFunctions._
+
+/** Structured-streaming variants of the engine's operators (SURVEY.md §2 F).
+  * The reference processes daily file drops in batch (main.py); the same
+  * rules run here as continuous queries — watermarked windows for the
+  * aggregations, keyed state for the sequential-pattern rule. State is
+  * partitioned by user key, so a 1000-executor cluster shards it exactly
+  * like the batch shuffles.
+  */
+object StreamingOps {
+
+  /** One card/user operation; `graft.fraud.FraudModel.transactions` row. */
+  case class Txn(user_id: Long, ts_us: Long, amt_cents: Long, oper_result: String)
+
+  /** Emitted when the amount-guessing pattern completes. */
+  case class FraudHit(user_id: Long, ts_us: Long, amt_cents: Long)
+
+  /** Keyed state: the last `need` operations, most recent last. */
+  case class PatternState(last: List[(Long, Long, String)])
+
+  /** F1 — watermarked sliding-window aggregation over the event stream. */
+  def windowedEventCounts(events: DataFrame,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+
+  /** F3 — streaming dedup: exact-content drop within the watermark
+    * horizon (state = one hash per doc inside the horizon). */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts_t", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** F2 — the amount-guessing rule (rep_fraud.py:187-261) as keyed
+    * streaming state: three strictly-decreasing REJECTs then a lower
+    * SUCCESS within `maxMinutes`. Batch twin:
+    * [[graft.fraud.FraudRules.guessingAmountFraud]].
+    */
+  def guessingAmountStream(txns: Dataset[Txn],
+                           maxMinutes: Long = 4320): Dataset[FraudHit] = {
+    import txns.sparkSession.implicits._
+
+    def step(userId: Long, rows: Iterator[Txn],
+             state: GroupState[PatternState]): Iterator[FraudHit] = {
+      var last = state.getOption.map(_.last).getOrElse(Nil)
+      val hits = scala.collection.mutable.ListBuffer.empty[FraudHit]
+      rows.toSeq.sortBy(t => (t.ts_us, t.amt_cents)).foreach { t =>
+        if (t.oper_result == "SUCCESS" && last.length >= 3) {
+          val l3 = last.takeRight(3) // (ts, amt, res) oldest..newest
+          val allReject = l3.forall(_._3 == "REJECT")
+          val decreasing = l3(0)._2 > l3(1)._2 && l3(1)._2 > l3(2)._2 &&
+            l3(2)._2 > t.amt_cents
+          val inWindow = (t.ts_us - l3(0)._1) / 60000000L <= maxMinutes
+          if (allReject && decreasing && inWindow)
+            hits += FraudHit(userId, t.ts_us, t.amt_cents)
+        }
+        last = (last :+ ((t.ts_us, t.amt_cents, t.oper_result))).takeRight(3)
+      }
+      state.update(PatternState(last))
+      hits.iterator
+    }
+
+    txns
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{FraudHit, Txn}
+
+/** F1–F3 — structured-streaming operators driven synchronously through
+  * MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def us(minutes: Long): Long = minutes * 60000000L
+
+  test("F2: stateful amount-guessing pattern fires on decreasing rejects") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Txn]
+    val q = StreamingOps.guessingAmountStream(in.toDS(), maxMinutes = 20)
+      .writeStream.format("memory").queryName("hits").outputMode("append").start()
+    try {
+      in.addData(
+        Txn(7L, us(0), 5000L, "REJECT"),
+        Txn(7L, us(2), 4000L, "REJECT"),
+        Txn(7L, us(4), 3000L, "REJECT"),
+        Txn(7L, us(6), 2500L, "SUCCESS"),  // pattern complete -> hit
+        Txn(8L, us(0), 5000L, "REJECT"),
+        Txn(8L, us(2), 6000L, "REJECT"),   // not decreasing
+        Txn(8L, us(4), 3000L, "REJECT"),
+        Txn(8L, us(6), 2500L, "SUCCESS"))
+      q.processAllAvailable()
+      val hits = spark.table("hits").as[FraudHit].collect()
+      assert(hits.toSeq == Seq(FraudHit(7L, us(6), 2500L)))
+
+      // state carries across batches: user 9 rejects in batch 1...
+      in.addData(
+        Txn(9L, us(10), 9000L, "REJECT"),
+        Txn(9L, us(11), 8000L, "REJECT"),
+        Txn(9L, us(12), 7000L, "REJECT"))
+      q.processAllAvailable()
+      // ...success in batch 2 still completes the pattern
+      in.addData(Txn(9L, us(13), 1000L, "SUCCESS"))
+      q.processAllAvailable()
+      val hits2 = spark.table("hits").as[FraudHit].collect()
+      assert(hits2.exists(_.user_id == 9L) && hits2.length == 2)
+    } finally q.stop()
+  }
+
+  test("F1: watermarked windowed aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts_t", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("winagg").outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "purchase", 10.0),
+        (Timestamp.valueOf("2024-01-01 00:40:00"), "purchase", 5.5),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "error", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select(col("event_type"), col("n"), col("sum_cents")).collect()
+      assert(rows.exists(r => r.getString(0) == "purchase" &&
+        r.getLong(1) == 2L && r.getLong(2) == 1550L))
+      assert(rows.exists(r => r.getString(0) == "error" && r.getLong(1) == 1L))
+    } finally q.stop()
+  }
+
+  test("F3: streaming dedup drops exact duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val docs = in.toDF().toDF("ts_t", "text")
+    val q = StreamingOps.streamingDedup(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "alpha"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "alpha"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "beta"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta"))
+    } finally q.stop()
+  }
+}
