@@ -463,7 +463,7 @@ object SparkEntry {
 
     "q_dedup_minhash" -> {
       val sigDefs = (0 until 8).map(i =>
-        s"list_min(list_transform(sh, x -> CAST(('0x'||substr(md5('$i:'||x),1,8)) AS BIGINT))) AS sig_$i")
+        s"MIN((${ops.Dedup.minhashA(i)}*x + ${ops.Dedup.minhashB(i)}) % ${ops.Dedup.MinhashP}) AS sig_$i")
         .mkString(",\n    ")
       val bandDefs = (0 until 4).map(b =>
         s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(CAST(sig_${2*b} AS VARCHAR)||'_'||CAST(sig_${2*b+1} AS VARCHAR)) AS bucket FROM sig")
@@ -476,13 +476,16 @@ object SparkEntry {
          |  SELECT doc_id, string_split(text,' ') AS toks FROM base
          |  WHERE len(string_split(text,' ')) >= 3),
          |s AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  SELECT doc_id, list_transform(range(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
          |  FROM t),
+         |hx AS (
+         |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
          |sig AS (
          |  SELECT doc_id,
          |    $sigDefs
-         |  FROM s),
+         |  FROM hx GROUP BY doc_id),
          |bands AS (
          |  $bandDefs)
          |SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -23,9 +23,12 @@ import graft.functions.GraftFunctions._
   */
 object Ann {
 
-  /** Exact scaled-integer vector + its exact norm². */
+  /** Exact scaled-integer vector + its exact norm². Repartitions first:
+    * embedding tables arrive as few parquet files, and the downstream
+    * dot-product scans are CPU-bound — spread them across all cores. */
   def withScaledVec(df: DataFrame, embCol: String = "embedding"): DataFrame =
     df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("svec", transform(col(embCol), x => scaled(x)))
       .withColumn("norm2",
         aggregate(col("svec"), lit(0L), (acc, x) => acc + x * x))

@@ -17,16 +17,23 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles; rows with <3 tokens are dropped (a
-    * 2-token doc has no 3-shingle). */
-  def withShingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Word 3-gram shingles; rows with <3 tokens are dropped (a 2-token
+    * doc has no 3-shingle). `distinct` costs O(n²) string compares per
+    * doc — required for Jaccard set semantics, skippable for MinHash
+    * (min over a multiset equals min over its set). */
+  def withShingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
+    // `toks` must be a real column: referencing the split(...) expression
+    // inside the transform lambda would inline it into every element_at,
+    // re-splitting the text O(shingles·3) times per doc.
+    val grams = transform(sequence(lit(1), size(col("toks")) - 2),
+      i => concat_ws(" ",
+        element_at(col("toks"), i), element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2)))
     docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("sh", array_distinct(
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", if (distinct) array_distinct(grams) else grams)
+      .drop("toks")
   }
 
   /** E1 — exact dedup: md5 content groups, keeper = min id. */
@@ -56,13 +63,35 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** MinHash signature columns sig_0..sig_{k-1}: min over shingles of a
-    * seeded 32-bit hash. */
-  def withMinhashSig(shingled: DataFrame, k: Int): DataFrame =
-    (0 until k).foldLeft(shingled) { (df, i) =>
-      df.withColumn(s"sig_$i",
-        array_min(transform(col("sh"), s => h32(concat(lit(s"$i:"), s)))))
-    }
+  /** MinHash permutation params: k universal-hash functions
+    * `(a_i * x + b_i) mod P` over one shared 32-bit base hash — one md5
+    * per shingle total, not per (shingle, function). P is the Mersenne
+    * prime 2^31-1; a_i·x stays < 2^63. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = 1103515245L + 12345L * i
+  def minhashB(i: Int): Long = 1013904223L + 7919L * i
+
+  /** MinHash signatures sig_0..sig_{k-1} via explode + map-side-combined
+    * min aggregation: the shuffle carries one row per doc after partial
+    * aggregation, and the hot loop is flat codegen over (doc, shingle)
+    * rows — no nested array folds. */
+  /** Callers must pre-partition the input on `doc_id` BEFORE the shingle
+    * arrays are built (see [[minhashLsh]]): only tiny (id, text) rows
+    * cross the wire, the explode stays partition-local, and the groupBy
+    * reuses the same hash partitioning — zero further shuffles. */
+  def withMinhashSig(shingled: DataFrame, k: Int): DataFrame = {
+    // explode_outer, deliberately: plain explode triggers Catalyst's
+    // InferFiltersFromGenerate, which clones the whole shingle-building
+    // transform into a pre-shuffle filter (evaluated twice, interpreted,
+    // before the repartition spreads the work). The arrays are non-empty
+    // by construction, so outer ≡ inner here.
+    val ex = shingled
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .withColumn("x", h32(col("s")))
+    val sigCols = (0 until k).map(i =>
+      min((lit(minhashA(i)) * col("x") + lit(minhashB(i))) % MinhashP).as(s"sig_$i"))
+    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
 
   /** E3 — MinHash+LSH candidate pairs: `bands` bands of `rowsPerBand`
     * signature rows; docs sharing any band bucket become candidates.
@@ -76,7 +105,9 @@ object Dedup {
       base.filter(col("doc_id") % dupMod === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
     val k = bands * rowsPerBand
-    val sig = withMinhashSig(withShingles(withDups), k)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = withMinhashSig(
+      withShingles(withDups.repartition(par, col("doc_id")), distinct = false), k)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
@@ -100,7 +131,9 @@ object Dedup {
     * exact-integer aggregation (map-side combine keeps the shuffle tiny:
     * one row per (doc, bit)). */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", h32(col("tok")))
