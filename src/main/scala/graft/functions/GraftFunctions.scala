@@ -41,9 +41,13 @@ object GraftFunctions {
 
   /** 32-bit hash from the md5 hex prefix — the only hash both Spark and
     * DuckDB compute identically (`('0x'||substr(md5(x),1,8))::BIGINT`
-    * on the DuckDB side). Codegen'd end to end (md5/substring/conv are
-    * all built-ins). */
-  def h32(c: Column): Column =
+    * on the DuckDB side). Backed by the native codegen'd
+    * [[graft.functions.Md5Prefix32]] expression (no hex-string
+    * round-trip); `h32Builtin` keeps the functions-only composition for
+    * cross-checking. */
+  def h32(c: Column): Column = Md5Prefix32(c)
+
+  def h32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
   /** Embedding float → exact scaled integer (µ-units). Float→double
