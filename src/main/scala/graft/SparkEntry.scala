@@ -135,6 +135,13 @@ object SparkEntry {
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- D11: as-of join (purchase -> last prior error per user)
+    "q_asof_prior" -> ((s, d) =>
+      ops.AsOfJoin.lastPriorEvent(Tables.events(s, d),
+        key = "user_id", timeCol = "ts_us", idCol = "event_id",
+        typeCol = "event_type", queryType = "purchase", refType = "error")
+        .orderBy(col("event_id"))),
+
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d)))
@@ -437,6 +444,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_prior" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  COALESCE(e.ts_us, -1) AS asof_ts,
+        |  COALESCE(p.ts_us - e.ts_us, -1) AS gap
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+        |ORDER BY event_id""".stripMargin,
 
     // ---- E section: training-data ops
     "q_dedup_exact" ->
