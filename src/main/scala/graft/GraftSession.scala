@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configuration this engine assumes.
+  * `shufflePartitions` should track cluster parallelism (32 locally;
+  * thousands on a real cluster — it is THE knob that must scale with
+  * data volume).
+  */
+object GraftSession {
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}

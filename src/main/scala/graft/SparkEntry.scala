@@ -144,7 +144,19 @@ object SparkEntry {
 
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
-    "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d)))
+    "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
+
+    // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
+    // different sketches, so no SQL oracle — driver's rows-only check.
+    "q_approx_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+            lit(10000)).as("price_quantiles"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   // ---------------------------------------------------------------------

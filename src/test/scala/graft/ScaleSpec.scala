@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.{Bucketing, Salting}
+import graft.sources.Tables
+
+/** Scale-posture mechanics: co-located bucketed joins (no shuffle) and
+  * salted skew aggregation (identical results, fanned-out reducers). */
+class ScaleSpec extends SparkSpec {
+
+  test("co-bucketed join plans with no shuffle exchange") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(ord, "b_orders", "l_orderkey", 8)
+    val joined = Bucketing.colocatedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+    assert(!Bucketing.hasShuffle(joined), "bucketed join must not shuffle")
+    // and the join is still correct
+    val direct = li.join(ord, Seq("l_orderkey"))
+    assert(joined.count() == direct.count())
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        graft.functions.GraftFunctions.cents(col("value")).as("v"))
+    val direct = ev.groupBy("event_type")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Salting.saltedAgg(ev, "event_type", "v", carrier = "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}
