@@ -11,15 +11,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Land `df` as a bucketed, bucket-sorted managed table. */
+  /** Land `df` as a bucketed, bucket-sorted managed table. Drops any
+    * prior table AND its leftover warehouse directory first — a dead
+    * location from a previous session otherwise fails the create with
+    * LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two co-bucketed tables on their bucket key. With matching
     * bucket counts the plan contains no shuffle on either side. */
