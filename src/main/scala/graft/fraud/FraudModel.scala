@@ -51,11 +51,13 @@ object FraudModel {
     Tables.customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey"))
 
   /** Account dimension analog of DWH_DIM_ACCOUNTS: contract expiry
-    * `valid_to` := o_orderdate + 9000 days. */
+    * `valid_to` := o_orderdate + 9000 days; only 'P' (pending) orders
+    * count as live account contracts in this analog. */
   def accounts(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
-      col("o_orderkey").as("account_num"),
-      col("o_custkey").as("client"),
-      col("o_orderstatus"),
-      date_add(to_date(col("o_orderdate")), 9000).as("valid_to"))
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .select(
+        col("o_orderkey").as("account_num"),
+        col("o_custkey").as("client"),
+        date_add(to_date(col("o_orderdate")), 9000).as("valid_to"))
 }

@@ -45,7 +45,7 @@ object FraudRules {
   def accountFraud(accounts: DataFrame, clients: DataFrame,
                    txns: DataFrame, batchDate: String): DataFrame = {
     val invalid = accounts
-      .filter(to_date(lit(batchDate)) > col("valid_to") && col("o_orderstatus") === "P")
+      .filter(to_date(lit(batchDate)) > col("valid_to"))
       .join(broadcast(clients), accounts("client") === clients("c_custkey"), "left")
     txns
       .join(broadcast(invalid), txns("user_id") === invalid("client"))
@@ -98,10 +98,11 @@ object FraudRules {
     * SUCCESS with a lower amount, the whole run inside `maxMinutes`.
     */
   def guessingAmountFraud(txns: DataFrame, clients: DataFrame,
-                          maxMinutes: Long): DataFrame = {
+                          maxMinutes: Long,
+                          opTypes: Seq[String] = Seq("purchase", "error")): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val ops = txns
-      .filter(col("event_type").isin("purchase", "error"))
+      .filter(col("event_type").isin(opTypes: _*))
       .select(col("user_id"), col("ts_us"), col("amt_cents"), col("oper_result"))
     val lagged = ops
       .withColumn("lag_amt_1", lag(col("amt_cents"), 1).over(w))
