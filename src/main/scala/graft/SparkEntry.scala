@@ -145,6 +145,8 @@ object SparkEntry {
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
+    "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
+    "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
@@ -668,6 +670,45 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT q_id, label, vec_id, cos, rnk FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_curate" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |    md5(text) AS content_hash
+        |  FROM documents
+        |  WHERE lang IN ('en','de','fr')),
+        |gated AS (
+        |  SELECT * FROM g
+        |  WHERE n_tokens >= 20 AND n_tokens <= 1000
+        |    AND n_distinct / n_tokens >= 0.05),
+        |keepers AS (
+        |  SELECT content_hash, min(doc_id) AS doc_id FROM gated GROUP BY 1)
+        |SELECT g.doc_id, g.lang, g.n_tokens, g.content_hash
+        |FROM gated g
+        |WHERE EXISTS (SELECT 1 FROM keepers k
+        |  WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, dvec,
+        |    list_max(list_transform(dvec, x -> abs(x))) AS max_abs
+        |  FROM d),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(dvec, x -> CAST(round(x * 127 / max_abs) AS BIGINT)) AS qvec
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qvec), (a,b) -> a+b) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qvec) AS BIGINT) AS q_min,
+        |  CAST(list_max(qvec) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_emb_stats" ->
       """WITH n AS (
