@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.FraudEtlPipeline
+import graft.streaming.StreamingIngest
+
+/** F4 — continuous file-drop ingestion into a date-partitioned lake,
+  * with partition pruning proven in-plan on readback. */
+class StreamingIngestSpec extends SparkSpec {
+
+  test("csv drops land partitioned; second drop is incremental; reads prune") {
+    val root = Files.createTempDirectory("graft_stream_ingest")
+    val drop = Files.createDirectory(root.resolve("drop")).toString
+    val lake = root.resolve("lake").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    Files.writeString(java.nio.file.Paths.get(drop, "transactions_01032021.txt"),
+      """transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal
+        |1;2021-03-01 10:00:00;10.00;1;PAYMENT;SUCCESS;T1
+        |2;2021-03-01 11:00:00;20.00;2;PAYMENT;SUCCESS;T1
+        |""".stripMargin)
+
+    val stream = StreamingIngest.dropStream(spark, drop, FraudEtlPipeline.txnSchema)
+    val q1 = StreamingIngest.landPartitioned(stream, "transaction_date", lake, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(lake).count() == 2)
+
+    // a later drop is picked up incrementally (old file not re-read)
+    Files.writeString(java.nio.file.Paths.get(drop, "transactions_02032021.txt"),
+      """transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal
+        |3;2021-03-02 09:00:00;30.00;3;WITHDRAW;REJECT;T2
+        |""".stripMargin)
+    val q2 = StreamingIngest.landPartitioned(
+      StreamingIngest.dropStream(spark, drop, FraudEtlPipeline.txnSchema),
+      "transaction_date", lake, ckpt)
+    q2.awaitTermination()
+    val all = spark.read.parquet(lake)
+    assert(all.count() == 3)
+
+    // date filter prunes to one partition directory
+    val pruned = all.filter(col("p_date") === "2021-03-02")
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("p_date"), "expected partition filter in scan")
+  }
+}
