@@ -134,10 +134,15 @@ object FraudRules {
   def mart(rules: Seq[DataFrame]): DataFrame =
     rules.map(_.select(martCols: _*)).reduce(_ unionByName _)
 
-  /** All four rules with the calibrated analog parameters. */
+  /** All four rules with the calibrated analog parameters. The enriched
+    * transaction frame is persisted: all four rules (and the mart union)
+    * read it, and Spark's cache manager keys on the analyzed plan, so
+    * every fraud query in a session shares ONE materialization of the
+    * scan + JSON city extraction instead of four. */
   def allRules(s: SparkSession, d: String, batchDate: String = "2024-06-30")
       : Seq[DataFrame] = {
     val txns = FraudModel.transactions(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cls = FraudModel.clients(s, d)
     Seq(
       passportFraud(cls, FraudModel.passportBlacklist(s, d), txns, batchDate),
