@@ -148,6 +148,46 @@ object SparkEntry {
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
+    // ---- D13: correlated-subquery shape (above-own-nation-average)
+    "q_corr_subquery" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey").cast(LongType).as("nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      val natAvg = cust.groupBy(col("nationkey"))
+        .agg((sum(col("bal_cents")).cast("double") / count(lit(1))).as("avg_bal"))
+      cust.join(broadcast(natAvg), Seq("nationkey"))
+        .filter(col("bal_cents") > col("avg_bal"))
+        .select(col("c_custkey"), col("nationkey"), col("bal_cents"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- D14: date/time function surface
+    "q_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        (weekday(col("o_orderdate")) + 1).cast(LongType).as("isodow"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+          .cast(LongType).as("age_days"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- D15: string function surface
+    "q_string_funcs" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        regexp_replace(col("c_name"), "#", "-").as("dashed"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlat"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     "q_approx_stats" -> ((s, d) => {
@@ -458,6 +498,37 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_corr_subquery" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, nationkey, bal_cents FROM cust c
+        |WHERE bal_cents > (
+        |  SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) FROM cust c2
+        |  WHERE c2.nationkey = c.nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  substring(c_mktsegment, 1, 3) AS seg3,
+        |  regexp_replace(c_name, '#', '-', 'g') AS dashed,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_asof_prior" ->
       """WITH p AS (
