@@ -1,0 +1,27 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** MLlib KMeans over the embedding column — the learned counterpart of
+  * the IVF label-centroid quantizer in [[graft.ops.Ann]]: train coarse
+  * cells on a sample, assign the full corpus, store the cell id as the
+  * partition-pruning key for ANN probes.
+  */
+object EmbeddingClustering {
+
+  def assignCells(s: SparkSession, d: String, k: Int = 10,
+                  seed: Long = 42L): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    model.transform(emb).select(col("vec_id"), col("label"), col("cell"))
+  }
+}

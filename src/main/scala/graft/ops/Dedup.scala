@@ -126,6 +126,18 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Per-row MinHash signatures (no aggregation): one h32 per shingle
+    * materialized as an array column, then k cheap linear permutations
+    * folded by array_min. Same numbers as [[withMinhashSig]]; this form
+    * is shuffle-free, which streaming ingestion requires. */
+  def withMinhashSigPerRow(shingled: DataFrame, k: Int): DataFrame = {
+    val hashed = shingled.withColumn("hx", transform(col("sh"), s => h32(s)))
+    (0 until k).foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"sig_$i", array_min(transform(col("hx"),
+        x => (lit(minhashA(i)) * x + lit(minhashB(i))) % MinhashP)))
+    }.drop("hx")
+  }
+
   /** E4 — SimHash fingerprint (`bits`-wide): per-bit majority vote over
     * distinct-token 32-bit hashes. Implemented as an explode + two-level
     * exact-integer aggregation (map-side combine keeps the shuffle tiny:

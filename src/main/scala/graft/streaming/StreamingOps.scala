@@ -41,6 +41,28 @@ object StreamingOps {
       .withWatermark("ts_t", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** F5 — streaming NEAR-duplicate suppression: drop any doc whose
+    * MinHash band bucket was already seen inside the watermark horizon.
+    * More aggressive than exact dedup (any shared band kills a doc) —
+    * the right trade for streaming ingestion, where state must stay
+    * bounded and a false-positive drop is cheaper than a kept near-dup.
+    * Batch twin: [[graft.ops.Dedup.minhashLsh]].
+    */
+  def streamingNearDedup(docs: DataFrame, watermark: String = "1 hour",
+                         bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    import graft.ops.Dedup
+    val k = bands * rowsPerBand
+    val sig = Dedup.withMinhashSigPerRow(
+      Dedup.withShingles(docs, distinct = false), k)
+    val bandKey = md5(concat_ws("_",
+      (0 until k).map(i => col(s"sig_$i").cast("string")): _*))
+    sig
+      .withColumn("band_key", bandKey)
+      .drop((0 until k).map(i => s"sig_$i") :+ "sh": _*)
+      .withWatermark("ts_t", watermark)
+      .dropDuplicatesWithinWatermark("band_key")
+  }
+
   /** F2 — the amount-guessing rule (rep_fraud.py:187-261) as keyed
     * streaming state: three strictly-decreasing REJECTs then a lower
     * SUCCESS within `maxMinutes`. Batch twin:

@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F5: streaming near-dedup drops minhash-band duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts_t", "doc_id", "text")
+    val q = StreamingOps.streamingNearDedup(docs, "1 hour")
+      .writeStream.format("memory").queryName("neardedup").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, base),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 2L, base),      // exact dup
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 3L,
+          "completely different text about spark window functions and joins"))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup").select("doc_id").as[Long].collect().sorted
+      assert(ids.length == 2 && ids.contains(3L) && !ids.contains(2L))
+    } finally q.stop()
+  }
+
   test("F3: streaming dedup drops exact duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
