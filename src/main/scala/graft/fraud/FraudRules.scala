@@ -68,17 +68,21 @@ object FraudRules {
     */
   def cityFraud(txns: DataFrame, clients: DataFrame,
                 maxMinutes: Long = 60): DataFrame = {
-    val multiCity = txns.groupBy(col("user_id"))
-      .agg(countDistinct(col("city")).as("cnt_city"))
-      .filter(col("cnt_city") > 1)
-      .select(col("user_id"))
+    // Single-pass form of the reference's three-step query (HAVING
+    // subquery + self-join + window): the distinct-city count rides the
+    // same user-key window partitioning as the lead(), and the final
+    // max() reuses it too — ONE shuffle end to end instead of three.
+    // Result-identical to the reference shape (the DuckDB oracle keeps
+    // the original formulation as the cross-check).
+    val wAll = Window.partitionBy(col("user_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val flagged = txns
-      .join(multiCity, Seq("user_id"), "left_semi")
       .select(col("user_id"), col("ts_us"), col("city"))
+      .withColumn("cnt_city", size(collect_set(col("city")).over(wAll)))
       .withColumn("lead_us", lead(col("ts_us"), 1).over(w))
       .withColumn("lead_city", lead(col("city"), 1).over(w))
-      .filter(col("city") =!= col("lead_city") &&
+      .filter(col("cnt_city") > 1 &&
+        col("city") =!= col("lead_city") &&
         expr("(lead_us - ts_us) div 60000000") <= maxMinutes &&
         col("lead_us") >= col("ts_us"))
       .groupBy(col("user_id"))
