@@ -188,6 +188,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- D16: pivot (wide per-user event-type value matrix)
+    "q_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     "q_approx_stats" -> ((s, d) => {
@@ -498,6 +508,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(COALESCE(sum(CASE WHEN event_type='click' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS click,
+        |  CAST(COALESCE(sum(CASE WHEN event_type='error' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS error,
+        |  CAST(COALESCE(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase,
+        |  CAST(COALESCE(sum(CASE WHEN event_type='signup' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS signup,
+        |  CAST(COALESCE(sum(CASE WHEN event_type='view' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_corr_subquery" ->
       """WITH cust AS (
