@@ -30,11 +30,10 @@ object Ann {
     df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("svec", transform(col(embCol), x => scaled(x)))
-      .withColumn("norm2",
-        aggregate(col("svec"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("norm2", graft.functions.LongVecMath.norm2L(col("svec")))
 
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongVecMath.dotL(a, b)
 
   /** Cosine from exact integer dot and norms (double ops on exact ints). */
   private def cosCol(dot: Column, n1: Column, n2: Column): Column =
@@ -69,8 +68,7 @@ object Ann {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("cvec"))
-      .withColumn("cnorm2",
-        aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("cnorm2", graft.functions.LongVecMath.norm2L(col("cvec")))
 
   /** E6 — IVF-style probe: route each query to its nearest label
     * centroid (coarse quantizer), then exact top-k inside that cell. */

@@ -31,6 +31,19 @@ class ExpressionSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 0x90015098L))
   }
 
+  test("dot_l/norm2_l equal the HOF composition on real embeddings") {
+    val v = Tables.embeddings(spark, sf)
+      .withColumn("svec", transform(col("embedding"),
+        x => GraftFunctions.scaled(x)))
+    val mismatches = v.select(
+      graft.functions.LongVecMath.norm2L(col("svec")).as("native"),
+      aggregate(col("svec"), lit(0L), (acc, x) => acc + x * x).as("hof"),
+      graft.functions.LongVecMath.dotL(col("svec"), col("svec")).as("dself"))
+      .filter(col("native") =!= col("hof") || col("dself") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
