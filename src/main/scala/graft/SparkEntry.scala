@@ -188,6 +188,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- D17: gap-based sessionization (30-min inactivity boundary)
+    "q_sessionize" -> ((s, d) => {
+      ops.Sessionize.sessions(
+        Tables.events(s, d).select(col("user_id"), col("ts_us"),
+          cents(col("value")).as("v_cents")),
+        key = "user_id", tsUs = "ts_us", valueCents = "v_cents")
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // ---- D18: bounded-interval range join (same-user pairs ≤ 5 min apart)
+    "q_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("ts_us"))
+      val l = e.select(col("user_id"), col("event_id").as("id1"),
+        col("ts_us").as("us1"))
+      val r = e.select(col("user_id"), col("event_id").as("id2"),
+        col("ts_us").as("us2"))
+      l.join(r, Seq("user_id"))
+        .filter(col("us2") > col("us1") &&
+          col("us2") - col("us1") <= 300000000L)
+        .select(col("user_id"), col("id1"), col("id2"),
+          (col("us2") - col("us1")).as("gap_us"))
+        .orderBy(col("user_id"), col("id1"), col("id2"))
+    }),
+
     // ---- D16: pivot (wide per-user event-type value matrix)
     "q_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -508,6 +533,37 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_range_join" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        |  b.ts_us - a.ts_us AS gap_us
+        |FROM t a JOIN t b ON a.user_id = b.user_id
+        |  AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us <= 300000000
+        |ORDER BY a.user_id, id1, id2""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -41,6 +41,11 @@ object DelimitedSource {
       spark.read.parquet(path)
   }
 
+  final case class Orc() extends TabularSource {
+    def load(spark: SparkSession, path: String): DataFrame =
+      spark.read.orc(path)
+  }
+
   /** `transactions_01032021.txt` → `01032021` (tools.py:23). */
   def batchIdFromFilename(filename: String): Option[String] = {
     val stem = filename.split('/').last

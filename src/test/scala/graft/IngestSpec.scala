@@ -46,6 +46,20 @@ class IngestSpec extends SparkSpec {
     assert(!Files.exists(dir.resolve("transactions_01032021.txt")))
   }
 
+  test("orc and json sources round-trip with explicit schemas") {
+    val dir = Files.createTempDirectory("graft_fmt")
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus").limit(100)
+    src.write.mode("overwrite").orc(dir.resolve("orc").toString)
+    val backOrc = DelimitedSource.Orc().load(spark, dir.resolve("orc").toString)
+    assert(backOrc.count() == 100 && backOrc.schema == src.schema)
+
+    src.write.mode("overwrite").json(dir.resolve("json").toString)
+    val backJson = DelimitedSource.Json(src.schema)
+      .load(spark, dir.resolve("json").toString)
+    assert(backJson.count() == 100 && backJson.schema == src.schema)
+  }
+
   test("report mart appends partitioned by rule and reads back") {
     val out = Files.createTempDirectory("graft_mart").resolve("mart").toString
     val mart = FraudRules.mart(FraudRules.allRules(spark, sf))
