@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.Md5Prefix32
+import graft.functions.{DotL, Md5Prefix32, Norm2L}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Enable with
@@ -18,5 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Prefix32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotL].getName, "dot_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotL(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("norm2_l"),
+      new ExpressionInfo(classOf[Norm2L].getName, "norm2_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Norm2L(children.head)))
   }
 }

@@ -142,6 +142,8 @@ object SparkEntry {
         typeCol = "event_type", queryType = "purchase", refType = "error")
         .orderBy(col("event_id"))),
 
+    "q_tfidf_top" -> ((s, d) => ops.TextAnalysis.tfidfTop(Tables.documents(s, d))),
+    "q_bigrams" -> ((s, d) => ops.TextAnalysis.bigramCounts(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
@@ -744,6 +746,38 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |    CAST(df.df AS BIGINT) AS df,
+        |    CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, tf, df, score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text,' ') AS toks FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram HAVING count(*) >= 10
+        |ORDER BY bigram""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

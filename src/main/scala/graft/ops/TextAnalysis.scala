@@ -89,6 +89,50 @@ object TextAnalysis {
       .drop("text")
       .orderBy(col("doc_id"))
 
+  /** E14 — top TF-IDF term per document with exact-integer scoring:
+    * score = tf · 1_000_000 div df (integer division — deterministic
+    * cross-engine, unlike ln()-based idf whose libm last-ulp differs).
+    * Ties break on term order. Explode → two shared-shuffle aggregations
+    * + a broadcast of the (vocabulary-sized) document-frequency table.
+    */
+  def tfidfTop(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E15 — corpus bigram counts (collocation mining), exact integers. */
+  def bigramCounts(docs: DataFrame, minCount: Long = 10): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toksCol = col("toks")
+    val bigrams = transform(sequence(lit(1), size(toksCol) - 1),
+      i => concat_ws(" ", element_at(toksCol, i), element_at(toksCol, i + 1)))
+    docs
+      .repartition(par)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode_outer(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("bigram"))
+  }
+
   /** E10 — document fingerprint: left fold of a polynomial rolling hash
     * over per-token 32-bit hashes, mod a Mersenne prime. Order-sensitive
     * (same bag, different order → different fingerprint), unlike a

@@ -29,4 +29,18 @@ object Salting {
       .groupBy(col(key))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n"))
+
+  /** Skew-safe equi-join: the fact side gets a carrier-derived salt, the
+    * (small) dim side is replicated across all `nSalts` sub-keys, and
+    * the join runs on (key, salt) — a hot fact key now spreads over
+    * `nSalts` reducers instead of melting one. Result-identical to the
+    * plain join. (AQE's skew-join split handles this adaptively;
+    * explicit salting is for engines/pipelines where it can't.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 carrier: String, nSalts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", salt(col(carrier), nSalts))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -22,6 +22,18 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == direct.count())
   }
 
+  test("salted join equals direct join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val direct = ev.join(cust, Seq("user_id"))
+    val salted = Salting.saltedJoin(ev, cust, "user_id", carrier = "event_id")
+    assert(salted.count() == direct.count())
+    assert(salted.select("event_id", "c_mktsegment")
+      .exceptAll(direct.select("event_id", "c_mktsegment")).isEmpty)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("event_id"),
