@@ -112,6 +112,29 @@ object SparkEntry {
         .orderBy(col("terminal_id"))
     }),
 
+    // ---- B8: CDC changelog from SCD2 history
+    "q_scd2_changelog" -> ((s, d) => {
+      val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
+      etl.Scd2.changelog(
+        etl.Scd2.merge(h0, etl.Scd2Snapshots.day2(s, d), etl.Scd2Snapshots.Key,
+          etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2),
+        etl.Scd2Snapshots.Key, etl.Scd2Snapshots.Attrs)
+        .orderBy(col("key"), col("change_dt"), col("op"))
+    }),
+
+    // ---- B9: data-quality checks (orphans, duplicate keys)
+    "q_dq_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      etl.DataQuality.summary(Seq(
+        "orphan_partkeys" -> etl.DataQuality.orphans(
+          li.select(col("l_partkey")),
+          "l_partkey",
+          Tables.part(s, d).filter(col("p_size") <= 25),
+          "p_partkey"),
+        "dup_orderkeys" -> etl.DataQuality.duplicateKeys(li, "l_orderkey")))
+        .orderBy(col("check_name"))
+    }),
+
     // ---- A1: delimited decode semantics (file-level reader: DelimitedSource)
     "q_src_csv" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(
@@ -394,6 +417,30 @@ object SparkEntry {
       s"""SELECT * FROM $sqlScd2History
          |WHERE deleted_flg = 0 AND effective_to = '2999-12-31'
          |ORDER BY terminal_id""".stripMargin,
+
+    "q_scd2_changelog" ->
+      s"""WITH hist AS (SELECT * FROM $sqlScd2History),
+         |v AS (
+         |  SELECT *, row_number() OVER (PARTITION BY terminal_id
+         |    ORDER BY effective_from, deleted_flg) AS rn
+         |  FROM hist)
+         |SELECT
+         |  CASE WHEN deleted_flg = 1 THEN 'D'
+         |       WHEN rn = 1 THEN 'I' ELSE 'U' END AS op,
+         |  terminal_id AS key, terminal_type, terminal_city, terminal_address,
+         |  effective_from AS change_dt
+         |FROM v ORDER BY key, change_dt, op""".stripMargin,
+
+    "q_dq_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'orphan_partkeys' AS check_name, count(*) AS violations
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p
+        |    WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
+        |  UNION ALL
+        |  SELECT 'dup_orderkeys', count(*) FROM (
+        |    SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1))
+        |ORDER BY check_name""".stripMargin,
 
     "q_src_csv" ->
       """WITH lines AS (

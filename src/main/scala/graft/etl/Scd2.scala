@@ -103,4 +103,26 @@ object Scd2 {
     * open, non-deleted versions only. */
   def currentView(history: DataFrame): DataFrame =
     history.filter(col("deleted_flg") === 0L && col("effective_to") === HighDate)
+
+  /** CDC changelog derived from an SCD2 history: one (op, key, attrs)
+    * row per change — 'I' for first versions, 'U' for reopened versions
+    * of an existing key (new attribute values), 'D' for tombstones. The
+    * downstream view a streaming consumer of the dimension would want.
+    */
+  def changelog(history: DataFrame, key: String, attrs: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("effective_from"), col("deleted_flg"))
+    val outCols = Seq(col("op"), col(key).as("key")) ++ attrs.map(col) :+
+      col("effective_from").as("change_dt")
+    // Every version row introduced exactly one state change at its
+    // effective_from: the first version is the insert, later non-deleted
+    // versions are updates, tombstones are deletes.
+    history
+      .withColumn("version_n", row_number().over(w))
+      .withColumn("op",
+        when(col("deleted_flg") === 1L, lit("D"))
+          .when(col("version_n") === 1, lit("I"))
+          .otherwise(lit("U")))
+      .select(outCols: _*)
+  }
 }
