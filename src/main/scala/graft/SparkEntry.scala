@@ -238,6 +238,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("id1"), col("id2"))
     }),
 
+    // ---- D19: exact interpolated quantiles per group
+    "q_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- D16: pivot (wide per-user event-type value matrix)
     "q_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -613,6 +624,13 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.user_id = b.user_id
         |  AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us <= 300000000
         |ORDER BY a.user_id, id1, id2""".stripMargin,
+
+    "q_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

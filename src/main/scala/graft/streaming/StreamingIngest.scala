@@ -22,6 +22,28 @@ object StreamingIngest {
       .schema(schema)
       .csv(dropDir)
 
+  /** F6 — continuous fraud scoring: every micro-batch of staged
+    * transactions runs the stateless rules (passport/account expiry)
+    * and appends hits to the mart. The windowed rules ride
+    * [[StreamingOps.guessingAmountStream]]'s keyed state instead — a
+    * per-batch window would miss cross-batch patterns. */
+  def continuousFraudMart(txns: DataFrame, clients: DataFrame,
+                          accounts: DataFrame, batchDate: String,
+                          martPath: String, checkpoint: String): StreamingQuery =
+    txns.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val mart = graft.fraud.FraudRules.mart(Seq(
+          graft.fraud.FraudRules.passportFraud(
+            clients, clients.filter(col("blacklisted") === 1L)
+              .select(col("c_custkey")), batch.toDF(), batchDate),
+          graft.fraud.FraudRules.accountFraud(
+            accounts, clients, batch.toDF(), batchDate)))
+        graft.sources.ReportMart.append(mart, martPath)
+      }
+      .start()
+
   /** Land a transaction stream into a date-partitioned parquet lake —
     * partitioning by event date makes every date-ranged read prune at
     * the directory level (the 100 TB access path). */

@@ -14,6 +14,4 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   lazy val sf: String = "/root/testdata/sf0.001"
-
-  def withLogLevel[T](body: => T): T = { body }
 }

@@ -11,6 +11,41 @@ import graft.streaming.StreamingIngest
   * with partition pruning proven in-plan on readback. */
 class StreamingIngestSpec extends SparkSpec {
 
+  test("continuous fraud mart: micro-batches run rules and append hits") {
+    val root = Files.createTempDirectory("graft_stream_fraud")
+    val drop = Files.createDirectory(root.resolve("drop")).toString
+    val mart = root.resolve("mart").toString
+    Files.writeString(java.nio.file.Paths.get(drop, "transactions_01032021.txt"),
+      """transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal
+        |1;2021-03-01 10:00:00;10.00;1;PAYMENT;SUCCESS;T1
+        |2;2021-03-01 11:00:00;20.00;2;PAYMENT;SUCCESS;T1
+        |""".stripMargin)
+    import spark.implicits._
+    val clients = Seq(
+      (1L, "IVANOV IVAN", "VIP", java.sql.Date.valueOf("2021-01-01"), 0L),
+      (2L, "PETROV PETR", "STD", java.sql.Date.valueOf("2025-01-01"), 0L))
+      .toDF("c_custkey", "fio", "segment", "passport_valid_to", "blacklisted")
+    val accounts = Seq((2L, java.sql.Date.valueOf("2020-06-01")))
+      .toDF("client", "valid_to")
+    val stream = StreamingIngest
+      .dropStream(spark, drop, FraudEtlPipeline.txnSchema)
+      .select(
+        col("transaction_id").as("event_id"),
+        col("card_num").as("user_id"),
+        unix_micros(col("transaction_date")).as("ts_us"),
+        (col("amount") * 100).cast("long").as("amt_cents"),
+        col("oper_type").as("event_type"), col("oper_result"))
+    val q = StreamingIngest.continuousFraudMart(stream, clients, accounts,
+      "2021-03-01", mart, root.resolve("ckpt").toString)
+    q.awaitTermination()
+    val hits = spark.read.parquet(mart)
+    // client 1 expired passport; client 2 expired account
+    assert(hits.filter(col("rule") === "passport_fraud")
+      .select("client_key").as[Long].collect().toSet == Set(1L))
+    assert(hits.filter(col("rule") === "account_fraud")
+      .select("client_key").as[Long].collect().toSet == Set(2L))
+  }
+
   test("csv drops land partitioned; second drop is incremental; reads prune") {
     val root = Files.createTempDirectory("graft_stream_ingest")
     val drop = Files.createDirectory(root.resolve("drop")).toString
