@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -236,6 +237,55 @@ object SparkEntry {
         .select(col("user_id"), col("id1"), col("id2"),
           (col("us2") - col("us1")).as("gap_us"))
         .orderBy(col("user_id"), col("id1"), col("id2"))
+    }),
+
+    // ---- D20: null semantics (left-join nulls, null-safe equality,
+    // coalesce/nullif, null-aware counts)
+    "q_null_safe" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val pOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"), col("o_orderpriority"))
+      cust.join(pOrders, cust("c_custkey") === pOrders("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_matched"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("o_orderpriority") <=> lit("1-URGENT"), 1L)
+            .otherwise(0L)).as("n_urgent_nullsafe"),
+          count(nullif(col("o_orderpriority"), lit("5-LOW"))).as("n_not_low"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- D21: value-based (RANGE) window frames
+    "q_window_range" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("qty"))
+        .rangeBetween(-5, 0)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(LongType).as("qty"))
+        .withColumn("n_within5", count(lit(1)).over(w))
+        .drop("qty")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- D22: first/last/nth value window functions
+    "q_window_firstlast" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("first_key"), col("last_key"),
+          coalesce(col("second_key"), lit(-1L)).as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // ---- D19: exact interpolated quantiles per group
@@ -624,6 +674,35 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.user_id = b.user_id
         |  AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us <= 300000000
         |ORDER BY a.user_id, id1, id2""".stripMargin,
+
+    "q_null_safe" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_rows,
+        |  count(o_orderpriority) AS n_matched,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NOT DISTINCT FROM '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_nullsafe,
+        |  count(nullif(o_orderpriority, '5-LOW')) AS n_not_low
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  count(*) OVER (PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within5
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_median" ->
       """SELECT l_returnflag,
