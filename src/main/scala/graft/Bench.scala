@@ -2,10 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.fraud.FraudRules
+
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
-  * `count()` drives the full plan without the parquet-dump cost of
-  * Verify, so this measures compute, not sink I/O.
+  *
+  * Queries are driven through the `noop` datasource sink: every output
+  * row is fully materialized (all columns evaluated, final sort
+  * executed) without parquet-encode cost. A `count()` drive would let
+  * Catalyst prune projections and final sorts, under-measuring map-only
+  * queries — the noop write measures the plan users actually run.
+  *
+  * Errors are errors: a failing query is recorded under "errors" in the
+  * JSON and the process exits non-zero. No fake timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,24 +25,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def drive(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     // JVM/codegen warm-up on a small scan so the first measured query
     // doesn't pay JIT + classloading.
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    drive("q1_agg")
 
     // min of two runs per query: the box is shared, and a single noisy
     // scheduler hiccup shouldn't define a query's number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { drive(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
+    FraudRules.unpersistAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

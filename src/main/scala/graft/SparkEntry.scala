@@ -152,8 +152,9 @@ object SparkEntry {
 
     // ---- E1..E11: training-data pipeline operators
     "q_dedup_exact" -> ((s, d) => ops.Dedup.exact(Tables.documents(s, d))),
-    "q_dedup_ngram" -> ((s, d) => ops.Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
+    "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => ops.Dedup.lshClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => ops.Dedup.simhash(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -170,6 +171,11 @@ object SparkEntry {
     "q_bigrams" -> ((s, d) => ops.TextAnalysis.bigramCounts(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
+    // Learned KMeans coarse quantizer, nprobe=2. KMeans float math isn't
+    // reproducible in DuckDB → rows-only check; recall contract in OpsSpec.
+    "q_ann_ivf_learned" -> ((s, d) =>
+      ops.Ann.ivfTopKLearned(Tables.embeddings(s, d),
+        graft.ml.EmbeddingClustering.assignCells(s, d, k = 10))),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
@@ -223,17 +229,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
-    // ---- D18: bounded-interval range join (same-user pairs ≤ 5 min apart)
+    // ---- D18: bounded-interval range join (same-user pairs ≤ 5 min
+    // apart), banded: both sides join on (user_id, time_bucket) with
+    // bucket width = the bound, the right side duplicated into its own
+    // and the previous bucket, then the exact filter. A hot user with k
+    // events in a bucket produces O(k·per-bucket) candidates instead of
+    // the k² a join on user_id alone materializes — the difference
+    // between a bounded task and a 2.5B-row task at 100×.
     "q_range_join" -> ((s, d) => {
+      val boundUs = 300000000L
       val e = Tables.events(s, d).select(
         col("user_id"), col("event_id"), col("ts_us"))
+      // Exact integer bucket (`div`, not `/`): double division rounds
+      // near bucket boundaries, which could misplace a pair at scale.
       val l = e.select(col("user_id"), col("event_id").as("id1"),
-        col("ts_us").as("us1"))
+        col("ts_us").as("us1"),
+        expr(s"ts_us div ${boundUs}L").as("bkt"))
       val r = e.select(col("user_id"), col("event_id").as("id2"),
-        col("ts_us").as("us2"))
-      l.join(r, Seq("user_id"))
+        col("ts_us").as("us2"),
+        expr(s"ts_us div ${boundUs}L").as("rbkt"))
+        .select(col("user_id"), col("id2"), col("us2"),
+          explode(array(col("rbkt"), col("rbkt") - 1)).as("bkt"))
+      l.join(r, Seq("user_id", "bkt"))
         .filter(col("us2") > col("us1") &&
-          col("us2") - col("us1") <= 300000000L)
+          col("us2") - col("us1") <= boundUs)
         .select(col("user_id"), col("id1"), col("id2"),
           (col("us2") - col("us1")).as("gap_us"))
         .orderBy(col("user_id"), col("id1"), col("id2"))
@@ -311,13 +330,17 @@ object SparkEntry {
 
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
+    // Scalar quantile columns (not an array): the driver's pandas
+    // canonical-sort can't factorize ndarray cells.
     "q_approx_stats" -> ((s, d) => {
+      val qtiles = percentile_approx(
+        col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
-            lit(10000)).as("price_quantiles"))
+          element_at(qtiles, 1).as("p50_approx"),
+          element_at(qtiles, 2).as("p95_approx"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -409,6 +432,45 @@ object SparkEntry {
        |SELECT f.ts_us AS event_dt_us, f.user_id AS client_key, c.fio, c.segment,
        |  'guessing_amount_fraud' AS rule
        |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
+
+  /** Shared LSH pipeline CTEs (mirror of [[ops.Dedup.minhashLsh]]):
+    * synthetic-dup universe → shingles → minhash signatures → banded
+    * buckets → candidate pairs (`cand`). Consumed by the minhash,
+    * verify, and clusters oracles. */
+  private val sqlLshCtes: String = {
+    val sigDefs = (0 until 8).map(i =>
+      s"MIN((${ops.Dedup.minhashA(i)}*x + ${ops.Dedup.minhashB(i)}) % ${ops.Dedup.MinhashP}) AS sig_$i")
+      .mkString(",\n    ")
+    val bandDefs = (0 until 4).map(b =>
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(CAST(sig_${2*b} AS VARCHAR)||'_'||CAST(sig_${2*b+1} AS VARCHAR)) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 250 = 0),
+       |t AS (
+       |  SELECT doc_id, string_split(text,' ') AS toks FROM base
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |s AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks)-1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       |  FROM t),
+       |hx AS (
+       |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigDefs
+       |  FROM hx GROUP BY doc_id),
+       |bands AS (
+       |  $bandDefs),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    count(DISTINCT a.band) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private val sqlSnaps =
     """snap1 AS (
@@ -771,56 +833,40 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
-        |  WHERE doc_id % 20 = 0 AND len(string_split(text,' ')) >= 3),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM t),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-        |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS n_sum
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT id1, id2, n_inter, n_sum - n_inter AS n_union,
-        |  n_inter / (n_sum - n_inter) AS jaccard
-        |FROM p ORDER BY id1, id2""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $sqlLshCtes
+         |SELECT id1, id2, n_shared_bands FROM cand ORDER BY id1, id2""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val sigDefs = (0 until 8).map(i =>
-        s"MIN((${ops.Dedup.minhashA(i)}*x + ${ops.Dedup.minhashB(i)}) % ${ops.Dedup.MinhashP}) AS sig_$i")
-        .mkString(",\n    ")
-      val bandDefs = (0 until 4).map(b =>
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(CAST(sig_${2*b} AS VARCHAR)||'_'||CAST(sig_${2*b+1} AS VARCHAR)) AS bucket FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 250 = 0),
-         |t AS (
-         |  SELECT doc_id, string_split(text,' ') AS toks FROM base
-         |  WHERE len(string_split(text,' ')) >= 3),
-         |s AS (
-         |  SELECT doc_id, list_transform(range(1, len(toks)-1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
-         |  FROM t),
-         |hx AS (
-         |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigDefs
-         |  FROM hx GROUP BY doc_id),
-         |bands AS (
-         |  $bandDefs)
-         |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  count(DISTINCT a.band) AS n_shared_bands
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "q_dedup_verify" ->
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (
+         |  SELECT c.id1, c.id2, c.n_shared_bands,
+         |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_inter,
+         |    CAST(len(a.shd) + len(b.shd) AS BIGINT) AS n_sum
+         |  FROM cand c
+         |  JOIN sd a ON c.id1 = a.doc_id
+         |  JOIN sd b ON c.id2 = b.doc_id)
+         |SELECT id1, id2, n_shared_bands, n_inter,
+         |  n_sum - n_inter AS n_union,
+         |  n_inter / (n_sum - n_inter) AS jaccard
+         |FROM j ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlLshCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |walk(node, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |assign AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM assign ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH toksd AS (

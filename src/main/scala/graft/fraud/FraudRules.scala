@@ -22,8 +22,34 @@ object FraudRules {
   /** Rule 1 — operation on an expired or blacklisted passport
     * (rep_fraud.py:6-55). Invalid-client set = expiry filter UNION
     * blacklist semi-join (the reference's `WHERE date > valid_to OR
-    * passport IN (SELECT …)`), then the transaction join.
+    * passport IN (SELECT …)`), then the reference's full dimension
+    * traversal (rep_fraud.py:28-35): transactions → cards →
+    * accounts → invalid clients. The three dim hops pre-collapse into
+    * ONE broadcast build side (dims join dims first — all tiny), so the
+    * fact stream is still touched exactly once, map-side.
     */
+  def passportFraud(clients: DataFrame, blacklist: DataFrame,
+                    cards: DataFrame, accountsBridge: DataFrame,
+                    txns: DataFrame, batchDate: String): DataFrame = {
+    val expired = clients.filter(to_date(lit(batchDate)) > col("passport_valid_to"))
+    val blacklisted = clients.join(broadcast(blacklist), Seq("c_custkey"), "left_semi")
+    val invalid = expired.unionByName(blacklisted).dropDuplicates("c_custkey")
+    // clients → accounts → cards, collapsed dim-side before touching txns
+    val invalidCards = invalid
+      .join(accountsBridge, invalid("c_custkey") === accountsBridge("client"))
+      .join(cards, Seq("account_num"))
+    txns
+      .join(broadcast(invalidCards), Seq("card_num"))
+      .select(
+        col("ts_us").as("event_dt_us"),
+        col("c_custkey").as("client_key"),
+        col("fio"), col("segment"),
+        lit("passport_fraud").as("rule"))
+  }
+
+  /** Rule 1, direct-join form — for feeds whose transactions already
+    * carry the client key (the staged/streamed drops map card→client
+    * upstream): the dim chain collapses to one broadcast join. */
   def passportFraud(clients: DataFrame, blacklist: DataFrame,
                     txns: DataFrame, batchDate: String): DataFrame = {
     val expired = clients.filter(to_date(lit(batchDate)) > col("passport_valid_to"))
@@ -138,18 +164,37 @@ object FraudRules {
   def mart(rules: Seq[DataFrame]): DataFrame =
     rules.map(_.select(martCols: _*)).reduce(_ unionByName _)
 
-  /** All four rules with the calibrated analog parameters. The enriched
-    * transaction frame is persisted: all four rules (and the mart union)
-    * read it, and Spark's cache manager keys on the analyzed plan, so
-    * every fraud query in a session shares ONE materialization of the
-    * scan + JSON city extraction instead of four. */
+  /** Memoized persisted transaction frames, keyed by (session, dir):
+    * all four rules (and the mart union) read the same enriched frame,
+    * so a session shares ONE materialization of the scan + JSON city
+    * extraction. Memoizing the DataFrame (rather than re-persisting an
+    * identical plan per call) keeps the cache manager from logging
+    * "already cached" on every fraud query, and [[unpersistAll]] gives
+    * long-lived sessions an explicit release hook. */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def enrichedTxns(s: SparkSession, d: String): DataFrame =
+    txnCache.computeIfAbsent((s, d), { case (s, d) =>
+      FraudModel.transactions(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Release every persisted transaction frame (benchmarks, long-lived
+    * sessions). Blocking=false: eviction proceeds asynchronously. */
+  def unpersistAll(): Unit = {
+    txnCache.values.forEach(df => { df.unpersist(false); () })
+    txnCache.clear()
+  }
+
+  /** All four rules with the calibrated analog parameters. */
   def allRules(s: SparkSession, d: String, batchDate: String = "2024-06-30")
       : Seq[DataFrame] = {
-    val txns = FraudModel.transactions(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val txns = enrichedTxns(s, d)
     val cls = FraudModel.clients(s, d)
     Seq(
-      passportFraud(cls, FraudModel.passportBlacklist(s, d), txns, batchDate),
+      passportFraud(cls, FraudModel.passportBlacklist(s, d),
+        FraudModel.cards(s, d), FraudModel.accountsBridge(s, d), txns, batchDate),
       accountFraud(FraudModel.accounts(s, d), cls, txns, batchDate),
       cityFraud(txns, cls, maxMinutes = 60),
       guessingAmountFraud(txns, cls, maxMinutes = 4320))

@@ -15,13 +15,20 @@ import graft.sources.Tables
 object EmbeddingClustering {
 
   def assignCells(s: SparkSession, d: String, k: Int = 10,
-                  seed: Long = 42L): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+                  seed: Long = 42L): DataFrame =
+    assignCellsDf(Tables.embeddings(s, d), k, seed)
+
+  /** Same, over any frame with (vec_id, embedding) — the form the IVF
+    * probe and tests compose with directly. */
+  def assignCellsDf(embeddings: DataFrame, k: Int = 10,
+                    seed: Long = 42L): DataFrame = {
+    val emb = embeddings
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)
-    model.transform(emb).select(col("vec_id"), col("label"), col("cell"))
+    model.transform(emb).select(
+      (embeddings.columns.filter(_ != "embedding").map(col) :+ col("cell")): _*)
   }
 }

@@ -57,48 +57,78 @@ object Ann {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Per-label centroids in scaled-SUM space (cosine is scale-invariant,
-    * so the un-normalized exact integer sum vector ranks identically to
-    * the mean — no float averaging anywhere). */
-  def labelCentroids(emb: DataFrame): DataFrame =
-    withScaledVec(emb)
-      .select(col("label"), posexplode(col("svec")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+  /** Per-cell centroids in scaled-SUM space over an already-scaled
+    * frame (cosine is scale-invariant, so the un-normalized exact
+    * integer sum vector ranks identically to the mean — no float
+    * averaging anywhere). `keyCol` is the coarse cell key. */
+  private def centroidsFor(scaled: DataFrame, keyCol: String): DataFrame =
+    scaled
+      .select(col(keyCol), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col(keyCol), col("pos"))
       .agg(sum(col("v")).as("s"))
-      .groupBy(col("label"))
+      .groupBy(col(keyCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("cvec"))
       .withColumn("cnorm2", graft.functions.LongVecMath.norm2L(col("cvec")))
 
-  /** E6 — IVF-style probe: route each query to its nearest label
-    * centroid (coarse quantizer), then exact top-k inside that cell. */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val v = withScaledVec(emb).select(
-      col("vec_id"), col("label"), col("svec"), col("norm2"))
+  def labelCentroids(emb: DataFrame): DataFrame =
+    centroidsFor(withScaledVec(emb), "label")
+
+  /** Shared IVF probe: route each query to its `nprobe` nearest cell
+    * centroids (tiny table, broadcast), then exact top-k over only the
+    * probed cells' vectors. One corpus scan for centroids (amortized /
+    * precomputed in a real index build), one probe scan bounded by
+    * nprobe/cells of the data — at 100 TB the cell id is the
+    * partition-pruning key, so the probe reads only those partitions. */
+  private def ivfProbe(v: DataFrame, cellCol: String,
+                       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val q = v.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("svec").as("q_svec"), col("norm2").as("q_norm2"))
-    val cents = labelCentroids(emb)
+    val cents = centroidsFor(v, cellCol)
 
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))
+      .partitionBy(col("q_id")).orderBy(col("ccos").desc, col(cellCol))
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("ccos",
         cosCol(dotCol(col("q_svec"), col("cvec")), col("q_norm2"), col("cnorm2")))
       .withColumn("crnk", row_number().over(wq))
-      .filter(col("crnk") === 1)
-      .select(col("q_id"), col("q_svec"), col("q_norm2"), col("label"))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("q_svec"), col("q_norm2"), col(cellCol))
 
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    v.join(broadcast(routed), Seq("label"))
+    v.join(broadcast(routed), Seq(cellCol))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         cosCol(dotCol(col("q_svec"), col("svec")), col("q_norm2"), col("norm2")))
       .withColumn("rnk", row_number().over(wv).cast(LongType))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("label").cast(LongType).as("label"),
+      .select(col("q_id"), col(cellCol).cast(LongType).as(cellCol),
         col("vec_id"), col("cos"), col("rnk"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** E6 — IVF-style probe with the ground-truth label as the coarse
+    * quantizer (the oracle-checkable stand-in; the learned path is
+    * [[ivfTopKLearned]]). */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val v = withScaledVec(emb).select(
+      col("vec_id"), col("label"), col("svec"), col("norm2"))
+    ivfProbe(v, "label", nQueries, k, nprobe = 1)
+  }
+
+  /** E6 (learned) — IVF with a LEARNED coarse quantizer: `cells` maps
+    * vec_id → cell (e.g. seeded KMeans from
+    * [[graft.ml.EmbeddingClustering.assignCells]]), probing the
+    * `nprobe` nearest cells per query. KMeans float math isn't
+    * cross-engine-reproducible, so this query is rows-only checked; the
+    * recall-vs-brute-force contract lives in OpsSpec. */
+  def ivfTopKLearned(emb: DataFrame, cells: DataFrame,
+                     nQueries: Int = 10, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val v = withScaledVec(emb)
+      .select(col("vec_id"), col("svec"), col("norm2"))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    ivfProbe(v, "cell", nQueries, k, nprobe)
   }
 
   /** E11 — per-label embedding stats, all exact integers. */

@@ -8,9 +8,10 @@ import graft.functions.GraftFunctions._
 
 /** Composite training-set curation (the end-to-end use case the
   * E-section operators exist for): quality-gate → language filter →
-  * exact-dedup keeper selection, in one declarative plan. The dedup
-  * keeper join is a self-semi-join on (content_hash, doc_id=min) — one
-  * hash shuffle; everything before it is map-side.
+  * exact-dedup keeper selection, in one declarative plan. Keeper
+  * selection is a min-over-window on content_hash — ONE hash shuffle
+  * and a single pass over the gated rows (no second scan for a
+  * semi-join build side); everything before it is map-side.
   */
 object Curation {
 
@@ -29,11 +30,11 @@ object Curation {
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .filter(col("n_distinct") / col("n_tokens") >= minDistinctRatio)
       .withColumn("content_hash", md5(col("text")))
-    val keepers = gated
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
     gated
-      .join(keepers, Seq("content_hash", "doc_id"), "left_semi")
+      .withColumn("keep_id", min(col("doc_id")).over(wKeep))
+      .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("content_hash"))
       .orderBy(col("doc_id"))
   }

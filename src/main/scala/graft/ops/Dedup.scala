@@ -44,9 +44,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** E2 — all-pairs n-gram Jaccard on a keyed sample (the exhaustive
-    * verify step that LSH candidates would feed at scale). Jaccard is an
-    * IEEE division of exact intersection/union counts. */
+  /** TEST-ONLY baseline — all-pairs n-gram Jaccard on a keyed sample.
+    * The production path is [[lshVerify]] (exact Jaccard on LSH
+    * candidates only); this quadratic cross join exists solely to
+    * cross-check lshVerify's numbers on a bounded sample in DedupSpec.
+    * Never run it un-sampled: all-pairs does not survive scale. */
   def ngramJaccard(docs: DataFrame, sampleMod: Long = 20): DataFrame = {
     val sh = withShingles(docs.filter(col("doc_id") % sampleMod === 0))
       .select(col("doc_id"), col("sh"))
@@ -98,12 +100,20 @@ object Dedup {
     * `dupMod` injects synthetic exact duplicates (id+10_000_000) so the
     * operator's recall is observable on a corpus with no natural dups.
     */
-  def minhashLsh(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                 dupMod: Long = 250): DataFrame = {
+  /** The corpus plus synthetic exact duplicates (id+10_000_000 for every
+    * dupMod-th doc) — the shared universe for LSH candidate generation,
+    * verification, and clustering, so recall is observable on a corpus
+    * with no natural dups. */
+  def withSyntheticDups(docs: DataFrame, dupMod: Long = 250): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val withDups = base.unionByName(
+    base.unionByName(
       base.filter(col("doc_id") % dupMod === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  def minhashLsh(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                 dupMod: Long = 250): DataFrame = {
+    val withDups = withSyntheticDups(docs, dupMod)
     val k = bands * rowsPerBand
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sig = withMinhashSig(
@@ -124,6 +134,78 @@ object Dedup {
       .groupBy(col("id1"), col("id2"))
       .agg(countDistinct(col("band")).as("n_shared_bands"))
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** E2 (production form) — exact n-gram Jaccard computed ONLY on the
+    * LSH candidate pairs from [[minhashLsh]]: the verify stage of the
+    * near-dup pipeline. Two hash joins route each candidate pair to its
+    * two (distinct-)shingle sets; the quadratic all-pairs comparison
+    * never happens — at 100 TB the cost is |candidates|, not |corpus|².
+    * Jaccard itself is one IEEE division of exact intersection/union
+    * counts (deterministic cross-engine). */
+  def lshVerify(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                dupMod: Long = 250): DataFrame = {
+    val pairs = minhashLsh(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"), col("n_shared_bands"))
+    val sh = withShingles(withSyntheticDups(docs, dupMod))
+      .select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_shared_bands"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast(LongType).as("n_inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast(LongType).as("n_sum"))
+      .withColumn("n_union", col("n_sum") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .drop("n_sum")
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Near-dup CLUSTERING — transitive closure over the LSH candidate
+    * pairs, emitting (doc_id, cluster_id=min id in component,
+    * cluster_size). Iterative min-label propagation: each round every
+    * node takes the min of its own and its neighbors' labels; converges
+    * in O(component diameter) rounds — LSH dup components are
+    * near-cliques (diameter 1–2), so a handful of rounds suffice even at
+    * 100 TB. Each round is one shuffle join; frames are persisted and
+    * the previous round released, so lineage and memory stay bounded.
+    * (The round-halving large-star/small-star variant is the upgrade
+    * path if components with large diameters ever appear.) */
+  def lshClusters(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                  dupMod: Long = 250, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashLsh(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      changed = stepped.filter(col("label") < col("old_label")).count()
+      val prev = labels
+      labels = stepped.select(col("node"), col("label"))
+      prev.unpersist(false)
+      iter += 1
+    }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshClusters: not converged after $maxIter rounds ($changed labels still moving)")
+    edges.unpersist(false)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-row MinHash signatures (no aggregation): one h32 per shingle

@@ -92,8 +92,12 @@ object TextAnalysis {
   /** E14 — top TF-IDF term per document with exact-integer scoring:
     * score = tf · 1_000_000 div df (integer division — deterministic
     * cross-engine, unlike ln()-based idf whose libm last-ulp differs).
-    * Ties break on term order. Explode → two shared-shuffle aggregations
-    * + a broadcast of the (vocabulary-sized) document-frequency table.
+    * Ties break on term order. The corpus is exploded ONCE: tf is the
+    * (doc, term) count, and df falls out of tf for free (tf already has
+    * exactly one row per (doc, term), so df = count of tf rows per
+    * term) — no second explode, no distinct over the raw token stream.
+    * One explode → tf agg → tiny df agg + a broadcast of the
+    * (vocabulary-sized) document-frequency table.
     */
   def tfidfTop(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -102,8 +106,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))

@@ -24,6 +24,12 @@ object StreamingOps {
   /** Keyed state: the last `need` operations, most recent last. */
   case class PatternState(last: List[(Long, Long, String)])
 
+  /** [[Txn]] + the event-time column: the watermark attribute must
+    * survive into flatMapGroupsWithState's child plan for event-time
+    * timeouts, so the timestamp rides along in the typed row. */
+  case class TxnW(user_id: Long, ts_us: Long, amt_cents: Long,
+                  oper_result: String, ts_t: java.sql.Timestamp)
+
   /** F1 — watermarked sliding-window aggregation over the event stream. */
   def windowedEventCounts(events: DataFrame,
                           watermark: String = "10 minutes",
@@ -67,33 +73,53 @@ object StreamingOps {
     * streaming state: three strictly-decreasing REJECTs then a lower
     * SUCCESS within `maxMinutes`. Batch twin:
     * [[graft.fraud.FraudRules.guessingAmountFraud]].
+    *
+    * State is bounded by an EVENT-TIME TTL: a user's pattern window can
+    * only complete within `maxMinutes` of its oldest retained op, so
+    * once the watermark passes newest-op + `maxMinutes` the key's state
+    * is dead weight and is removed. Without this, keyed state grows with
+    * the number of ever-seen users — unbounded on a 100 TB stream.
     */
   def guessingAmountStream(txns: Dataset[Txn],
-                           maxMinutes: Long = 4320): Dataset[FraudHit] = {
+                           maxMinutes: Long = 4320,
+                           watermarkDelay: String = "10 minutes"): Dataset[FraudHit] = {
     import txns.sparkSession.implicits._
 
-    def step(userId: Long, rows: Iterator[Txn],
+    def step(userId: Long, rowsW: Iterator[TxnW],
              state: GroupState[PatternState]): Iterator[FraudHit] = {
-      var last = state.getOption.map(_.last).getOrElse(Nil)
-      val hits = scala.collection.mutable.ListBuffer.empty[FraudHit]
-      rows.toSeq.sortBy(t => (t.ts_us, t.amt_cents)).foreach { t =>
-        if (t.oper_result == "SUCCESS" && last.length >= 3) {
-          val l3 = last.takeRight(3) // (ts, amt, res) oldest..newest
-          val allReject = l3.forall(_._3 == "REJECT")
-          val decreasing = l3(0)._2 > l3(1)._2 && l3(1)._2 > l3(2)._2 &&
-            l3(2)._2 > t.amt_cents
-          val inWindow = (t.ts_us - l3(0)._1) / 60000000L <= maxMinutes
-          if (allReject && decreasing && inWindow)
-            hits += FraudHit(userId, t.ts_us, t.amt_cents)
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val rows = rowsW.map(w => Txn(w.user_id, w.ts_us, w.amt_cents, w.oper_result))
+        var last = state.getOption.map(_.last).getOrElse(Nil)
+        val hits = scala.collection.mutable.ListBuffer.empty[FraudHit]
+        rows.toSeq.sortBy(t => (t.ts_us, t.amt_cents)).foreach { t =>
+          if (t.oper_result == "SUCCESS" && last.length >= 3) {
+            val l3 = last.takeRight(3) // (ts, amt, res) oldest..newest
+            val allReject = l3.forall(_._3 == "REJECT")
+            val decreasing = l3(0)._2 > l3(1)._2 && l3(1)._2 > l3(2)._2 &&
+              l3(2)._2 > t.amt_cents
+            val inWindow = (t.ts_us - l3(0)._1) / 60000000L <= maxMinutes
+            if (allReject && decreasing && inWindow)
+              hits += FraudHit(userId, t.ts_us, t.amt_cents)
+          }
+          last = (last :+ ((t.ts_us, t.amt_cents, t.oper_result))).takeRight(3)
         }
-        last = (last :+ ((t.ts_us, t.amt_cents, t.oper_result))).takeRight(3)
+        state.update(PatternState(last))
+        if (last.nonEmpty) {
+          val ttlMs = last.map(_._1).max / 1000L + maxMinutes * 60000L
+          state.setTimeoutTimestamp(math.max(ttlMs, state.getCurrentWatermarkMs + 1))
+        }
+        hits.iterator
       }
-      state.update(PatternState(last))
-      hits.iterator
     }
 
     txns
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", watermarkDelay)
+      .as[TxnW]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 }

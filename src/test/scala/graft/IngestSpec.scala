@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.types._
 
-import graft.sources.{DelimitedSource, ReportMart}
+import graft.sources.{DelimitedSource, ReportMart, XlsxSource}
 import graft.fraud.FraudRules
 
 /** A4/A5/A1 file-level behavior: delimited reads with explicit schema,
@@ -58,6 +58,34 @@ class IngestSpec extends SparkSpec {
     val backJson = DelimitedSource.Json(src.schema)
       .load(spark, dir.resolve("json").toString)
     assert(backJson.count() == 100 && backJson.schema == src.schema)
+  }
+
+  test("A6: xlsx source reads the reference's terminals workbook") {
+    val path = "/root/reference/sql_project-master/data/terminals_01032021.xlsx"
+    assume(Files.exists(Paths.get(path)))
+    val df = XlsxSource.read(spark, path)
+    assert(df.columns.toSeq == Seq("terminal_id", "terminal_type",
+      "terminal_city", "terminal_address", "_source_file"))
+    val rows = df.collect()
+    assert(rows.length == 150) // dimension ref A1:D151 minus header
+    assert(rows.forall(_.getString(0).matches("[PA]\\d+"))) // POS + ATM ids
+    assert(rows.forall(r => r.getString(4).endsWith(".xlsx")))
+  }
+
+  test("A6: xlsx source reads a multi-file drop (both daily feeds)") {
+    val glob = "/root/reference/sql_project-master/data/terminals_0[12]032021.xlsx"
+    assume(Files.exists(Paths.get(
+      "/root/reference/sql_project-master/data/terminals_02032021.xlsx")))
+    val df = XlsxSource.read(spark, glob)
+    assert(df.select("_source_file").distinct().count() == 2)
+    assert(df.count() > 150)
+  }
+
+  test("A6: xlsx cell-reference decoding") {
+    assert(XlsxSource.colIndex("A1") == 0)
+    assert(XlsxSource.colIndex("Z9") == 25)
+    assert(XlsxSource.colIndex("AA10") == 26)
+    assert(XlsxSource.colIndex("BC42") == 54)
   }
 
   test("report mart appends partitioned by rule and reads back") {

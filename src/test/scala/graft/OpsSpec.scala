@@ -44,6 +44,54 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("learned-IVF ANN at nprobe=2 reaches recall >= 0.9 vs brute force") {
+    // The testdata embeddings are isotropic random vectors (labels carry
+    // no cosine geometry), so NO coarse quantizer can bound recall
+    // there — the operator contract is tested on vectors with real
+    // cluster structure: 8 seeded centroids + small noise.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(8, 64)(rnd.nextGaussian())
+    val rows = (0 until 400).map { i =>
+      val c = centroids(i % 8)
+      val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = Ann.bruteForceTopK(emb, nQueries = 10, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = graft.ml.EmbeddingClustering.assignCellsDf(emb, k = 8)
+    val got = Ann.ivfTopKLearned(emb, cells, nQueries = 10, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (hit ${truth.count(got.contains)}/${truth.size})")
+  }
+
+  test("LSH clusters assign every injected dup to its base doc's cluster") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.lshClusters(docs, dupMod = 250).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val injected = docs.filter(col("doc_id") % 250 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    injected.foreach { id =>
+      assert(clusters.contains(id) && clusters.contains(id + 10000000L))
+      assert(clusters(id) == clusters(id + 10000000L),
+        s"doc $id and its dup landed in different clusters")
+      assert(clusters(id + 10000000L) <= id, "cluster id must be the min member id")
+    }
+  }
+
+  test("lshVerify scores injected exact duplicates at jaccard 1.0") {
+    val docs = Tables.documents(spark, sf)
+    val verified = Dedup.lshVerify(docs, dupMod = 250).collect()
+    val exactPairs = verified.filter(r => r.getLong(1) == r.getLong(0) + 10000000L)
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { r =>
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-12,
+        s"exact dup pair (${r.getLong(0)},${r.getLong(1)}) jaccard ${r.getDouble(5)}")
+    }
+  }
+
   test("exact dedup groups identical content") {
     val docs = Tables.documents(spark, sf).limit(20)
     val doubled = docs.unionByName(

@@ -13,7 +13,10 @@ import graft.streaming.StreamingOps.{FraudHit, Txn}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def us(minutes: Long): Long = minutes * 60000000L
+  // Base offset of 10 h: rows AT the current watermark are dropped as
+  // late by stateful operators, and the initial watermark is epoch 0 —
+  // so minute-0 events must not sit exactly at the epoch.
+  private def us(minutes: Long): Long = (600L + minutes) * 60000000L
 
   test("F2: stateful amount-guessing pattern fires on decreasing rejects") {
     implicit val sqlCtx = spark.sqlContext
@@ -45,6 +48,34 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val hits2 = spark.table("hits").as[FraudHit].collect()
       assert(hits2.exists(_.user_id == 9L) && hits2.length == 2)
+    } finally q.stop()
+  }
+
+  test("F2: keyed state expires once the watermark passes the pattern TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Txn]
+    val q = StreamingOps.guessingAmountStream(in.toDS(), maxMinutes = 20)
+      .writeStream.format("memory").queryName("ttlhits").outputMode("append").start()
+    try {
+      // user 11: a complete decreasing-REJECT prefix...
+      in.addData(
+        Txn(11L, us(0), 5000L, "REJECT"),
+        Txn(11L, us(1), 4000L, "REJECT"),
+        Txn(11L, us(2), 3000L, "REJECT"))
+      q.processAllAvailable()
+      // ...then the watermark races 2 h ahead (TTL = 22 min), and the
+      // following batch evicts user 11's state on timeout
+      in.addData(Txn(99L, us(120), 1L, "REJECT"))
+      q.processAllAvailable()
+      in.addData(Txn(99L, us(121), 1L, "REJECT"))
+      q.processAllAvailable()
+      // a SUCCESS that WOULD have completed the pattern (3 min gap) no
+      // longer fires: the state was expired, not just out-of-window
+      in.addData(Txn(11L, us(3), 1000L, "SUCCESS"))
+      q.processAllAvailable()
+      val hits = spark.table("ttlhits").as[FraudHit].collect()
+      assert(!hits.exists(_.user_id == 11L),
+        s"state should have expired before the late SUCCESS; got ${hits.toSeq}")
     } finally q.stop()
   }
 
