@@ -18,4 +18,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries ns-precision INT64 timestamps, which the
+      // parquet reader only accepts as raw longs under this flag; declared
+      // here at session construction (Tables.events double-checks it for
+      // sessions built elsewhere).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

@@ -177,6 +177,7 @@ object SparkEntry {
       ops.Ann.ivfTopKLearned(Tables.embeddings(s, d),
         graft.ml.EmbeddingClustering.assignCells(s, d, k = 10))),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
+    "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
@@ -361,6 +362,9 @@ object SparkEntry {
   private val sqlClients =
     """clients AS (
       |  SELECT c_custkey, c_name || ' ' || c_mktsegment AS fio,
+      |    lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') || ' ' ||
+      |      lpad(CAST((c_custkey * 7919) % 1000000 AS VARCHAR), 6, '0') AS passport_num,
+      |    '+7' || lpad(CAST((c_custkey * 104729) % 1000000000 AS VARCHAR), 9, '0') AS phone,
       |    c_mktsegment AS segment, c_acctbal,
       |    DATE '2024-01-01' + CAST((c_custkey * 7) % 400 AS INTEGER) AS passport_valid_to
       |  FROM customer)""".stripMargin
@@ -371,7 +375,8 @@ object SparkEntry {
        |  SELECT * FROM clients
        |  WHERE DATE '2024-06-30' > passport_valid_to
        |     OR c_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
-       |SELECT t.ts_us AS event_dt_us, i.c_custkey AS client_key, i.fio, i.segment,
+       |SELECT t.ts_us AS event_dt_us, i.c_custkey AS client_key,
+       |  i.passport_num AS passport, i.fio, i.phone, i.segment,
        |  'passport_fraud' AS rule
        |FROM txns t JOIN invalid i ON t.user_id = i.c_custkey)""".stripMargin
 
@@ -382,10 +387,11 @@ object SparkEntry {
        |    CAST(o_orderdate AS DATE) + 9000 AS valid_to
        |  FROM orders),
        |invalid AS (
-       |  SELECT a.client, c.fio, c.segment FROM accounts a
+       |  SELECT a.client, c.passport_num, c.fio, c.phone, c.segment FROM accounts a
        |  LEFT JOIN clients c ON a.client = c.c_custkey
        |  WHERE DATE '2024-06-30' > a.valid_to AND a.o_orderstatus = 'P')
-       |SELECT t.ts_us AS event_dt_us, i.client AS client_key, i.fio, i.segment,
+       |SELECT t.ts_us AS event_dt_us, i.client AS client_key,
+       |  i.passport_num AS passport, i.fio, i.phone, i.segment,
        |  'account_fraud' AS rule
        |FROM txns t JOIN invalid i ON t.user_id = i.client)""".stripMargin
 
@@ -403,7 +409,8 @@ object SparkEntry {
        |  WHERE city <> lead_city AND lead_us >= ts_us
        |    AND (lead_us - ts_us) // 60000000 <= 60
        |  GROUP BY user_id)
-       |SELECT f.event_dt_us, f.user_id AS client_key, c.fio, c.segment,
+       |SELECT f.event_dt_us, f.user_id AS client_key,
+       |  c.passport_num AS passport, c.fio, c.phone, c.segment,
        |  'city_fraud' AS rule
        |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
 
@@ -429,7 +436,8 @@ object SparkEntry {
        |    AND lag_amt_3 > lag_amt_2 AND lag_amt_2 > lag_amt_1
        |    AND lag_amt_1 > amt_cents
        |    AND (ts_us - lag_us_3) // 60000000 <= 4320)
-       |SELECT f.ts_us AS event_dt_us, f.user_id AS client_key, c.fio, c.segment,
+       |SELECT f.ts_us AS event_dt_us, f.user_id AS client_key,
+       |  c.passport_num AS passport, c.fio, c.phone, c.segment,
        |  'guessing_amount_fraud' AS rule
        |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
 
@@ -1060,6 +1068,45 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM keepers k
         |  WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |signs AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN CAST(('0x'||substr(md5(CAST(j.j AS VARCHAR)||'_'||CAST(i.i AS VARCHAR)),1,8)) AS BIGINT) & 1 = 1
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM range(0,16) j(j), range(0,64) i(i)),
+        |ex AS (SELECT vec_id, i.i AS i, svec[CAST(i.i AS INTEGER)+1] AS x
+        |  FROM n, range(0,64) i(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, SUM(e.x * s.w) AS p
+        |  FROM ex e JOIN signs s ON e.i = s.i GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT c.id1, c.id2,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> x.svec[i]*y.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))) AS cos
+        |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)
+        |SELECT id1, id2, cos FROM sc WHERE cos >= 0.999 ORDER BY id1, id2""".stripMargin,
 
     "q_emb_quantize" ->
       """WITH d AS (

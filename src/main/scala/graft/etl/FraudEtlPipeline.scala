@@ -46,8 +46,8 @@ object FraudEtlPipeline {
 
   private val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
 
-  /** One daily run. `clients` (c_custkey, fio, segment,
-    * passport_valid_to) and `accounts` (client, valid_to) are the
+  /** One daily run. `clients` (c_custkey, fio, passport_num, phone,
+    * segment, passport_valid_to) and `accounts` (client, valid_to) are the
     * pre-loaded dimensions main.py assumes are already in the DWH.
     * Returns the processed batch date, or None if no drop is present. */
   def runDaily(spark: SparkSession, layout: Layout,

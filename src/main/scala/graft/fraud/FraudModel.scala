@@ -62,11 +62,22 @@ object FraudModel {
       col("c_custkey").as("client"))
 
   /** Client dimension analog of DWH_DIM_CLIENTS; `fio` mirrors the
-    * reference's name concatenation (rep_fraud.py:15). */
+    * reference's name concatenation (rep_fraud.py:15), and
+    * `passport_num`/`phone` the mart's identity columns
+    * (rep_fraud.py:37-43 REP_FRAUD carries passport + phone) —
+    * synthesized deterministically from the client key so the DuckDB
+    * twin computes identical strings. */
   def clients(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
       col("c_custkey"),
       concat(col("c_name"), lit(" "), col("c_mktsegment")).as("fio"),
+      concat(
+        lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"), lit(" "),
+        lpad(((col("c_custkey") * 7919) % 1000000).cast("string"), 6, "0"))
+        .as("passport_num"),
+      concat(lit("+7"),
+        lpad(((col("c_custkey") * 104729) % 1000000000L).cast("string"), 9, "0"))
+        .as("phone"),
       col("c_mktsegment").as("segment"),
       col("c_acctbal"),
       date_add(to_date(lit("2024-01-01")), ((col("c_custkey") * 7) % 400).cast("int"))

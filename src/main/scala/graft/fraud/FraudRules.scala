@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** The reference's four fraud rules (rep_fraud.py), re-expressed as
   * composable Spark transforms. Each returns the mart schema
-  * `(event_dt_us, client_key, fio, segment, rule)` — the analog of
-  * REP_FRAUD `(event_dt, passport, fio, phone, event_type)`.
+  * `(event_dt_us, client_key, passport, fio, phone, segment, rule)` —
+  * REP_FRAUD's `(event_dt, passport, fio, phone, event_type)` plus the
+  * analog's client/segment keys.
   *
   * Scale notes (SURVEY.md §6): the client/account dimensions are tiny
   * relative to the event stream, so every dim join here broadcasts; the
@@ -17,7 +18,8 @@ import org.apache.spark.sql.functions._
 object FraudRules {
 
   private val martCols: Seq[Column] = Seq(
-    col("event_dt_us"), col("client_key"), col("fio"), col("segment"), col("rule"))
+    col("event_dt_us"), col("client_key"), col("passport"), col("fio"),
+    col("phone"), col("segment"), col("rule"))
 
   /** Rule 1 — operation on an expired or blacklisted passport
     * (rep_fraud.py:6-55). Invalid-client set = expiry filter UNION
@@ -43,7 +45,8 @@ object FraudRules {
       .select(
         col("ts_us").as("event_dt_us"),
         col("c_custkey").as("client_key"),
-        col("fio"), col("segment"),
+        col("passport_num").as("passport"),
+        col("fio"), col("phone"), col("segment"),
         lit("passport_fraud").as("rule"))
   }
 
@@ -60,7 +63,8 @@ object FraudRules {
       .select(
         col("ts_us").as("event_dt_us"),
         col("c_custkey").as("client_key"),
-        col("fio"), col("segment"),
+        col("passport_num").as("passport"),
+        col("fio"), col("phone"), col("segment"),
         lit("passport_fraud").as("rule"))
   }
 
@@ -78,7 +82,8 @@ object FraudRules {
       .select(
         col("ts_us").as("event_dt_us"),
         col("client").as("client_key"),
-        col("fio"), col("segment"),
+        col("passport_num").as("passport"),
+        col("fio"), col("phone"), col("segment"),
         lit("account_fraud").as("rule"))
   }
 
@@ -118,7 +123,8 @@ object FraudRules {
       .select(
         col("event_dt_us"),
         col("user_id").as("client_key"),
-        col("fio"), col("segment"),
+        col("passport_num").as("passport"),
+        col("fio"), col("phone"), col("segment"),
         lit("city_fraud").as("rule"))
   }
 
@@ -156,7 +162,8 @@ object FraudRules {
       .select(
         col("ts_us").as("event_dt_us"),
         col("user_id").as("client_key"),
-        col("fio"), col("segment"),
+        col("passport_num").as("passport"),
+        col("fio"), col("phone"), col("segment"),
         lit("guessing_amount_fraud").as("rule"))
   }
 

@@ -131,6 +131,58 @@ object Ann {
     ivfProbe(v, "cell", nQueries, k, nprobe)
   }
 
+  /** Sign matrix for signed-random-projection LSH (Charikar's SRP):
+    * w(j,i) ∈ {-1,+1} from the low bit of the shared 32-bit md5 prefix
+    * of "j_i" — the derivation both engines compute identically (the
+    * DuckDB twin rebuilds the same matrix from md5). */
+  private[graft] def srpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
+  }
+
+  /** E-section (embedding-cosine near-dup) — near-duplicate vector pairs
+    * by exact cosine ≥ `minCos`, with candidate generation via a
+    * `bits`-bit SRP signature: two vectors land in the same bucket iff
+    * every signed projection agrees in sign, so near-identical vectors
+    * collide and random pairs survive with probability ~(1/2)^bits.
+    * The pair join runs on signature buckets — NEVER all-pairs; the
+    * exact-cosine verify touches only bucket collisions. Projections
+    * are exact BIGINT sums (zip with a ±1 literal matrix), so bucket
+    * membership and the final cosine are bit-identical cross-engine.
+    * `dupMod` injects synthetic exact duplicates (id+10_000_000), the
+    * same recall probe minhashLsh uses. */
+  def embedCosineDups(emb: DataFrame, bits: Int = 16, dupMod: Long = 100,
+                      minCos: Double = 0.999): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") % dupMod === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    val v = withScaledVec(withDups).select(col("vec_id"), col("svec"), col("norm2"))
+
+    val dim = 64 // embeddings table vector width
+    val sigCol = (0 until bits).map { j =>
+      val signs = array((0 until dim).map(i => lit(srpSign(j, i))): _*)
+      val proj = aggregate(zip_with(col("svec"), signs, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val sigged = v.withColumn("sig", sigCol)
+    val l = sigged.select(col("sig"), col("vec_id").as("id1"),
+      col("svec").as("svec1"), col("norm2").as("norm21"))
+    val r = sigged.select(col("sig"), col("vec_id").as("id2"),
+      col("svec").as("svec2"), col("norm2").as("norm22"))
+    l.join(r, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        cosCol(dotCol(col("svec1"), col("svec2")), col("norm21"), col("norm22")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** E11 — per-label embedding stats, all exact integers. */
   def labelStats(emb: DataFrame): DataFrame =
     withScaledVec(emb)

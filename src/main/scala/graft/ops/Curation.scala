@@ -41,18 +41,31 @@ object Curation {
 
   /** Int8-style embedding quantization summary: per-vector symmetric
     * scale 127/max|x|, quantized values summarized as exact ints
-    * (deterministic: float→double promotion, two IEEE ops, round). */
-  def quantizeStats(emb: DataFrame): DataFrame =
+    * (deterministic: float→double promotion, two IEEE ops, round).
+    *
+    * ONE fold with a struct accumulator, not three array aggregates: a
+    * `qvec` column referenced by sum/min/max separately gets inlined by
+    * CollapseProject into three full re-quantizations of the vector —
+    * the fold quantizes each element exactly once. */
+  def quantizeStats(emb: DataFrame): DataFrame = {
+    val dbl = (x: org.apache.spark.sql.Column) => x.cast("double")
     emb
-      .withColumn("dvec", transform(col("embedding"), x => x.cast("double")))
       .withColumn("max_abs",
-        array_max(transform(col("dvec"), x => abs(x))))
-      .withColumn("qvec",
-        transform(col("dvec"), x => round(x * 127d / col("max_abs")).cast(LongType)))
+        array_max(transform(col("embedding"), x => abs(dbl(x)))))
       .select(
         col("vec_id"),
-        aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
-        array_min(col("qvec")).as("q_min"),
-        array_max(col("qvec")).as("q_max"))
+        aggregate(col("embedding"),
+          struct(lit(0L).as("s"), lit(Long.MaxValue).as("mn"),
+            lit(Long.MinValue).as("mx")),
+          (acc, x) => {
+            val q = round(dbl(x) * 127d / col("max_abs")).cast(LongType)
+            struct((acc.getField("s") + q).as("s"),
+              least(acc.getField("mn"), q).as("mn"),
+              greatest(acc.getField("mx"), q).as("mx"))
+          }).as("qs"))
+      .select(col("vec_id"),
+        col("qs.s").as("q_sum"), col("qs.mn").as("q_min"),
+        col("qs.mx").as("q_max"))
       .orderBy(col("vec_id"))
+  }
 }

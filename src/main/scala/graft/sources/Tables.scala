@@ -40,7 +40,11 @@ object Tables {
     *     date functions.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession declares this at construction; guard for sessions
+    // built elsewhere (tests, notebooks) rather than re-setting per call.
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))

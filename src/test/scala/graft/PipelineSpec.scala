@@ -53,11 +53,16 @@ class PipelineSpec extends SparkSpec {
       root.resolve("terminals_hist").toString, root.resolve("mart").toString)
 
     val clients = Seq(
-      (1L, "IVANOV IVAN", "VIP", java.sql.Date.valueOf("2021-01-01")),
-      (2L, "PETROV PETR", "STD", java.sql.Date.valueOf("2025-01-01")),
-      (3L, "SIDOROV SID", "STD", java.sql.Date.valueOf("2025-01-01")),
-      (4L, "KOTOV KOT", "VIP", java.sql.Date.valueOf("2025-01-01")))
-      .toDF("c_custkey", "fio", "segment", "passport_valid_to")
+      (1L, "IVANOV IVAN", "0001 000001", "+7000000001", "VIP",
+        java.sql.Date.valueOf("2021-01-01")),
+      (2L, "PETROV PETR", "0002 000002", "+7000000002", "STD",
+        java.sql.Date.valueOf("2025-01-01")),
+      (3L, "SIDOROV SID", "0003 000003", "+7000000003", "STD",
+        java.sql.Date.valueOf("2025-01-01")),
+      (4L, "KOTOV KOT", "0004 000004", "+7000000004", "VIP",
+        java.sql.Date.valueOf("2025-01-01")))
+      .toDF("c_custkey", "fio", "passport_num", "phone", "segment",
+        "passport_valid_to")
     val accounts = Seq((2L, java.sql.Date.valueOf("2020-06-01")))
       .toDF("client", "valid_to")
 

@@ -22,9 +22,12 @@ class StreamingIngestSpec extends SparkSpec {
         |""".stripMargin)
     import spark.implicits._
     val clients = Seq(
-      (1L, "IVANOV IVAN", "VIP", java.sql.Date.valueOf("2021-01-01"), 0L),
-      (2L, "PETROV PETR", "STD", java.sql.Date.valueOf("2025-01-01"), 0L))
-      .toDF("c_custkey", "fio", "segment", "passport_valid_to", "blacklisted")
+      (1L, "IVANOV IVAN", "0001 000001", "+7000000001", "VIP",
+        java.sql.Date.valueOf("2021-01-01"), 0L),
+      (2L, "PETROV PETR", "0002 000002", "+7000000002", "STD",
+        java.sql.Date.valueOf("2025-01-01"), 0L))
+      .toDF("c_custkey", "fio", "passport_num", "phone", "segment",
+        "passport_valid_to", "blacklisted")
     val accounts = Seq((2L, java.sql.Date.valueOf("2020-06-01")))
       .toDF("client", "valid_to")
     val stream = StreamingIngest
