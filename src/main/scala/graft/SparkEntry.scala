@@ -179,6 +179,7 @@ object SparkEntry {
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
+    "q_curate_full" -> ((s, d) => ops.Curation.curateFull(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
     // ---- D13: correlated-subquery shape (above-own-nation-average)
@@ -1068,6 +1069,41 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM keepers k
         |  WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_curate_full" ->
+      s"""WITH RECURSIVE $sqlLshCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |walk(node, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |assign AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |g AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+         |    md5(text) AS content_hash
+         |  FROM documents
+         |  WHERE lang IN ('en','de','fr')),
+         |gated AS (
+         |  SELECT * FROM g
+         |  WHERE n_tokens >= 20 AND n_tokens <= 1000
+         |    AND n_distinct / n_tokens >= 0.05),
+         |keepers AS (
+         |  SELECT content_hash, min(doc_id) AS doc_id FROM gated GROUP BY 1),
+         |cur AS (
+         |  SELECT g.doc_id, g.lang, g.n_tokens, g.content_hash
+         |  FROM gated g
+         |  WHERE EXISTS (SELECT 1 FROM keepers k
+         |    WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id))
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.content_hash
+         |FROM cur c LEFT JOIN assign a ON c.doc_id = a.doc_id
+         |WHERE a.cluster_id IS NULL OR a.cluster_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH base AS (

@@ -25,7 +25,7 @@ object EmbeddingClustering {
     val emb = embeddings
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20)
+      .setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)
     model.transform(emb).select(

@@ -21,7 +21,16 @@ object Curation {
   def curate(docs: DataFrame,
              langs: Seq[String] = Seq("en", "de", "fr"),
              minTokens: Long = 20, maxTokens: Long = 1000,
-             minDistinctRatio: Double = 0.05): DataFrame = {
+             minDistinctRatio: Double = 0.05): DataFrame =
+    curateKeepers(docs, langs, minTokens, maxTokens, minDistinctRatio)
+      .orderBy(col("doc_id"))
+
+  /** [[curate]] without the presentation sort — the composable form
+    * ([[curateFull]] joins it; a mid-plan range exchange would be
+    * waste). */
+  private def curateKeepers(docs: DataFrame, langs: Seq[String],
+                            minTokens: Long, maxTokens: Long,
+                            minDistinctRatio: Double): DataFrame = {
     val toks = split(col("text"), " ")
     val gated = docs
       .withColumn("n_tokens", size(toks).cast(LongType))
@@ -35,6 +44,26 @@ object Curation {
     gated
       .withColumn("keep_id", min(col("doc_id")).over(wKeep))
       .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("content_hash"))
+  }
+
+  /** The COMPLETE curation pipeline (E12 + near-dup clustering): the
+    * quality/language/exact-dedup gate of [[curate]], then drop every
+    * doc that sits in a near-dup cluster without being its canonical
+    * keeper ([[graft.ops.Dedup.lshClusters]] min-id). This is the
+    * end-to-end "raw corpus → training set" operator: at 100 TB both
+    * inputs are id-keyed frames and the final join is a hash join on
+    * doc_id — no new shuffle shapes beyond the parts. */
+  def curateFull(docs: DataFrame,
+                 langs: Seq[String] = Seq("en", "de", "fr"),
+                 minTokens: Long = 20, maxTokens: Long = 1000,
+                 minDistinctRatio: Double = 0.05): DataFrame = {
+    val gated = curateKeepers(docs, langs, minTokens, maxTokens, minDistinctRatio)
+    val clusters = Dedup.lshClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    gated
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("content_hash"))
       .orderBy(col("doc_id"))
   }

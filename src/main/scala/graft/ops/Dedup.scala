@@ -111,8 +111,12 @@ object Dedup {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
-  def minhashLsh(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                 dupMod: Long = 250): DataFrame = {
+  /** LSH candidate pairs WITHOUT the final presentation sort — the form
+    * downstream consumers ([[lshVerify]], [[lshClusters]]) compose with
+    * (a global range-exchange in the middle of their plans would be
+    * pure waste). [[minhashLsh]] adds the deterministic output order. */
+  def minhashLshPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                      dupMod: Long = 250): DataFrame = {
     val withDups = withSyntheticDups(docs, dupMod)
     val k = bands * rowsPerBand
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -133,8 +137,12 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(countDistinct(col("band")).as("n_shared_bands"))
-      .orderBy(col("id1"), col("id2"))
   }
+
+  def minhashLsh(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                 dupMod: Long = 250): DataFrame =
+    minhashLshPairs(docs, bands, rowsPerBand, dupMod)
+      .orderBy(col("id1"), col("id2"))
 
   /** E2 (production form) — exact n-gram Jaccard computed ONLY on the
     * LSH candidate pairs from [[minhashLsh]]: the verify stage of the
@@ -145,7 +153,7 @@ object Dedup {
     * counts (deterministic cross-engine). */
   def lshVerify(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
                 dupMod: Long = 250): DataFrame = {
-    val pairs = minhashLsh(docs, bands, rowsPerBand, dupMod)
+    val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
       .select(col("id1"), col("id2"), col("n_shared_bands"))
     val sh = withShingles(withSyntheticDups(docs, dupMod))
       .select(col("doc_id"), col("sh"))
@@ -174,38 +182,65 @@ object Dedup {
   def lshClusters(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
                   dupMod: Long = 250, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashLsh(docs, bands, rowsPerBand, dupMod)
+    val spark = docs.sparkSession
+    val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
       .select(col("id1"), col("id2"))
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist(MEMORY_AND_DISK)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    val nEdges = edges.count() // materializes the cache; sizes the loop
+
+    // The candidate graph is orders of magnitude smaller than the
+    // corpus: the iteration's shuffles are sized to the GRAPH (one
+    // partition per ~100k edges), not to the corpus's partitioning —
+    // at local scale that makes each round a couple of single-task
+    // stages; on a billion-edge graph it stays fully distributed. The
+    // conf override is scoped: every action below runs inside this
+    // operator, and the returned frame is already materialized.
+    val parts = math.max(1L, math.min(nEdges / 100000L, 4096L)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      // Fused init: round 1 from identity labels is exactly
+      // min(node, min neighbor) — computed as ONE aggregation, no join.
+      // `persisted` tracks the actual cached frame (unpersist on a
+      // projection of it would be a no-op — plans must match).
+      var persisted = edges.groupBy(col("src").as("node"))
+        .agg(least(first(col("src")), min(col("dst"))).as("label"))
         .persist(MEMORY_AND_DISK)
-      changed = stepped.filter(col("label") < col("old_label")).count()
-      val prev = labels
-      labels = stepped.select(col("node"), col("label"))
-      prev.unpersist(false)
-      iter += 1
-    }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"lshClusters: not converged after $maxIter rounds ($changed labels still moving)")
-    edges.unpersist(false)
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(wc))
-      .orderBy(col("doc_id"))
+      var labels = persisted
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+          .select(col("node"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .persist(MEMORY_AND_DISK)
+        changed = stepped.filter(col("label") < col("old_label")).count()
+        val prev = persisted
+        persisted = stepped
+        labels = stepped.select(col("node"), col("label"))
+        prev.unpersist(false)
+        iter += 1
+      }
+      if (changed > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshClusters: not converged after $maxIter rounds ($changed labels still moving)")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      val result = labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .orderBy(col("doc_id"))
+        // materialize once and cut lineage: the loop's named persists
+        // can then be released deterministically instead of living
+        // until session end (result blocks free on GC of this frame)
+        .localCheckpoint(true)
+      edges.unpersist(false)
+      persisted.unpersist(false)
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Per-row MinHash signatures (no aggregation): one h32 per shingle
