@@ -33,22 +33,28 @@ object Bench {
     // doesn't pay JIT + classloading.
     drive("q1_agg")
 
-    // min of two runs per query: the box is shared, and a single noisy
-    // scheduler hiccup shouldn't define a query's number.
+    // min of three INTERLEAVED passes: the box is shared and noise is
+    // bursty (up to 3x for ~30s windows — SURVEY §6). Back-to-back
+    // repeats of one query both land inside the same burst; spreading a
+    // query's runs across full passes lets its min come from whichever
+    // pass was quiet.
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { drive(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-        }
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to 3; name <- names if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        drive(name)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        best.remove(name)
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      if (times.isEmpty) None else Some(name -> times.min)
     }
+    val results = names.flatMap(n => best.get(n).map(n -> _))
     FraudRules.unpersistAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

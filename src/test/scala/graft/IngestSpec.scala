@@ -81,6 +81,39 @@ class IngestSpec extends SparkSpec {
     assert(df.count() > 150)
   }
 
+  test("A6: xlsx parser handles inline strings, sparse cells, rich text") {
+    // A synthetic workbook exercising the cell shapes the reference's
+    // files don't: inlineStr cells, skipped columns, rich-text runs in
+    // the shared-string table, numeric cells.
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c><c r="C2" t="inlineStr"><is><t>inline!</t></is></c></row>
+        |<row r="3"><c r="B3" t="s"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>id</t></si><si><t>name</t></si><si><t>note</t></si>
+        |<si><r><t>rich</t></r><r><t> text</t></r></si>
+        |</sst>""".stripMargin
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    for ((n, c) <- Seq("xl/worksheets/sheet1.xml" -> sheet,
+                       "xl/sharedStrings.xml" -> shared)) {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    val rows = XlsxSource.parseWorkbook(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    assert(rows.map(_.toSeq) == Seq(
+      Seq("id", "name", "note"),
+      Seq("42", null, "inline!"),
+      Seq(null, "rich text")))
+  }
+
   test("A6: xlsx cell-reference decoding") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)

@@ -22,6 +22,26 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == direct.count())
   }
 
+  test("banded range join: physical join keys include the time bucket") {
+    val plan = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("HashJoin"))
+    assert(joinLine.isDefined, s"no hash join in plan:\n$plan")
+    assert(joinLine.get.contains("bkt"),
+      s"join keys must include the bucket, got: ${joinLine.get}")
+  }
+
+  test("candidate-based dedup plans never cross-join the corpus") {
+    for (q <- Seq("q_dedup_verify", "q_dedup_embed", "q_dedup_minhash")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
   test("salted join equals direct join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("value"))
