@@ -131,16 +131,18 @@ object Ann {
     ivfProbe(v, "cell", nQueries, k, nprobe)
   }
 
-  /** Sign matrix for signed-random-projection LSH (Charikar's SRP):
-    * w(j,i) ∈ {-1,+1} from the low bit of the shared 32-bit md5 prefix
-    * of "j_i" — the derivation both engines compute identically (the
-    * DuckDB twin rebuilds the same matrix from md5). */
-  private[graft] def srpSign(j: Int, i: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
-  }
+  /** Composed-functions SRP signature (bit j = sign of the j-th ±1
+    * projection): the cross-check twin of the native
+    * [[graft.functions.SrpSig.sigL]] expression — ExpressionSpec pins
+    * them equal; the operator below uses the native single-pass form. */
+  private[graft] def srpSigComposed(svec: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      val signs = array((0 until dim).map(i =>
+        lit(graft.functions.SrpSig.srpSign(j, i))): _*)
+      val proj = aggregate(zip_with(svec, signs, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** E-section (embedding-cosine near-dup) — near-duplicate vector pairs
     * by exact cosine ≥ `minCos`, with candidate generation via a
@@ -160,16 +162,8 @@ object Ann {
       base.filter(col("vec_id") % dupMod === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     val v = withScaledVec(withDups).select(col("vec_id"), col("svec"), col("norm2"))
-
-    val dim = 64 // embeddings table vector width
-    val sigCol = (0 until bits).map { j =>
-      val signs = array((0 until dim).map(i => lit(srpSign(j, i))): _*)
-      val proj = aggregate(zip_with(col("svec"), signs, (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val sigged = v.withColumn("sig", sigCol)
+    val sigged = v.withColumn("sig",
+      graft.functions.SrpSig.sigL(col("svec"), bits))
     val l = sigged.select(col("sig"), col("vec_id").as("id1"),
       col("svec").as("svec1"), col("norm2").as("norm21"))
     val r = sigged.select(col("sig"), col("vec_id").as("id2"),

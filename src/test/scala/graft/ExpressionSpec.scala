@@ -44,6 +44,23 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("srp_sig_l equals the composed per-bit fold on real embeddings") {
+    val v = Tables.embeddings(spark, sf)
+      .withColumn("svec", transform(col("embedding"),
+        x => GraftFunctions.scaled(x)))
+    val mismatches = v.select(
+      graft.functions.SrpSig.sigL(col("svec"), 16).as("native"),
+      graft.ops.Ann.srpSigComposed(col("svec"), 16, 64).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+    // signatures actually discriminate (not all vectors in one bucket)
+    val distinct = v.select(
+      graft.functions.SrpSig.sigL(col("svec"), 16).as("s"))
+      .distinct().count()
+    assert(distinct > 100)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
