@@ -25,9 +25,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def drive(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    // Watchdog per drive: a single wedged query (e.g. an AQE hang under
+    // co-tenant noise) must not hang the whole benchmark. The drive runs
+    // on a worker thread inside a cancellable job group; on timeout the
+    // group is cancelled, the worker interrupted, and the query recorded
+    // as an error.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "240").toLong
+    def drive(name: String): Unit = {
+      @volatile var failure: Throwable = null
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case t: Throwable => failure = t }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        worker.interrupt()
+        worker.join(10000L)
+        throw new RuntimeException(s"timed out after ${timeoutSec}s")
+      }
+      if (failure != null) throw failure
+    }
 
     // JVM/codegen warm-up on a small scan so the first measured query
     // doesn't pay JIT + classloading.

@@ -199,7 +199,13 @@ object Dedup {
     // operator, and the returned frame is already materialized.
     val parts = math.max(1L, math.min(nEdges / 100000L, 4096L)).toString
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE has nothing to re-plan in the loop (partitioning is already
+    // sized to the graph, shapes are fixed), and its stage-event loop
+    // has a hang window when session confs shift under it mid-session —
+    // classic DAG scheduling is both safer and faster here.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // Fused init: round 1 from identity labels is exactly
       // min(node, min neighbor) — computed as ONE aggregation, no join.
@@ -240,7 +246,10 @@ object Dedup {
       edges.unpersist(false)
       persisted.unpersist(false)
       result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Per-row MinHash signatures (no aggregation): one h32 per shingle
