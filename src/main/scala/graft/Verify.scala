@@ -12,12 +12,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog (same rationale as Bench): one wedged query
+    // must not stall the whole correctness dump.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      @volatile var failure: Throwable = null
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case t: Throwable => failure = t }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.interrupt()
+        worker.join(10000L)
+        System.err.println(s"[verify] $name failed: timed out after ${timeoutSec}s")
+      } else if (failure != null)
+        System.err.println(s"[verify] $name failed: ${failure.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
