@@ -69,6 +69,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("band_key")
   }
 
+  /** F7 — streaming EMBEDDING near-duplicate suppression: drop any
+    * vector whose signed-random-projection signature was already seen
+    * inside the watermark horizon. The signature is the same native
+    * single-pass [[graft.functions.SrpSig.sigL]] the batch operator
+    * uses ([[graft.ops.Ann.embedCosineDups]]), so batch and stream
+    * agree on bucket membership; state is one 64-bit signature per
+    * surviving vector inside the horizon. */
+  def streamingEmbedDedup(vecs: DataFrame, watermark: String = "1 hour",
+                          bits: Int = 16): DataFrame =
+    vecs
+      .withColumn("svec",
+        transform(col("embedding"), x => graft.functions.GraftFunctions.scaled(x)))
+      .withColumn("srp_sig", graft.functions.SrpSig.sigL(col("svec"), bits))
+      .drop("svec")
+      .withWatermark("ts_t", watermark)
+      .dropDuplicatesWithinWatermark("srp_sig")
+
   /** F2 — the amount-guessing rule (rep_fraud.py:187-261) as keyed
     * streaming state: three strictly-decreasing REJECTs then a lower
     * SUCCESS within `maxMinutes`. Batch twin:

@@ -118,6 +118,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F7: streaming embedding near-dedup drops same-signature vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Array[Float])]
+    val vecs = in.toDF().toDF("ts_t", "vec_id", "embedding")
+    val q = StreamingOps.streamingEmbedDedup(vecs, "1 hour")
+      .writeStream.format("memory").queryName("embdedup").outputMode("append").start()
+    try {
+      val rnd = new scala.util.Random(3)
+      val a = Array.fill(64)(rnd.nextFloat())
+      val aEps = a.clone(); aEps(0) = a(0) + 1e-6f // near-identical: same buckets
+      val b = Array.fill(64)(rnd.nextFloat())      // unrelated vector
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, a),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 2L, aEps),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 3L, b))
+      q.processAllAvailable()
+      val ids = spark.table("embdedup").select("vec_id").as[Long].collect().sorted
+      assert(ids.contains(1L) && ids.contains(3L) && !ids.contains(2L),
+        s"expected near-dup 2 dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("F3: streaming dedup drops exact duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
