@@ -54,8 +54,9 @@ object Bench {
     }
 
     // JVM/codegen warm-up on a small scan so the first measured query
-    // doesn't pay JIT + classloading.
-    drive("q1_agg")
+    // doesn't pay JIT + classloading. Best-effort: a warm-up failure
+    // surfaces again (and gets recorded) in the measured passes.
+    try drive("q1_agg") catch { case _: Throwable => }
 
     // min of three INTERLEAVED passes: the box is shared and noise is
     // bursty (up to 3x for ~30s windows — SURVEY §6). Back-to-back
