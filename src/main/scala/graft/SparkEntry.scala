@@ -167,6 +167,14 @@ object SparkEntry {
         typeCol = "event_type", queryType = "purchase", refType = "error")
         .orderBy(col("event_id"))),
 
+    // ---- D23: time-series resample / LOCF gap fill (6-hour grid)
+    "q_resample" -> ((s, d) =>
+      ops.Resample.lastValueGrid(
+        Tables.events(s, d).select(col("user_id"), col("ts_us"),
+          cents(col("value")).as("v_cents")),
+        key = "user_id", tsUs = "ts_us", valueCents = "v_cents",
+        stepUs = 21600000000L)),
+
     "q_tfidf_top" -> ((s, d) => ops.TextAnalysis.tfidfTop(Tables.documents(s, d))),
     "q_bigrams" -> ((s, d) => ops.TextAnalysis.bigramCounts(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
@@ -821,6 +829,29 @@ object SparkEntry {
         |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_resample" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, ts_us, max(v_cents) AS v FROM t GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, min(ts_us) AS tmin, max(ts_us) AS tmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(
+        |    tmin // 21600000000 * 21600000000,
+        |    tmax // 21600000000 * 21600000000 + 1,
+        |    21600000000)) AS grid_us
+        |  FROM b)
+        |SELECT g.user_id, g.grid_us,
+        |  COALESCE(o.v, -1) AS v_cents,
+        |  CAST(CASE WHEN o.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_value
+        |FROM grid g ASOF LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.grid_us >= o.ts_us
+        |ORDER BY g.user_id, g.grid_us""".stripMargin,
 
     "q_asof_prior" ->
       """WITH p AS (

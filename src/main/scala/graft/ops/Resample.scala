@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling / gap filling (D23): regularize an irregular
+  * keyed event stream onto a fixed grid, carrying the last observed
+  * value forward (LOCF).
+  *
+  * Shape: per-key grid generation (`sequence` over the key's bucketed
+  * [min, max] span) + the same union-and-running-`last` composition as
+  * [[AsOfJoin]] — one shuffle on the key, O(grid+events) per key after
+  * the sort, no non-equi join anywhere. Events landing on the same
+  * (key, ts) are pre-aggregated so the carried value is deterministic.
+  * The DuckDB oracle cross-checks with generate-series + native ASOF.
+  *
+  * 100 TB posture: grid size is bounded by span/step per key (explicit,
+  * predictable blow-up — callers pick `stepUs` accordingly); everything
+  * else is one hash shuffle on the key and a single window pass.
+  */
+object Resample {
+
+  /** One row per (key, grid point): `v_cents` = last observation at or
+    * before the grid point within the key (null → no prior observation,
+    * emitted as -1 with `has_value` = 0). */
+  def lastValueGrid(events: DataFrame, key: String, tsUs: String,
+                    valueCents: String, stepUs: Long): DataFrame = {
+    // deterministic value per (key, ts): max of simultaneous events
+    val obs = events
+      .groupBy(col(key), col(tsUs))
+      .agg(max(col(valueCents)).as("v"))
+
+    val grid = obs
+      .groupBy(col(key))
+      .agg(min(col(tsUs)).as("tmin"), max(col(tsUs)).as("tmax"))
+      .select(col(key), explode(sequence(
+        expr(s"tmin div ${stepUs}L * ${stepUs}L"),
+        expr(s"tmax div ${stepUs}L * ${stepUs}L"),
+        lit(stepUs))).as("grid_us"))
+
+    // union: observations first at equal timestamps (ASOF's inclusive >=)
+    val tagged = obs
+      .select(col(key), col(tsUs).as("t"), lit(0).as("is_grid"), col("v"))
+      .unionByName(grid
+        .select(col(key), col("grid_us").as("t"), lit(1).as("is_grid"),
+          lit(null).cast("long").as("v")))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(
+        col(key), col("t").as("grid_us"),
+        coalesce(col("filled"), lit(-1L)).as("v_cents"),
+        when(col("filled").isNotNull, 1L).otherwise(0L).as("has_value"))
+      .orderBy(col(key), col("grid_us"))
+  }
+}
