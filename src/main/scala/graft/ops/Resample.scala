@@ -31,7 +31,10 @@ object Resample {
       .groupBy(col(key), col(tsUs))
       .agg(max(col(valueCents)).as("v"))
 
-    val grid = obs
+    // bounds from the RAW events (min/max are dedup-invariant): this
+    // branch's shuffle carries only map-side-combined (key, min, max)
+    // rows, so the heavy (key, ts) shuffle happens once, in `obs`.
+    val grid = events
       .groupBy(col(key))
       .agg(min(col(tsUs)).as("tmin"), max(col(tsUs)).as("tmax"))
       .select(col(key), explode(sequence(
