@@ -87,6 +87,7 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => RelationalQueries.semiAnti(s, d)),
     "q_setops" -> ((s, d) => RelationalQueries.setOps(s, d)),
     "q_rollup" -> ((s, d) => RelationalQueries.rollup(s, d)),
+    "q_cube" -> ((s, d) => RelationalQueries.cube(s, d)),
     "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d)),
 
     // ---- B2..B6: SCD2 dimension maintenance on deterministic snapshots
@@ -711,6 +712,14 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_distinct_cond" ->

@@ -123,6 +123,19 @@ object RelationalQueries {
   }
 
   /** D8 — ROLLUP over (returnflag, linestatus) with exact money. */
+  /** D24 — CUBE: all grouping-set combinations (adds the per-linestatus
+    * margins ROLLUP omits). */
+  def cube(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("price_cents")).as("sum_price_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   def rollup(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_linestatus"),
