@@ -1173,9 +1173,15 @@ object SparkEntry {
         |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
         |  FROM proj GROUP BY vec_id),
+        |masks AS (
+        |  SELECT CAST(0 AS BIGINT) AS m
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) << CAST(j.j AS INTEGER) FROM range(0,16) j(j)),
+        |probes AS (
+        |  SELECT vec_id, xor(sig, m) AS psig FROM sig, masks),
         |cand AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |  FROM sig a JOIN probes b ON a.sig = b.psig AND a.vec_id < b.vec_id),
         |sc AS (
         |  SELECT c.id1, c.id2,
         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -149,14 +149,19 @@ object Ann {
     * `bits`-bit SRP signature: two vectors land in the same bucket iff
     * every signed projection agrees in sign, so near-identical vectors
     * collide and random pairs survive with probability ~(1/2)^bits.
-    * The pair join runs on signature buckets — NEVER all-pairs; the
-    * exact-cosine verify touches only bucket collisions. Projections
-    * are exact BIGINT sums (zip with a ±1 literal matrix), so bucket
-    * membership and the final cosine are bit-identical cross-engine.
-    * `dupMod` injects synthetic exact duplicates (id+10_000_000), the
-    * same recall probe minhashLsh uses. */
+    * MULTIPROBE (`oneBitProbes` = true): the probe side also visits every
+    * signature one bit-flip away — Charikar buckets lose a pair whose
+    * vectors straddle a single hyperplane, and 1-bit probing recovers
+    * exactly those, at 17× probe fan-out and still ~17/2^16 random
+    * collision odds. The pair join runs on signature buckets — NEVER
+    * all-pairs; the exact-cosine verify touches only bucket collisions.
+    * Projections are exact BIGINT sums, so bucket membership and the
+    * final cosine are bit-identical cross-engine. `dupMod` injects
+    * synthetic exact duplicates (id+10_000_000), the same recall probe
+    * minhashLsh uses. */
   def embedCosineDups(emb: DataFrame, bits: Int = 16, dupMod: Long = 100,
-                      minCos: Double = 0.999): DataFrame = {
+                      minCos: Double = 0.999,
+                      oneBitProbes: Boolean = true): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     val withDups = base.unionByName(
       base.filter(col("vec_id") % dupMod === 0)
@@ -166,8 +171,15 @@ object Ann {
       graft.functions.SrpSig.sigL(col("svec"), bits))
     val l = sigged.select(col("sig"), col("vec_id").as("id1"),
       col("svec").as("svec1"), col("norm2").as("norm21"))
-    val r = sigged.select(col("sig"), col("vec_id").as("id2"),
-      col("svec").as("svec2"), col("norm2").as("norm22"))
+    // A pair (a,b) matches via exactly one mask (m = sig_a XOR sig_b when
+    // that is 0 or a power of two), so candidates stay duplicate-free.
+    val masks = lit(0L) +:
+      (if (oneBitProbes) (0 until bits).map(j => lit(1L << j)) else Seq.empty)
+    val r = sigged
+      .withColumn("m", explode(array(masks: _*)))
+      .select(col("sig").bitwiseXOR(col("m")).as("sig"),
+        col("vec_id").as("id2"),
+        col("svec").as("svec2"), col("norm2").as("norm22"))
     l.join(r, Seq("sig"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos",

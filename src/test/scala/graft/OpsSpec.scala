@@ -92,6 +92,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multiprobe SRP recovers a pair straddling exactly one hyperplane") {
+    import spark.implicits._
+    import graft.functions.SrpSig
+    // Construct the straddling pair DETERMINISTICALLY from the exact
+    // integer projections: perturb one coordinate just past the weakest
+    // projection's zero crossing, leaving every other projection's sign
+    // intact. Search coordinates until the flip is clean.
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(64)(rnd.nextFloat())
+    val s = a.map(x => math.round(x.toDouble * 1e6)) // mirrors GraftFunctions.scaled
+    val proj = Array.tabulate(16)(j =>
+      (0 until 64).map(i => SrpSig.srpSign(j, i) * s(i)).sum)
+    val jStar = proj.indices.minBy(j => math.abs(proj(j)))
+    val found = (0 until 64).iterator.flatMap { k =>
+      // flip proj(jStar) only: push it past zero with 1% margin
+      val deltaS = -SrpSig.srpSign(jStar, k) * math.signum(proj(jStar)) *
+        (math.abs(proj(jStar)) * 101L / 100L + 1000L)
+      val flipsOk = proj.indices.forall { j =>
+        val nd = proj(j) + SrpSig.srpSign(j, k) * deltaS
+        if (j == jStar) math.signum(nd) != math.signum(proj(j))
+        else (nd >= 0) == (proj(j) >= 0)
+      }
+      if (flipsOk) Some((k, deltaS)) else None
+    }.toSeq.headOption
+    assert(found.isDefined, "no clean single-flip coordinate found")
+    val (k, deltaS) = found.get
+    val b = a.clone(); b(k) = (a(k) + deltaS / 1e6).toFloat
+    val pairVecs = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    def pairs(probes: Boolean) =
+      Ann.embedCosineDups(pairVecs, dupMod = 1000000L, minCos = 0.9,
+        oneBitProbes = probes)
+        .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs(probes = true).contains((1L, 2L)),
+      "1-bit probing must recover the straddling pair")
+    assert(!pairs(probes = false).contains((1L, 2L)),
+      "exact bucketing should miss it (else the pair isn't straddling)")
+  }
+
   test("exact dedup groups identical content") {
     val docs = Tables.documents(spark, sf).limit(20)
     val doubled = docs.unionByName(
