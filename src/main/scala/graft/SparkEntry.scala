@@ -168,6 +168,23 @@ object SparkEntry {
         typeCol = "event_type", queryType = "purchase", refType = "error")
         .orderBy(col("event_id"))),
 
+    // ---- D25: SQL entrypoint + LATERAL correlated subquery (top-2
+    // customers per nation). Users of the engine can hand it SQL text;
+    // Catalyst plans the lateral as a per-group limit, not a cross join.
+    "q_sql_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.bal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.bal_cents DESC, t.c_name""")
+    }),
+
     // ---- D23: time-series resample / LOCF gap fill (6-hour grid)
     "q_resample" -> ((s, d) =>
       ops.Resample.lastValueGrid(
@@ -838,6 +855,16 @@ object SparkEntry {
         |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT n.n_name, t.c_name, t.bal_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c_name LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.bal_cents DESC, t.c_name""".stripMargin,
 
     "q_resample" ->
       """WITH t AS (
