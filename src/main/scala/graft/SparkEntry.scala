@@ -356,6 +356,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- D26: UNPIVOT/melt — wide metric columns to tall
+    // (row, metric, value) form, the inverse of D16 pivot
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        cents(col("l_discount")).as("discount_cents"),
+        cents(col("l_tax")).as("tax_cents"),
+        col("l_quantity").cast(LongType).as("qty"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_cents"), col("discount_cents"), col("tax_cents"),
+            col("qty")),
+          "metric", "v")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     // Scalar quantile columns (not an array): the driver's pandas
@@ -824,6 +841,18 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN event_type='signup' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS signup,
         |  CAST(COALESCE(sum(CASE WHEN event_type='view' THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    CAST(round(l_discount*100) AS BIGINT) AS discount_cents,
+        |    CAST(round(l_tax*100) AS BIGINT) AS tax_cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, metric, v FROM base
+        |UNPIVOT (v FOR metric IN (price_cents, discount_cents, tax_cents, qty))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q_corr_subquery" ->
       """WITH cust AS (
