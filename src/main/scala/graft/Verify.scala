@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -15,7 +15,12 @@ object Verify {
     // Per-query watchdog (same rationale as Bench): one wedged query
     // must not stall the whole correctness dump.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "600").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional trailing args filter to named queries (dev loop); the
+    // driver's two-arg invocation still dumps everything.
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    selected.foreach { case (name, fn) =>
       @volatile var failure: Throwable = null
       val worker = new Thread(() => {
         try {

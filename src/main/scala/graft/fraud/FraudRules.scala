@@ -181,11 +181,15 @@ object FraudRules {
   private val txnCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def enrichedTxns(s: SparkSession, d: String): DataFrame =
+  private def enrichedTxns(s: SparkSession, d: String): DataFrame = {
+    // Entries for stopped sessions would otherwise pin the SparkSession
+    // (and its persisted plans) for the life of the process.
+    txnCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
     txnCache.computeIfAbsent((s, d), { case (s, d) =>
       FraudModel.transactions(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Release every persisted transaction frame (benchmarks, long-lived
     * sessions). Blocking=false: eviction proceeds asynchronously. */

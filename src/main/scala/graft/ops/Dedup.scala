@@ -231,9 +231,16 @@ object Dedup {
         prev.unpersist(false)
         iter += 1
       }
+      // Fail fast rather than return labels that silently disagree with
+      // the transitive closure. LSH components are near-cliques, so the
+      // min-label fixed point lands in a handful of rounds; an
+      // adversarial chain of length > maxIter is the only way here, and
+      // the caller should raise maxIter (or switch to a
+      // large-star/small-star contraction) knowingly.
       if (changed > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lshClusters: not converged after $maxIter rounds ($changed labels still moving)")
+        throw new IllegalStateException(
+          s"lshClusters: not converged after $maxIter rounds " +
+            s"($changed labels still moving); raise maxIter")
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       val result = labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -51,8 +51,16 @@ object Resample {
     val w = Window.partitionBy(col(key))
       .orderBy(col("t"), col("is_grid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry the whole observation (struct is non-null for every obs row,
+    // even when its value is null): the nearest prior observation wins,
+    // and a null-valued observation yields null — exactly ASOF-join
+    // semantics. A bare last(v, ignoreNulls) would instead skip past a
+    // null observation to an older non-null one.
     tagged
-      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("last_obs",
+        last(when(col("is_grid") === 0, struct(col("t"), col("v"))),
+          ignoreNulls = true).over(w))
+      .withColumn("filled", col("last_obs.v"))
       .filter(col("is_grid") === 1)
       .select(
         col(key), col("t").as("grid_us"),

@@ -79,6 +79,11 @@ object XlsxSource {
     var cellCol = -1
     var cellType: String = null
     var inIs = false
+    val isSb = new StringBuilder
+    def put(value: String): Unit = {
+      while (cur.length <= cellCol) cur += null
+      cur(cellCol) = value
+    }
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -88,21 +93,27 @@ object XlsxSource {
               val ref = r.getAttributeValue(null, "r")
               cellCol = if (ref != null) colIndex(ref) else cur.length
               cellType = r.getAttributeValue(null, "t")
-            case "is" => inIs = true
-            case "v" | "t" if cellCol >= 0 && (r.getLocalName == "v" || inIs) =>
+            case "is" => inIs = true; isSb.setLength(0)
+            case "v" if cellCol >= 0 =>
               val raw = r.getElementText
-              val value = cellType match {
+              put(cellType match {
                 case "s" => shared(raw.trim.toInt)
                 case _ => raw
-              }
-              while (cur.length <= cellCol) cur += null
-              cur(cellCol) = value
+              })
+            // inline strings may carry several rich-text runs
+            // (<is><r><t>..</t></r><r><t>..</t></r></is>): accumulate
+            // every run and assign the concatenation at </is>, exactly
+            // like the shared-strings path.
+            case "t" if inIs && cellCol >= 0 =>
+              isSb.append(r.getElementText); ()
             case _ =>
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "row" => rows += cur.toArray
-            case "is" => inIs = false
+            case "is" =>
+              if (cellCol >= 0) put(isSb.toString)
+              inIs = false
             case "c" => cellCol = -1; cellType = null
             case _ =>
           }
@@ -118,19 +129,25 @@ object XlsxSource {
   private[graft] def parseWorkbook(in: InputStream): Seq[Array[String]] = {
     val zin = new ZipInputStream(in)
     var sharedXml: Array[Byte] = null
-    var sheetXml: Array[Byte] = null
+    // sheet1.xml when present; otherwise the lexicographically-first
+    // worksheet part (sheets deleted/reordered in the authoring tool can
+    // leave a workbook whose only sheet is e.g. sheet3.xml).
+    val sheetParts = scala.collection.mutable.TreeMap.empty[String, Array[Byte]]
     try {
       var e = zin.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => sharedXml = zin.readAllBytes()
-          case "xl/worksheets/sheet1.xml" => sheetXml = zin.readAllBytes()
+          case n if n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") =>
+            sheetParts(n) = zin.readAllBytes()
           case _ =>
         }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetXml != null, "no xl/worksheets/sheet1.xml in workbook")
+    val sheetXml = sheetParts.getOrElse("xl/worksheets/sheet1.xml",
+      sheetParts.headOption.map(_._2).orNull)
+    require(sheetXml != null, "no xl/worksheets/sheet*.xml in workbook")
     val shared =
       if (sharedXml == null) IndexedSeq.empty[String]
       else parseSharedStrings(sharedXml)

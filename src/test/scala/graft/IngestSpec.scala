@@ -114,6 +114,25 @@ class IngestSpec extends SparkSpec {
       Seq(null, "rich text")))
   }
 
+  test("A6: xlsx multi-run inline strings concatenate; non-sheet1 workbooks read") {
+    // Inline string with TWO rich-text runs (must concatenate, not keep
+    // the last run), in a workbook whose only worksheet part is
+    // sheet3.xml (sheets deleted/reordered upstream).
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><r><t>left</t></r><r><t> right</t></r></is></c><c r="B1"><v>5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet3.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry()
+    z.close()
+    val rows = XlsxSource.parseWorkbook(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    assert(rows.map(_.toSeq) == Seq(Seq("left right", "5")))
+  }
+
   test("A6: xlsx cell-reference decoding") {
     assert(XlsxSource.colIndex("A1") == 0)
     assert(XlsxSource.colIndex("Z9") == 25)

@@ -139,4 +139,29 @@ class OpsSpec extends SparkSpec {
     assert(groups.forall(_.getLong(2) == 2L))
     assert(groups.forall(_.getLong(1) < 7000L))
   }
+
+  test("resample LOCF: a null observation terminates the carry (ASOF semantics)") {
+    import spark.implicits._
+    // key 1: obs at t=10 (v=100), t=25 (v=null). Grid step 10 → grid
+    // points 10 and 20 (from [10,25] floored). Point 20's nearest prior
+    // obs is t=10 → 100; a point after the null obs must NOT reach back
+    // past it to 100.
+    val events = Seq(
+      (1L, 10L, Some(100L)), (1L, 25L, None), (1L, 31L, Some(7L)),
+      (1L, 40L, None)
+    ).toDF("k", "t_us", "v_raw")
+      .select(col("k"), col("t_us"), col("v_raw").as("v_cents"))
+    val out = graft.ops.Resample.lastValueGrid(events, "k", "t_us", "v_cents", 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((10L, 100L, 1L), (20L, 100L, 1L), (30L, -1L, 0L),
+      (40L, -1L, 0L)))
+  }
+
+  test("lshClusters fails fast when label propagation cannot converge") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val ex = intercept[IllegalStateException] {
+      Dedup.lshClusters(docs, dupMod = 50, maxIter = 0)
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
 }
