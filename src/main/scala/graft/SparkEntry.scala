@@ -373,6 +373,47 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     }),
 
+    // ---- E20–E25: training-data prep (chunking, repetition gate, PII
+    // scrub, deterministic split, contamination screen, stratified sample)
+    "q_chunk" -> ((s, d) => ops.TrainingData.chunk(Tables.documents(s, d))),
+    "q_gopher" -> ((s, d) => ops.TrainingData.gopherQuality(Tables.documents(s, d))),
+    "q_pii_scrub" -> ((s, d) => ops.TrainingData.piiScrub(Tables.documents(s, d))),
+    "q_split" -> ((s, d) => ops.TrainingData.hashSplit(Tables.documents(s, d))),
+    "q_contam" -> ((s, d) => ops.TrainingData.contamination(Tables.documents(s, d))),
+    "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
+
+    // ---- D27: GROUPING SETS with grouping() flags (SQL-text entry;
+    // grouped-out keys coalesced to sentinels so the flags, not NULLs,
+    // carry the level)
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT COALESCE(c_mktsegment, '(all)') AS seg,
+          COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nk,
+          CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+          CAST(grouping(c_nationkey) AS BIGINT) AS g_nk,
+          count(*) AS n,
+          sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nk, seg, nk""")
+    }),
+
+    // ---- D28: rank-family window functions (percent_rank/cume_dist are
+    // single IEEE divisions of exact integer ranks — deterministic)
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_cents"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .withColumn("dr", dense_rank().over(w).cast(LongType))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     // Scalar quantile columns (not an array): the driver's pandas
@@ -1264,6 +1305,117 @@ object SparkEntry {
         |  CAST(list_min(qvec) AS BIGINT) AS q_min,
         |  CAST(list_max(qvec) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  CAST(1 + CASE WHEN len(toks) > 40
+        |    THEN (len(toks) - 40 + 29) // 30 ELSE 0 END AS BIGINT) AS n_chunks
+        |  FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[(i*30+1):(i*30+40)], ' ') AS chunk_text,
+        |  CAST(least(40, n - i*30) AS BIGINT) AS chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_uni
+        |  FROM uc GROUP BY 1),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS max_bi FROM bc GROUP BY 1)
+        |SELECT ua.doc_id, ua.n_tokens, ua.n_distinct,
+        |  (ua.n_tokens - ua.n_distinct) * 1000000 // ua.n_tokens AS dup_tok_ppm,
+        |  ua.max_uni * 1000000 // ua.n_tokens AS top_uni_ppm,
+        |  COALESCE(ba.max_bi * 1000000 // ba.n_bigrams, 0) AS top_bi_ppm,
+        |  CAST(CASE WHEN ua.max_uni * 1000000 // ua.n_tokens <= 120000
+        |    AND COALESCE(ba.max_bi * 1000000 // ba.n_bigrams, 0) <= 80000
+        |    AND (ua.n_tokens - ua.n_distinct) * 1000000 // ua.n_tokens <= 800000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS gopher_ok
+        |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+        |ORDER BY ua.doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' asap'
+        |       ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(('0x'||substr(md5(
+        |    regexp_replace(regexp_replace(t2,
+        |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{4}', '<PHONE>', 'g')),1,8)) AS BIGINT) AS scrub_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8))
+        |      AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_contam" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1]),1,8))
+        |      AS BIGINT))) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |s AS (SELECT DISTINCT d.doc_id, d.g FROM g d JOIN e USING (g)
+        |  WHERE d.doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,8))
+        |      AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(c_mktsegment, '(all)') AS seg,
+        |  COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nk,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nk,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nk, seg, nk""".stripMargin,
+
+    "q_window_rank" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dr
+        |FROM t
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q_emb_stats" ->
       """WITH n AS (

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.GraftFunctions._
+
+/** Training-data preparation operators beyond dedup/curation (SURVEY.md
+  * §2 E20–E25): chunking, repetition-based quality gates, PII scrubbing,
+  * deterministic dataset splits, benchmark-contamination screening, and
+  * stratified sampling.
+  *
+  * Everything is `org.apache.spark.sql.functions` compositions (plus the
+  * codegen'd [[graft.functions.Md5Prefix32]] via `h32`) — no UDFs, so the
+  * per-row paths stay inside whole-stage codegen. Shuffle inventory per
+  * operator is noted on each method; the corpus-sized shuffles are all
+  * single hash exchanges on `doc_id` or on an n-gram key.
+  */
+object TrainingData {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** E20 — fixed-size token-window chunking with overlap, the standard
+    * shape for packing documents into training sequences. One row per
+    * (doc, window): `chunk_id` counts windows of `chunkTokens` tokens
+    * advancing by `strideTokens` (stride < chunk ⇒ overlap); the last
+    * window is the remainder (never empty — every doc yields ≥ 1 chunk).
+    *
+    * Scale: pure map-side (repartition, then split/slice/explode — no
+    * shuffle after the repartition, which a multi-file 100 TB scan
+    * wouldn't need at all). Output is ~n_tokens/stride rows per doc;
+    * the explode is over an always-non-empty `sequence`, so
+    * InferFiltersFromGenerate's extra filter is a cheap attribute test.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 40, strideTokens: Int = 30)
+      : DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0, "chunk/stride must be positive")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      // windows fully covering the doc: 1 + ceil((n - chunk) / stride)
+      .withColumn("n_chunks",
+        lit(1L) + when(col("n") > chunkTokens,
+          expr(s"(n - $chunkTokens + ${strideTokens - 1}) div $strideTokens"))
+          .otherwise(lit(0L)))
+      .withColumn("idx", sequence(lit(0L), col("n_chunks") - 1))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(col("idx")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * strideTokens + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n") - col("chunk_id") * strideTokens)
+          .cast(LongType).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** E21 — repetition-based quality gate in the style of the published
+    * Gopher/MassiveText rules: fraction of duplicate tokens, and the
+    * share of the most-frequent unigram and bigram. All ratios are exact
+    * integer parts-per-million (`x * 1e6 div total`) so both engines
+    * agree bit-for-bit.
+    *
+    * Scale: the per-doc distinct/max counts come from exploded n-gram
+    * aggregations (two hash shuffles keyed by (doc, gram) then doc) —
+    * never from `array_distinct`, whose O(n²) compares would blow up on
+    * book-length documents. The two n-gram branches join doc-keyed
+    * aggregates of the same pre-partitioned scan.
+    */
+  def gopherQuality(docs: DataFrame,
+                    maxTopUnigramPpm: Long = 120000,
+                    maxTopBigramPpm: Long = 80000,
+                    maxDupTokenPpm: Long = 800000): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    val uni = base
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_uni"))
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    val bi = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bi"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("(n_tokens - n_distinct) * 1000000 div n_tokens").as("dup_tok_ppm"),
+        expr("max_uni * 1000000 div n_tokens").as("top_uni_ppm"),
+        coalesce(expr("max_bi * 1000000 div n_bigrams"), lit(0L)).as("top_bi_ppm"))
+      .withColumn("gopher_ok",
+        (col("top_uni_ppm") <= maxTopUnigramPpm &&
+          col("top_bi_ppm") <= maxTopBigramPpm &&
+          col("dup_tok_ppm") <= maxDupTokenPpm).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+
+  /** E22 — PII scrubbing: redact email/phone patterns and count the
+    * redactions. The synthetic corpus carries no PII, so deterministic
+    * fake PII is first injected for doc_id ≡ 0 (mod 7 / mod 11) — both
+    * engines derive the identical injected text, making the scrub
+    * oracle-checkable end to end. Pure map-side; the scrubbed text is
+    * surfaced as a 32-bit content hash (compact, still pins every byte).
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" asap"))).otherwise(lit("")))
+    docs.select(col("doc_id"), injected.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        h32(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E23 — deterministic hash-based train/val/test split (80/10/10) with
+    * per-(source, split) accounting. The split key is a salted content-
+    * independent id hash, so membership is stable across runs and
+    * engines, and adding documents never reassigns existing ones. One
+    * map-side hash + one small aggregation shuffle.
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(h32(concat(lit("split:"), col("doc_id").cast("string"))),
+      lit(100L))
+    docs
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** E24 — benchmark-contamination screen: for each training document,
+    * how many distinct n-grams it shares with a held-out evaluation set
+    * (here doc_id ≡ 0 mod `evalMod`; real pipelines join against the
+    * benchmark suite and use 8–13-gram windows — same plan, the synthetic
+    * vocabulary is too small for 8-grams to ever collide).
+    *
+    * Scale: both sides reduce to DISTINCT n-gram hashes before the join;
+    * the eval side (a benchmark suite) is tiny → broadcast, so the
+    * corpus-sized cost is one (doc, gram) distinct shuffle. Only
+    * contaminated docs are emitted.
+    */
+  def contamination(docs: DataFrame, gram: Int = 2, evalMod: Long = 97)
+      : DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= gram)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n") - (gram - 1)),
+        i => h32(array_join(slice(col("toks"), i, lit(gram)), " ")))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E25 — stratified sampling: a deterministic pseudo-random `perKey`
+    * documents per stratum (language), ranked by a salted id hash. The
+    * window's top-N is pushed down as a group-limit (WindowGroupLimit),
+    * so no stratum ever materializes a full sort of its partition.
+    */
+  def stratifiedSample(docs: DataFrame, perKey: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(h32(concat(lit("strat:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= perKey)
+      .orderBy(col("lang"), col("rn"))
+  }
+}

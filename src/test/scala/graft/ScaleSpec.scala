@@ -42,6 +42,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample and chunking plan shapes hold at scale") {
+    // top-N per stratum must push into WindowGroupLimit (no full sort of
+    // a stratum's partition survives to the window)
+    val strat = SparkEntry.queries("q_stratified")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(strat.contains("WindowGroupLimit"),
+      s"stratified sample must push the per-stratum limit:\n$strat")
+    // chunking must stay shuffle-free after its explicit repartition
+    val chunk = SparkEntry.queries("q_chunk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = chunk.linesIterator.count(_.contains("Exchange"))
+    // one round-robin repartition + the final output range sort
+    assert(exchanges <= 2, s"chunking plans $exchanges exchanges:\n$chunk")
+  }
+
   test("salted join equals direct join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("value"))

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainingData
+import graft.sources.Tables
+
+/** Semantic properties of the E20–E25 training-data prep operators. */
+class TrainingDataSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("chunking tiles every token and overlaps by chunk minus stride") {
+    val doc = (1 to 95).map(i => s"w$i").mkString(" ")
+    val chunks = TrainingData.chunk(docsDf(1L -> doc), chunkTokens = 40,
+      strideTokens = 30).collect()
+    // 95 tokens, stride 30 → ceil((95-40)/30)+1 = 3 chunks
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(40L, 40L, 35L))
+    // chunk i starts at token i*30+1: overlap of 10 tokens with previous
+    val texts = chunks.map(_.getString(2))
+    assert(texts(0).startsWith("w1 ") && texts(1).startsWith("w31 ") &&
+      texts(2).startsWith("w61 "))
+    assert(texts(0).endsWith(" w40") && texts(1).endsWith(" w70") &&
+      texts(2).endsWith(" w95"))
+    // a short doc still yields exactly one (remainder) chunk
+    val short = TrainingData.chunk(docsDf(2L -> "a b c"), 40, 30).collect()
+    assert(short.length == 1 && short(0).getString(2) == "a b c" &&
+      short(0).getLong(3) == 3L)
+  }
+
+  test("gopher gate flags repetition, passes diverse text") {
+    val diverse = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val repetitive = Seq.fill(30)("spam ham").mkString(" ")
+    val out = TrainingData.gopherQuality(docsDf(1L -> diverse, 2L -> repetitive))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(out(1L) == 1L, "diverse doc must pass")
+    assert(out(2L) == 0L, "half-duplicate-token doc must fail")
+  }
+
+  test("pii scrub counts injected emails and phones") {
+    // doc_id 77 hits both injectors (77 % 7 == 0, 77 % 11 == 0)
+    val out = TrainingData.piiScrub(
+      docsDf(77L -> "plain words only", 5L -> "no pii here"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(77L) == (1L, 1L))
+    assert(out(5L) == (0L, 0L))
+  }
+
+  test("hash split is deterministic and roughly 80/10/10") {
+    val docs = Tables.documents(spark, sf)
+    val out = TrainingData.hashSplit(docs).collect()
+    val bySplit = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    assert(TrainingData.hashSplit(docs).collect().toSeq == out.toSeq,
+      "split must be stable across runs")
+  }
+
+  test("contamination finds only docs sharing an n-gram with the eval set") {
+    val docs = docsDf(
+      0L -> "alpha beta gamma delta",          // eval (0 % 97 == 0)
+      1L -> "x y alpha beta z",                // shares bigram "alpha beta"
+      2L -> "p q r s t u")                     // shares nothing
+    val out = TrainingData.contamination(docs, gram = 2, evalMod = 97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("stratified sample takes at most perKey per language, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val out = TrainingData.stratifiedSample(docs, perKey = 7).collect()
+    val perLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 7))
+    assert(out.forall(_.getLong(2) <= 7L))
+    assert(TrainingData.stratifiedSample(docs, perKey = 7).collect().toSeq
+      == out.toSeq)
+  }
+}
