@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotL, Md5Prefix32, Norm2L}
+import graft.functions.{DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Enable with
@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Norm2L].getName, "norm2_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Norm2L(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quant_stats_l"),
+      new ExpressionInfo(classOf[QuantStatsL].getName, "quant_stats_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantStatsL(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("scaled_norm2_l"),
+      new ExpressionInfo(classOf[ScaledNorm2L].getName, "scaled_norm2_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ScaledNorm2L(children.head)))
   }
 }

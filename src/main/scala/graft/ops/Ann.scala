@@ -189,9 +189,16 @@ object Ann {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** E11 — per-label embedding stats, all exact integers. */
+  /** E11 — per-label embedding stats, all exact integers. Unlike the
+    * ANN paths, nothing downstream needs the scaled array itself, so the
+    * norm is folded straight off the float column by the codegen'd
+    * [[graft.functions.ScaledNorm2L]] — no intermediate array, no
+    * interpreted transform. */
   def labelStats(emb: DataFrame): DataFrame =
-    withScaledVec(emb)
+    emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("norm2",
+        graft.functions.FloatVecStats.scaledNorm2L(col("embedding")))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),

@@ -72,29 +72,17 @@ object Curation {
     * scale 127/max|x|, quantized values summarized as exact ints
     * (deterministic: float→double promotion, two IEEE ops, round).
     *
-    * ONE fold with a struct accumulator, not three array aggregates: a
-    * `qvec` column referenced by sum/min/max separately gets inlined by
-    * CollapseProject into three full re-quantizations of the vector —
-    * the fold quantizes each element exactly once. */
-  def quantizeStats(emb: DataFrame): DataFrame = {
-    val dbl = (x: org.apache.spark.sql.Column) => x.cast("double")
+    * ONE codegen'd pass ([[graft.functions.QuantStatsL]]) per vector —
+    * the earlier functions-only fold was correct but ran on the
+    * interpreted higher-order-function path; the native expression does
+    * max|x| and the quantized sum/min/max in a single primitive loop
+    * with no intermediate array. Same rounding, same hashes. */
+  def quantizeStats(emb: DataFrame): DataFrame =
     emb
-      .withColumn("max_abs",
-        array_max(transform(col("embedding"), x => abs(dbl(x)))))
-      .select(
-        col("vec_id"),
-        aggregate(col("embedding"),
-          struct(lit(0L).as("s"), lit(Long.MaxValue).as("mn"),
-            lit(Long.MinValue).as("mx")),
-          (acc, x) => {
-            val q = round(dbl(x) * 127d / col("max_abs")).cast(LongType)
-            struct((acc.getField("s") + q).as("s"),
-              least(acc.getField("mn"), q).as("mn"),
-              greatest(acc.getField("mx"), q).as("mx"))
-          }).as("qs"))
+      .select(col("vec_id"),
+        graft.functions.FloatVecStats.quantStatsL(col("embedding")).as("qs"))
       .select(col("vec_id"),
         col("qs.s").as("q_sum"), col("qs.mn").as("q_min"),
         col("qs.mx").as("q_max"))
       .orderBy(col("vec_id"))
-  }
 }

@@ -44,6 +44,40 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("quant_stats_l / scaled_norm2_l equal the HOF compositions on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    // scaled_norm2_l vs transform(scaled) + sum-of-squares fold
+    val dbl = (x: org.apache.spark.sql.Column) => x.cast("double")
+    val n2 = emb
+      .withColumn("svec", transform(col("embedding"), x => GraftFunctions.scaled(x)))
+      .select(
+        graft.functions.FloatVecStats.scaledNorm2L(col("embedding")).as("native"),
+        aggregate(col("svec"), lit(0L), (acc, x) => acc + x * x).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(n2 == 0)
+    // quant_stats_l vs the max_abs + struct-fold composition
+    val qs = emb
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(dbl(x)))))
+      .select(
+        graft.functions.FloatVecStats.quantStatsL(col("embedding")).as("native"),
+        aggregate(col("embedding"),
+          struct(lit(0L).as("s"), lit(Long.MaxValue).as("mn"),
+            lit(Long.MinValue).as("mx")),
+          (acc, x) => {
+            val q = round(dbl(x) * 127d / col("max_abs"))
+              .cast(org.apache.spark.sql.types.LongType)
+            struct((acc.getField("s") + q).as("s"),
+              least(acc.getField("mn"), q).as("mn"),
+              greatest(acc.getField("mx"), q).as("mx"))
+          }).as("hof"))
+      .filter(col("native.s") =!= col("hof.s") ||
+        col("native.mn") =!= col("hof.mn") ||
+        col("native.mx") =!= col("hof.mx"))
+      .count()
+    assert(qs == 0)
+  }
+
   test("srp_sig_l equals the composed per-bit fold on real embeddings") {
     val v = Tables.embeddings(spark, sf)
       .withColumn("svec", transform(col("embedding"),
