@@ -156,6 +156,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => ops.Dedup.lshClusters(Tables.documents(s, d))),
+    // E26: same clusters via alternating large-star/small-star
+    // contraction — O(log² path) rounds, the adversarial-graph scale path
+    "q_dedup_cc" -> ((s, d) => ops.Dedup.lshClustersScalable(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => ops.Dedup.simhash(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -414,6 +417,39 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
+    // ---- D29: skew-salted join, oracle-checked — the salted (key,salt)
+    // join must hash-equal the plain join the oracle runs
+    "q_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d).select(
+        col("l_suppkey").as("suppkey"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        col("l_orderkey"))
+      val dim = Tables.supplier(s, d).select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      relational.Salting.saltedJoin(fact, dim, "suppkey", "l_orderkey", 8)
+        .groupBy(col("s_nationkey").cast(LongType).as("nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- D30: FULL OUTER JOIN with coalesced key and presence tag
+    "q_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch"))
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+      p.join(e, Seq("user_id"), "full")
+        .select(col("user_id"),
+          coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          when(col("n_purch").isNull, "err_only")
+            .when(col("n_err").isNull, "purch_only")
+            .otherwise("both").as("presence"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     // Scalar quantile columns (not an array): the driver's pandas
@@ -525,6 +561,25 @@ object SparkEntry {
        |  c.passport_num AS passport, c.fio, c.phone, c.segment,
        |  'guessing_amount_fraud' AS rule
        |FROM flagged f LEFT JOIN clients c ON f.user_id = c.c_custkey)""".stripMargin
+
+  /** Transitive closure over the LSH candidate pairs — the shared truth
+    * for both cluster operators (min-label `q_dedup_clusters` and
+    * star-contraction `q_dedup_cc`). */
+  private lazy val sqlClustersOracle: String =
+    s"""WITH RECURSIVE $sqlLshCtes,
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM cand
+       |  UNION SELECT id2, id1 FROM cand),
+       |walk(node, reach) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+       |assign AS (
+       |  SELECT node AS doc_id, min(reach) AS cluster_id
+       |  FROM walk GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM assign ORDER BY doc_id""".stripMargin
 
   /** Shared LSH pipeline CTEs (mirror of [[ops.Dedup.minhashLsh]]):
     * synthetic-dup universe → shingles → minhash signatures → banded
@@ -998,21 +1053,11 @@ object SparkEntry {
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
 
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $sqlLshCtes,
-         |edges AS (
-         |  SELECT id1 AS a, id2 AS b FROM cand
-         |  UNION SELECT id2, id1 FROM cand),
-         |walk(node, reach) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-         |assign AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
-         |  FROM walk GROUP BY node)
-         |SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM assign ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> sqlClustersOracle,
+
+    // same transitive-closure truth — the Spark side differs (alternating
+    // star contraction instead of min-label propagation)
+    "q_dedup_cc" -> sqlClustersOracle,
 
     "q_dedup_simhash" ->
       """WITH toksd AS (
@@ -1416,6 +1461,29 @@ object SparkEntry {
         |FROM t
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, count(*) AS n_purch FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (
+        |  SELECT user_id, count(*) AS n_err FROM events
+        |  WHERE event_type = 'error' GROUP BY 1)
+        |SELECT user_id,
+        |  COALESCE(n_purch, 0) AS n_purch,
+        |  COALESCE(n_err, 0) AS n_err,
+        |  CASE WHEN n_purch IS NULL THEN 'err_only'
+        |       WHEN n_err IS NULL THEN 'purch_only'
+        |       ELSE 'both' END AS presence
+        |FROM p FULL OUTER JOIN e USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_emb_stats" ->
       """WITH n AS (

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via the alternating large-star /
+  * small-star algorithm (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14 — public literature).
+  *
+  * [[Dedup.lshClusters]]' min-label propagation converges in
+  * O(component diameter) rounds — ideal for LSH dup components, which
+  * are near-cliques. This operator is the documented upgrade path for
+  * adversarial graphs: star contractions halve path lengths, so a
+  * chain of length n resolves in O(log² n) rounds instead of O(n).
+  *
+  * Each half-round is one aggregation + one join over the EDGE list
+  * (never the corpus), with the same graph-sized scoped shuffle
+  * partitioning as lshClusters. Convergence is detected as a fixed
+  * point of the round composition (count + order-insensitive xxhash64
+  * XOR — no overflow, ANSI-safe).
+  */
+object ConnectedComponents {
+
+  /** Large-star: every node connects its larger neighbors to the
+    * minimum of its closed neighborhood. Output directed (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
+      .select(col("u"), least(col("u"), col("mnv")).as("m"))
+    sym.join(mn, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller neighbors (and itself)
+    * to their minimum. Input and output directed (u > v). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mn = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val moved = e.join(mn, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+    moved.unionByName(mn.select(col("u"), col("m").as("v"))).distinct()
+  }
+
+  /** Component labels for an undirected edge list `pairs` (columns
+    * id1, id2): one row per node appearing in any pair, `label` = the
+    * component's minimum node id. Throws if `maxRounds` is hit without
+    * reaching the star fixed point (≈ 2·log²(longest path) rounds).
+    */
+  def components(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+
+    val canonical = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val nEdges = canonical.count()
+
+    // Shuffles sized to the graph, not the corpus (same rationale and
+    // hang-avoidance as lshClusters: fixed shapes, classic scheduling).
+    val parts = math.max(1L, math.min(nEdges / 100000L, 4096L)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def signature(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+          .collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var edges = canonical
+      var sig = signature(edges)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // localCheckpoint (eager) CUTS LINEAGE each round: without it the
+        // logical plan nests the whole history (union+join+distinct per
+        // round, ~4× branching), and Catalyst analysis alone goes
+        // exponential by round ~10. Old checkpoint blocks are graph-sized
+        // and free on GC of the superseded frame.
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        edges = next
+        sig = nextSig
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"ConnectedComponents: no fixed point after $maxRounds rounds")
+      // Fixed point = disjoint stars: every non-root has exactly one
+      // edge (child > root); roots label themselves.
+      val nodes = pairs.select(col("id1").as("node"))
+        .unionByName(pairs.select(col("id2").as("node")))
+        .distinct()
+      val result = nodes
+        .join(edges.select(col("u").as("node"), col("v").as("lab")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("lab"), col("node")).as("label"))
+        .localCheckpoint(true)
+      edges.unpersist(false)
+      result
+    } finally {
+      canonical.unpersist(false)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}

@@ -223,7 +223,11 @@ object Dedup {
         val stepped = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
           .select(col("node"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .persist(MEMORY_AND_DISK)
+          // eager localCheckpoint, not persist: cuts lineage so Catalyst
+          // analysis stays O(1) per round (labels appears twice per
+          // round — a persisted-but-uncut plan goes exponential past
+          // ~10 rounds on high-diameter graphs)
+          .localCheckpoint(true)
         changed = stepped.filter(col("label") < col("old_label")).count()
         val prev = persisted
         persisted = stepped
@@ -257,6 +261,24 @@ object Dedup {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  /** [[lshClusters]] with the alternating large-star/small-star
+    * contraction ([[ConnectedComponents]]) instead of min-label
+    * propagation: O(log² path) rounds instead of O(diameter), the
+    * documented scale path for adversarial (chain-shaped) candidate
+    * graphs. Identical output contract — same clusters, same keeper,
+    * same oracle. */
+  def lshClustersScalable(docs: DataFrame, bands: Int = 4,
+                          rowsPerBand: Int = 2, dupMod: Long = 250,
+                          maxRounds: Int = 30): DataFrame = {
+    val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    ConnectedComponents.components(pairs, maxRounds)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-row MinHash signatures (no aggregation): one h32 per shingle

@@ -57,6 +57,15 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"chunking plans $exchanges exchanges:\n$chunk")
   }
 
+  test("oracle-checked salted join really joins on (key, salt)") {
+    val plan = SparkEntry.queries("q_salted_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("HashJoin"))
+    assert(joinLine.isDefined, s"no hash join in plan:\n$plan")
+    assert(joinLine.get.contains("_salt"),
+      s"join keys must include the salt, got: ${joinLine.get}")
+  }
+
   test("salted join equals direct join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("value"))
