@@ -450,6 +450,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- D31–D33: event analytics (time-weighted avg, funnel, cohorts)
+    "q_twa" -> ((s, d) =>
+      ops.Analytics.timeWeightedAvg(
+        Tables.events(s, d).select(col("user_id"), col("ts_us"),
+          cents(col("value")).as("v_cents")))),
+    "q_funnel" -> ((s, d) => ops.Analytics.funnel(Tables.events(s, d))),
+    "q_cohort" -> ((s, d) => ops.Analytics.cohortRetention(Tables.events(s, d))),
+
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
     // Scalar quantile columns (not an array): the driver's pandas
@@ -1461,6 +1469,61 @@ object SparkEntry {
         |FROM t
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, v_cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS next_ts
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(sum((next_ts - ts_us) * v_cents), 0) AS BIGINT) AS wsum,
+        |    CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, wsum, span_us,
+        |  CASE WHEN span_us > 0
+        |    THEN CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE)
+        |    ELSE -1.0 END AS twa_cents
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts_us > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts_us > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT t1.user_id, t1.t1 AS t1_us,
+        |  COALESCE(t2.t2, -1) AS t2_us,
+        |  COALESCE(t3.t3, -1) AS t3_us,
+        |  CAST(1 + CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin,
+
+    "q_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_salted_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators (SURVEY.md §2 D31–D33): time-weighted
+  * averages, ordered funnels, cohort retention. All exact-integer
+  * arithmetic (µs timestamps, cent values, epoch-relative week indexes)
+  * so the DuckDB twins are hash-identical.
+  *
+  * Shuffle inventory: every operator shuffles the event stream once on
+  * `user_id` (window or aggregation) and then works on user-sized
+  * frames; at 100 TB the user-keyed exchanges dominate and nothing else
+  * touches the raw stream twice.
+  */
+object Analytics {
+
+  /** D31 — per-user time-weighted average: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_max−t_min),
+    * the step-function integral of a piecewise-constant metric. Weighted
+    * products and span are exact BIGINT; the average is one IEEE
+    * division at the end. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    events
+      .select(col("user_id"), col("ts_us"), col("v_cents"))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .withColumn("wprod", (col("next_ts") - col("ts_us")) * col("v_cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(col("wprod")), lit(0L)).as("wsum"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+      .withColumn("twa_cents",
+        when(col("span_us") > 0,
+          col("wsum").cast("double") / col("span_us").cast("double"))
+          .otherwise(lit(-1d)))
+      .orderBy(col("user_id"))
+  }
+
+  /** D32 — ordered three-step funnel: first `step1`, then the first
+    * `step2` strictly after it, then the first `step3` strictly after
+    * that. One row per user who entered the funnel; unreached steps are
+    * −1 and `stage` counts completed steps. Each stage is a user-keyed
+    * min-aggregation joined to the previous stage's (user, time) frame —
+    * the classic cascading-min formulation, no per-user event sorting.
+    */
+  def funnel(events: DataFrame, step1: String = "view",
+             step2: String = "click", step3: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("ts_us"), col("event_type"))
+    val t1 = e.filter(col("event_type") === step1)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val t2 = e.filter(col("event_type") === step2).as("e")
+      .join(t1.as("s"), col("e.user_id") === col("s.user_id") &&
+        col("e.ts_us") > col("s.t1"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts_us")).as("t2"))
+    val t3 = e.filter(col("event_type") === step3).as("e")
+      .join(t2.as("s"), col("e.user_id") === col("s.user_id") &&
+        col("e.ts_us") > col("s.t2"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts_us")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t1").as("t1_us"),
+        coalesce(col("t2"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3"), lit(-1L)).as("t3_us"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+          + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D33 — weekly cohort retention: users bucketed by their first active
+    * epoch-week, counted in each subsequent week they return. Weeks are
+    * epoch-relative integer indexes (`ts_us div 7·86400·10⁶`) — no
+    * calendar semantics to diverge between engines. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val uw = events
+      .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+}
