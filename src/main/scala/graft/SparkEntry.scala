@@ -450,6 +450,10 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- E27: blocked fuzzy lookup (entity resolution by edit distance)
+    "q_fuzzy" -> ((s, d) =>
+      ops.FuzzyMatch.fuzzyLookup(Tables.part(s, d), "p_partkey", "p_name")),
+
     // ---- D31–D33: event analytics (time-weighted avg, funnel, cohorts)
     "q_twa" -> ((s, d) =>
       ops.Analytics.timeWeightedAvg(
@@ -1469,6 +1473,25 @@ object SparkEntry {
         |FROM t
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_fuzzy" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS rid, p_name AS name,
+        |    string_split(p_name,' ')[1] || '|' ||
+        |      substr(string_split(p_name,' ')[2],1,1) AS blk
+        |  FROM part),
+        |cand AS (
+        |  SELECT q.rid AS q_id, r.rid AS match_id,
+        |    CAST(levenshtein(q.name, r.name) AS BIGINT) AS dist
+        |  FROM p q JOIN p r ON q.blk = r.blk AND q.rid <> r.rid
+        |  WHERE q.rid % 199 = 0 AND levenshtein(q.name, r.name) <= 2),
+        |ranked AS (
+        |  SELECT q_id, match_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dist, match_id) AS BIGINT) AS rn
+        |  FROM cand)
+        |SELECT q_id, match_id, dist, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q_twa" ->
       """WITH e AS (

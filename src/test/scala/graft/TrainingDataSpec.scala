@@ -74,6 +74,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(out == Map(1L -> 1L))
   }
 
+  test("fuzzy lookup ranks an injected near-duplicate name first") {
+    import spark.implicits._
+    val recs = Seq(
+      (0L, "blue anvil"),      // query (0 % 199 == 0)
+      (1L, "blue anvel"),      // dist 1 — must rank first
+      (2L, "blue anvils"),     // dist 1 — ties on dist, loses on id
+      (3L, "blue abacus"),     // dist > 2 — excluded
+      (4L, "green anvil"))     // different block — never considered
+      .toDF("rid", "nm")
+    val out = graft.ops.FuzzyMatch.fuzzyLookup(recs, "rid", "nm").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
   test("stratified sample takes at most perKey per language, deterministically") {
     val docs = Tables.documents(spark, sf)
     val out = TrainingData.stratifiedSample(docs, perKey = 7).collect()
