@@ -373,7 +373,10 @@ object SparkEntry {
           Array(col("price_cents"), col("discount_cents"), col("tax_cents"),
             col("qty")),
           "metric", "v")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      // no trailing orderBy: a melt has no ordering contract, the
+      // correctness compare is order-insensitive, and at scale the
+      // global range sort of the (4x) exploded output would be the
+      // single most expensive node in an otherwise map-only plan
     }),
 
     // ---- E20–E25: training-data prep (chunking, repetition gate, PII

@@ -19,7 +19,13 @@ object Analytics {
   /** D31 — per-user time-weighted average: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_max−t_min),
     * the step-function integral of a piecewise-constant metric. Weighted
     * products and span are exact BIGINT; the average is one IEEE
-    * division at the end. */
+    * division at the end.
+    *
+    * Overflow bound: Σ durations = span, so |Σ v·dur| ≤ max|v|·span —
+    * a key overflows BIGINT only if max|v_cents|·span_µs > 2⁶³ (e.g.
+    * values above ~$3M held across a full year). ANSI mode makes any
+    * such overflow a loud error, never a silent wrap; rescale the value
+    * unit (cents → dollars) for such domains. */
   def timeWeightedAvg(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     events
