@@ -457,6 +457,10 @@ object SparkEntry {
     "q_fuzzy" -> ((s, d) =>
       ops.FuzzyMatch.fuzzyLookup(Tables.part(s, d), "p_partkey", "p_name")),
 
+    // ---- D34: Z-order clustering statistics (native ZValueL interleave;
+    // tight per-bucket spans on BOTH dims = multi-dimensional file skipping)
+    "q_zorder" -> ((s, d) => ops.ZOrder.zStats(Tables.events(s, d))),
+
     // ---- D31–D33: event analytics (time-weighted avg, funnel, cohorts)
     "q_twa" -> ((s, d) =>
       ops.Analytics.timeWeightedAvg(
@@ -1495,6 +1499,20 @@ object SparkEntry {
         |  FROM cand)
         |SELECT q_id, match_id, dist, rn FROM ranked
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q_zorder" ->
+      """WITH e AS (
+        |  SELECT user_id % 1024 AS d1,
+        |    (epoch_us(ts) // 3600000000) % 1024 AS d2 FROM events),
+        |z AS (
+        |  SELECT d1, d2, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 10),
+        |      i -> (((d1 >> i) & 1) << (2*i)) | (((d2 >> i) & 1) << (2*i+1)))),
+        |    (a,b) -> a | b) AS z FROM e)
+        |SELECT z // 1024 AS z_bucket, count(*) AS n,
+        |  CAST(min(d1) AS BIGINT) AS d1_min, CAST(max(d1) AS BIGINT) AS d1_max,
+        |  CAST(min(d2) AS BIGINT) AS d2_min, CAST(max(d2) AS BIGINT) AS d2_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_twa" ->
       """WITH e AS (

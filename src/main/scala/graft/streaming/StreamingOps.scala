@@ -139,4 +139,32 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
+
+  /** F8 — stream-stream interval join: each purchase matched to the same
+    * user's error events in the preceding `maxGapMinutes`. Both sides
+    * carry watermarks, so Spark buffers only the interval's worth of
+    * state per key and evicts rows as the watermark advances — the
+    * streaming twin of the banded batch range join (D18), with the
+    * state bound playing the role of the time bucket. */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame,
+                        watermark: String = "30 minutes",
+                        maxGapMinutes: Int = 10): DataFrame = {
+    val p = purchases.withWatermark("ts_t", watermark)
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"),
+        col("amt_cents"))
+    val e = errors.withWatermark("ts_t", watermark)
+      .select(col("user_id").as("e_user"), col("ts_t").as("e_ts"))
+    p.join(e, expr(
+      s"""p_user = e_user AND
+         |e_ts BETWEEN p_ts - INTERVAL $maxGapMinutes MINUTES AND p_ts
+         |""".stripMargin))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("e_ts"),
+        col("amt_cents"))
+  }
+
+  /** F9 — stream-static enrichment: the event stream joined to a batch
+    * dimension. The static side broadcasts per micro-batch; no
+    * streaming state at all. */
+  def enrichStream(txns: DataFrame, clients: DataFrame): DataFrame =
+    txns.join(broadcast(clients), Seq("user_id"), "left")
 }

@@ -78,6 +78,21 @@ class ExpressionSpec extends SparkSpec {
     assert(qs == 0)
   }
 
+  test("z_value_l equals the HOF bit-interleave fold") {
+    val d = Tables.events(spark, sf).select(
+      expr("user_id % 1024").as("d1"),
+      expr("(ts_us div 3600000000) % 1024").as("d2"))
+    val hof = expr(
+      """aggregate(sequence(0, 9), 0L, (acc, i) ->
+        |  acc + shiftleft(shiftright(d1, i) & 1L, 2*i)
+        |      + shiftleft(shiftright(d2, i) & 1L, 2*i + 1))""".stripMargin)
+    val mismatches = d.select(
+      graft.functions.ZValue.zValueL(col("d1"), col("d2"), 10).as("native"),
+      hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("srp_sig_l equals the composed per-bit fold on real embeddings") {
     val v = Tables.embeddings(spark, sf)
       .withColumn("svec", transform(col("embedding"),

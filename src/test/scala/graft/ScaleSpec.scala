@@ -57,6 +57,27 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"chunking plans $exchanges exchanges:\n$chunk")
   }
 
+  test("z-order layout bounds BOTH dimension spans per partition") {
+    import spark.implicits._
+    // 64x64 grid, one row per cell; 16 partitions. A single-column range
+    // layout gives the other dimension a span of 63 in every partition;
+    // the z-curve must bound both.
+    val grid = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
+      .toDF("d1", "d2")
+    val laid = graft.ops.ZOrder.layout(grid, "d1", "d2", bits = 6,
+      numPartitions = 16)
+    val spans = laid
+      .select(col("d1"), col("d2"), spark_partition_id().as("p"))
+      .groupBy(col("p"))
+      .agg((max(col("d1")) - min(col("d1"))).as("s1"),
+        (max(col("d2")) - min(col("d2"))).as("s2"))
+      .collect()
+    val avg1 = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avg2 = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    assert(avg1 < 40 && avg2 < 40,
+      s"z-layout spans too wide: d1 $avg1, d2 $avg2 (naive layout = 63)")
+  }
+
   test("oracle-checked salted join really joins on (key, salt)") {
     val plan = SparkEntry.queries("q_salted_join")(spark, sf)
       .queryExecution.executedPlan.toString

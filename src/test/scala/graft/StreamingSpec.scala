@@ -140,6 +140,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F8: stream-stream interval join matches errors within the gap only") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Timestamp, Long, Long)]
+    val eIn = MemoryStream[(Timestamp, Long)]
+    val purchases = pIn.toDF().toDF("ts_t", "user_id", "amt_cents")
+    val errors = eIn.toDF().toDF("ts_t", "user_id")
+    val q = StreamingOps.purchaseErrorJoin(purchases, errors,
+      watermark = "30 minutes", maxGapMinutes = 10)
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      eIn.addData(
+        (Timestamp.valueOf("2024-01-01 09:55:00"), 1L),  // in gap
+        (Timestamp.valueOf("2024-01-01 09:30:00"), 1L),  // too early
+        (Timestamp.valueOf("2024-01-01 09:58:00"), 2L))  // other user
+      pIn.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select(col("user_id"), col("e_ts")).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getTimestamp(1) == Timestamp.valueOf("2024-01-01 09:55:00"))
+    } finally q.stop()
+  }
+
+  test("F9: stream-static enrichment joins the batch dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val txns = in.toDF().toDF("ts_t", "user_id", "amt_cents")
+    val clients = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val q = StreamingOps.enrichStream(txns, clients)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 9L, 200L))  // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich")
+        .select(col("user_id"), col("segment")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(1L -> Some("GOLD"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("F3: streaming dedup drops exact duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
