@@ -196,6 +196,14 @@ object SparkEntry {
         key = "user_id", tsUs = "ts_us", valueCents = "v_cents",
         stepUs = 21600000000L)),
 
+    // ---- D35: linear-interpolation gap fill on the same grid
+    "q_interp" -> ((s, d) =>
+      ops.Resample.interpolatedGrid(
+        Tables.events(s, d).select(col("user_id"), col("ts_us"),
+          cents(col("value")).as("v_cents")),
+        key = "user_id", tsUs = "ts_us", valueCents = "v_cents",
+        stepUs = 21600000000L)),
+
     "q_tfidf_top" -> ((s, d) => ops.TextAnalysis.tfidfTop(Tables.documents(s, d))),
     "q_bigrams" -> ((s, d) => ops.TextAnalysis.bigramCounts(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
@@ -1032,6 +1040,37 @@ object SparkEntry {
         |FROM grid g ASOF LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND g.grid_us >= o.ts_us
         |ORDER BY g.user_id, g.grid_us""".stripMargin,
+
+    "q_interp" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents FROM events),
+        |obs AS (SELECT user_id, ts_us, max(v_cents) AS v FROM t GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(ts_us) AS tmin, max(ts_us) AS tmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(tmin // 21600000000 * 21600000000,
+        |    tmax // 21600000000 * 21600000000 + 1, 21600000000)) AS grid_us
+        |  FROM b),
+        |p AS (
+        |  SELECT g.user_id, g.grid_us, o.ts_us AS p_t, o.v AS p_v
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.grid_us >= o.ts_us),
+        |n AS (
+        |  SELECT g.user_id, g.grid_us, o.ts_us AS n_t, o.v AS n_v
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.grid_us <= o.ts_us)
+        |SELECT p.user_id, p.grid_us,
+        |  CASE
+        |    WHEN p.p_t IS NULL AND n.n_t IS NULL THEN -1.0
+        |    WHEN p.p_t IS NULL THEN CAST(n.n_v AS DOUBLE)
+        |    WHEN n.n_t IS NULL THEN CAST(p.p_v AS DOUBLE)
+        |    WHEN n.n_t = p.p_t THEN CAST(p.p_v AS DOUBLE)
+        |    ELSE (CAST((n.n_v - p.p_v) * (p.grid_us - p.p_t) AS DOUBLE)
+        |      / (n.n_t - p.p_t)) + p.p_v
+        |  END AS v_interp
+        |FROM p JOIN n ON p.user_id = n.user_id AND p.grid_us = n.grid_us
+        |ORDER BY p.user_id, p.grid_us""".stripMargin,
 
     "q_asof_prior" ->
       """WITH p AS (

@@ -36,6 +36,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
+  test("property: agrees with driver-side union-find on random graphs") {
+    // deterministic LCG so the test is reproducible
+    var seed = 0x9E3779B97F4A7C15L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (math.abs(seed >> 33) % bound).toInt
+    }
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val pairs = (1 to n).map(_ => (next(n).toLong, next(n).toLong))
+        .filter(p => p._1 != p._2)
+      // reference: union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map { v =>
+        // component min = min node id sharing v's root
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = ConnectedComponents.components(pairs.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+
   test("star contraction agrees with min-label propagation on the real LSH graph") {
     val docs = Tables.documents(spark, sf)
     val viaStars = Dedup.lshClustersScalable(docs).collect()

@@ -157,6 +157,18 @@ class OpsSpec extends SparkSpec {
       (40L, -1L, 0L)))
   }
 
+  test("linear interpolation brackets, extends edges, and honors co-timed obs") {
+    import spark.implicits._
+    // obs at t=10 (v=100) and t=30 (v=300); grid step 10 → points 10,20,30.
+    // 20 interpolates to 200; 10 and 30 sit ON observations.
+    val ev = Seq((1L, 10L, 100L), (1L, 30L, 300L))
+      .toDF("k", "t_us", "v_cents")
+    val out = graft.ops.Resample
+      .interpolatedGrid(ev, "k", "t_us", "v_cents", 10L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out == Map(10L -> 100.0, 20L -> 200.0, 30L -> 300.0))
+  }
+
   test("lshClusters fails fast when label propagation cannot converge") {
     val docs = Tables.documents(spark, sf).limit(200)
     val ex = intercept[IllegalStateException] {
