@@ -196,6 +196,25 @@ object SparkEntry {
         key = "user_id", tsUs = "ts_us", valueCents = "v_cents",
         stepUs = 21600000000L)),
 
+    // ---- D36: recursive CTE — hierarchy walk (Spark 4.1 WITH RECURSIVE).
+    // Derived tree: parent(custkey) = custkey div 10, roots < 10; the
+    // walk labels every customer with its root and depth, then rolls up.
+    "q_hierarchy" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        WITH RECURSIVE h(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.root, h.depth + 1
+          FROM customer c JOIN h ON c.c_custkey div 10 = h.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, depth, count(*) AS n,
+          min(custkey) AS min_k, max(custkey) AS max_k
+        FROM h GROUP BY root, depth ORDER BY root, depth""")
+    }),
+
     // ---- D35: linear-interpolation gap fill on the same grid
     "q_interp" -> ((s, d) =>
       ops.Resample.interpolatedGrid(
@@ -1040,6 +1059,19 @@ object SparkEntry {
         |FROM grid g ASOF LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND g.grid_us >= o.ts_us
         |ORDER BY g.user_id, g.grid_us""".stripMargin,
+
+    "q_hierarchy" ->
+      """WITH RECURSIVE h(custkey, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT root, depth, count(*) AS n,
+        |  min(custkey) AS min_k, max(custkey) AS max_k
+        |FROM h GROUP BY root, depth ORDER BY root, depth""".stripMargin,
 
     "q_interp" ->
       """WITH t AS (

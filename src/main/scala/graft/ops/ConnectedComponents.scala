@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Each half-round is one aggregation + one join over the EDGE list
   * (never the corpus), with the same graph-sized scoped shuffle
-  * partitioning as lshClusters. Convergence is detected as a fixed
-  * point of the round composition (count + order-insensitive xxhash64
-  * XOR — no overflow, ANSI-safe).
+  * partitioning as lshClusters. Convergence is the terminal state
+  * itself — the edge set is a disjoint star forest (no root is a
+  * child, one edge per child) — probed directly each round, which ends
+  * the loop one full round earlier than fixed-point signature
+  * comparison would.
   */
 object ConnectedComponents {
 
@@ -69,26 +71,32 @@ object ConnectedComponents {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      def signature(e: DataFrame): (Long, Long) = {
-        val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
-          .collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      // Terminal-state test, checked directly instead of waiting for a
+      // whole extra confirming round: the edge set is a disjoint star
+      // forest iff no root is also a child (no v appears as a u) AND
+      // every child has exactly one edge. Stars are a fixed point of
+      // both half-rounds, so this is exactly convergence — one light
+      // probe per round in place of a fourth of the loop's work.
+      def isStarForest(e: DataFrame): Boolean = {
+        val chained = e.as("a").join(e.as("b"), col("a.v") === col("b.u"))
+          .limit(1).count() > 0
+        if (chained) false
+        else {
+          val r = e.agg(count(lit(1)), count_distinct(col("u"))).collect()(0)
+          r.getLong(0) == r.getLong(1)
+        }
       }
       var edges = canonical
-      var sig = signature(edges)
       var round = 0
-      var converged = false
+      var converged = isStarForest(edges)
       while (!converged && round < maxRounds) {
         // localCheckpoint (eager) CUTS LINEAGE each round: without it the
         // logical plan nests the whole history (union+join+distinct per
         // round, ~4× branching), and Catalyst analysis alone goes
         // exponential by round ~10. Old checkpoint blocks are graph-sized
         // and free on GC of the superseded frame.
-        val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        val nextSig = signature(next)
-        converged = nextSig == sig
-        edges = next
-        sig = nextSig
+        edges = smallStar(largeStar(edges)).localCheckpoint(true)
+        converged = isStarForest(edges)
         round += 1
       }
       if (!converged)

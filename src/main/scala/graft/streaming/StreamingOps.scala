@@ -167,4 +167,21 @@ object StreamingOps {
     * streaming state at all. */
   def enrichStream(txns: DataFrame, clients: DataFrame): DataFrame =
     txns.join(broadcast(clients), Seq("user_id"), "left")
+
+  /** F10 — native session windows: per-user sessions closed by `gap` of
+    * inactivity, the streaming twin of the batch sessionizer (D17).
+    * `session_window` merges its keyed state as events arrive and emits
+    * a session once the watermark passes its close — state per key is
+    * one open session, not an event buffer. */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(session_window(col("ts_t"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("amt_cents")).as("sum_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_cents"))
 }

@@ -183,6 +183,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F10: session windows merge within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val events = in.toDF().toDF("ts_t", "user_id", "amt_cents")
+    val q = StreamingOps.sessionizedCounts(events, gap = "30 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 10L),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 20L),   // same session
+        (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 40L),   // new session
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("sum_cents")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 2L, 30L), (1L, 1L, 40L), (2L, 1L, 5L)))
+    } finally q.stop()
+  }
+
   test("F3: streaming dedup drops exact duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
