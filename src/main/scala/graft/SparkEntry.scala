@@ -225,6 +225,9 @@ object SparkEntry {
 
     "q_tfidf_top" -> ((s, d) => ops.TextAnalysis.tfidfTop(Tables.documents(s, d))),
     "q_bigrams" -> ((s, d) => ops.TextAnalysis.bigramCounts(Tables.documents(s, d))),
+    // E28: corpus-conditional bigram frequency averaged per doc — the
+    // deterministic stand-in for LM-perplexity quality filtering
+    "q_coherence" -> ((s, d) => ops.TextAnalysis.bigramCoherence(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     // Learned KMeans coarse quantizer, nprobe=2. KMeans float math isn't
@@ -1249,6 +1252,29 @@ object SparkEntry {
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram HAVING count(*) >= 10
         |ORDER BY bigram""".stripMargin,
+
+    "q_coherence" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t),
+        |model AS (
+        |  SELECT bg, count(*) AS bg_cnt, string_split(bg,' ')[1] AS w1
+        |  FROM db GROUP BY bg),
+        |prefix AS (
+        |  SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS w1_cnt
+        |  FROM model GROUP BY w1),
+        |scored AS (
+        |  SELECT m.bg, m.bg_cnt * 1000000 // p.w1_cnt AS ppm
+        |  FROM model m JOIN prefix p ON m.w1 = p.w1)
+        |SELECT d.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(s.ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(sum(s.ppm) AS BIGINT) // count(*) AS coherence_ppm
+        |FROM db d JOIN scored s ON d.bg = s.bg
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

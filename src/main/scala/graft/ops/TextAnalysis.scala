@@ -136,6 +136,42 @@ object TextAnalysis {
       .orderBy(col("bigram"))
   }
 
+  /** E28 — bigram coherence score: for every bigram occurrence in a
+    * document, the corpus-level conditional frequency P(w₂|w₁) in exact
+    * ppm (bigram count ·1e6 div prefix count), averaged per document.
+    * A fluency/boilerplate heuristic: text whose transitions are common
+    * in the corpus scores high, shuffled or off-domain text scores low —
+    * the deterministic stand-in for an LM perplexity filter (log-prob
+    * scoring is libm-dependent and can't hash-match across engines).
+    *
+    * Plan: one corpus explode → bigram counts (vocabulary-sized) →
+    * prefix counts derived FROM the bigram table (no second corpus
+    * pass) → broadcast model join back onto the exploded stream →
+    * doc-keyed average. Two corpus-sized shuffles, model joins are
+    * broadcasts. */
+  def bigramCoherence(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toksCol = col("toks")
+    val bigramsExpr = transform(sequence(lit(1), size(toksCol) - 1),
+      i => concat_ws(" ", element_at(toksCol, i), element_at(toksCol, i + 1)))
+    val docBigrams = docs
+      .repartition(par, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode_outer(bigramsExpr).as("bg"))
+    val model = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("bg_cnt")).as("w1_cnt"))
+    val scored = model.join(broadcast(prefix), Seq("w1"))
+      .select(col("bg"), expr("bg_cnt * 1000000 div w1_cnt").as("ppm"))
+    docBigrams
+      .join(broadcast(scored), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .withColumn("coherence_ppm", expr("sum_ppm div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E10 — document fingerprint: left fold of a polynomial rolling hash
     * over per-token 32-bit hashes, mod a Mersenne prime. Order-sensitive
     * (same bag, different order → different fingerprint), unlike a

@@ -157,6 +157,18 @@ class OpsSpec extends SparkSpec {
       (40L, -1L, 0L)))
   }
 
+  test("bigram coherence ranks common transitions above unique ones") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t, "en", "s", t.length.toLong)
+    val docs = ((0L until 10L).map(i => mk(i, "alpha beta alpha beta alpha beta"))
+      :+ mk(99L, "zeta qoph alpha nu"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = graft.ops.TextAnalysis.bigramCoherence(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(0L) > scores(99L),
+      s"common-transition doc must outscore the outlier: $scores")
+  }
+
   test("linear interpolation brackets, extends edges, and honors co-timed obs") {
     import spark.implicits._
     // obs at t=10 (v=100) and t=30 (v=300); grid step 10 → points 10,20,30.
