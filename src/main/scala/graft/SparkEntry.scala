@@ -417,6 +417,10 @@ object SparkEntry {
     "q_split" -> ((s, d) => ops.TrainingData.hashSplit(Tables.documents(s, d))),
     "q_contam" -> ((s, d) => ops.TrainingData.contamination(Tables.documents(s, d))),
     "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
+    // E29: exact-substring-dedup signal — token coverage by corpus-duplicated n-grams
+    "q_dupspan" -> ((s, d) => ops.TrainingData.dupSpanCoverage(Tables.documents(s, d))),
+    // E30: shard-parallel GPT-style sequence packing (no global cumsum)
+    "q_pack" -> ((s, d) => ops.TrainingData.packSequences(Tables.documents(s, d))),
 
     // ---- D27: GROUPING SETS with grouping() flags (SQL-text entry;
     // grouped-out keys coalesced to sentinels so the flags, not NULLs,
@@ -1553,6 +1557,47 @@ object SparkEntry {
         |      AS BIGINT), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_dupspan" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, n, toks,
+        |    unnest(range(0, len(toks) - 2)) AS pos0 FROM b),
+        |g2 AS (SELECT doc_id, n, pos0,
+        |    CAST(('0x'||substr(md5(
+        |      array_to_string(toks[pos0+1:pos0+3], ' ')),1,8)) AS BIGINT) AS g
+        |  FROM g),
+        |dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, n, pos0,
+        |    lead(pos0) OVER (PARTITION BY doc_id ORDER BY pos0) AS nxt
+        |  FROM g2 JOIN dup USING (g)),
+        |cov AS (SELECT doc_id, n, count(*) AS dup_grams,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 3
+        |      ELSE least(3, nxt - pos0) END) AS BIGINT) AS cov_toks
+        |  FROM d GROUP BY doc_id, n)
+        |SELECT b.doc_id, b.n AS n_tokens, b.n - 2 AS n_grams,
+        |  COALESCE(dup_grams, 0) AS n_dup_grams,
+        |  COALESCE(cov_toks, 0) AS covered_tokens,
+        |  COALESCE(cov_toks, 0) * 1000000 // b.n AS coverage_ppm
+        |FROM b LEFT JOIN cov USING (doc_id, n)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 32
+        |      AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  (cum - n_tok) % 512 AS seq_offset,
+        |  (cum - n_tok) // 512 AS seq_id,
+        |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(c_mktsegment, '(all)') AS seg,

@@ -188,6 +188,89 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** E29 — duplicated-n-gram span coverage, the per-document signal
+    * behind exact-substring train-set dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * the fraction of its tokens covered by n-grams that occur ≥
+    * `minCount` times in the whole corpus. Real pipelines use 8–13-gram
+    * windows over suffix arrays; the plan is identical at any `gram`
+    * (the synthetic vocabulary only collides at small n).
+    *
+    * Covered-token count is the exact union of the (overlapping) dup-gram
+    * intervals, computed from consecutive dup positions with a `lead`
+    * window — `min(gram, next_pos − pos)` per gram, `gram` for the last —
+    * NOT by exploding each gram into its `gram` positions and
+    * de-duplicating (which would multiply the shuffle by the window
+    * width).
+    *
+    * Shuffle inventory: corpus explode → count shuffle on the gram hash,
+    * join-back shuffle on the same key, then one doc-keyed window+agg;
+    * the dup-gram set stays distributed (it is corpus-sized at 100 TB —
+    * never broadcast).
+    */
+  def dupSpanCoverage(docs: DataFrame, gram: Int = 3, minCount: Long = 2)
+      : DataFrame = {
+    require(gram >= 2, "gram must be ≥ 2")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .filter(col("n") >= gram)
+    val grams = base.select(col("doc_id"), col("n"),
+      posexplode_outer(transform(sequence(lit(1), size(col("toks")) - (gram - 1)),
+        i => h32(array_join(slice(col("toks"), i, lit(gram)), " "))))
+        .as(Seq("pos0", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+    val covered = grams.join(dup, Seq("g"))
+      .withColumn("nxt", lead(col("pos0"), 1).over(w))
+      .select(col("doc_id"), col("n"),
+        when(col("nxt").isNull, lit(gram.toLong))
+          .otherwise(least(lit(gram.toLong),
+            (col("nxt") - col("pos0")).cast(LongType))).as("cov"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("dup_grams"), sum(col("cov")).as("cov_toks"))
+    base.select(col("doc_id"), col("n"))
+      .join(covered, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - (gram - 1)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("cov_toks"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_ppm", expr("covered_tokens * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E30 — GPT-style sequence packing: concatenate documents and cut at
+    * fixed `budget`-token boundaries, emitting each document's packed
+    * position (sequence id, offset, sequences spanned). Packing runs
+    * independently inside `shards` hash shards — a document's placement
+    * depends only on its shard's predecessors, so there is NO global
+    * sort/cumsum (the classic single-partition scale-killer); each shard
+    * is one bounded window sort, shards pack in parallel, and real
+    * pipelines shard exactly like this (per input file). Deterministic:
+    * shard = salted id hash, order = doc_id within shard.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512, shards: Int = 32)
+      : DataFrame = {
+    require(budget > 0 && shards > 0, "budget/shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("shard",
+        pmod(h32(concat(lit("pack:"), col("doc_id").cast("string"))),
+          lit(shards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) % $budget").as("seq_offset"),
+        expr(s"(cum - n_tok) div $budget").as("seq_id"),
+        expr(s"(cum - 1) div $budget - (cum - n_tok) div $budget + 1")
+          .as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E25 — stratified sampling: a deterministic pseudo-random `perKey`
     * documents per stratum (language), ranked by a salted id hash. The
     * window's top-N is pushed down as a group-limit (WindowGroupLimit),

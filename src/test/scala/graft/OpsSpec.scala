@@ -181,6 +181,40 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(10L -> 100.0, 20L -> 200.0, 30L -> 300.0))
   }
 
+  test("dup-span coverage unions overlapping dup-gram intervals exactly") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t, "en", "s", t.length.toLong)
+    // "a b c" is the only cross-doc dup 3-gram between docs 1 and 2;
+    // doc 3 repeats every one of its 3-grams (full self-overlap).
+    val docs = Seq(
+      mk(1L, "a b c d e"),
+      mk(2L, "x a b c y"),
+      mk(3L, "a b c a b c a b"),
+      mk(4L, "p q r s t")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TrainingData.dupSpanCoverage(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((1L, 3L, 600000L)))   // 3 of 5 tokens covered
+    assert(out(2L) == ((1L, 3L, 600000L)))
+    assert(out(3L) == ((6L, 8L, 1000000L)))  // overlapping dups → whole doc
+    assert(out(4L) == ((0L, 0L, 0L)))        // no dup grams at all
+  }
+
+  test("sequence packing assigns boundary-straddling docs to both sequences") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t, "en", "s", t.length.toLong)
+    val docs = Seq(
+      mk(1L, "t t t"), mk(2L, "t t t t"), mk(3L, "t t t t t"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one shard, budget 6: cum = 3, 7, 12
+    val out = graft.ops.TrainingData.packSequences(docs, budget = 6, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 1L)))  // fits in seq 0
+    assert(out(2L) == ((3L, 0L, 2L)))  // starts at offset 3, spills into seq 1
+    assert(out(3L) == ((1L, 1L, 1L)))  // starts inside seq 1, ends at 11
+  }
+
   test("lshClusters fails fast when label propagation cannot converge") {
     val docs = Tables.documents(spark, sf).limit(200)
     val ex = intercept[IllegalStateException] {
