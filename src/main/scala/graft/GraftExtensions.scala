@@ -13,6 +13,9 @@ import graft.functions.{DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (logical AsOfJoinNode → AsOfJoinExec streaming merge).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),

@@ -170,6 +170,13 @@ object SparkEntry {
         key = "user_id", timeCol = "ts_us", idCol = "event_id",
         typeCol = "event_type", queryType = "purchase", refType = "error")
         .orderBy(col("event_id"))),
+    // ---- I12: same as-of contract through the native AsOfJoinExec
+    // (custom LogicalPlan + Strategy + SparkPlan streaming merge)
+    "q_asof_native" -> ((s, d) =>
+      ops.AsOfJoin.lastPriorEventNative(Tables.events(s, d),
+        key = "user_id", timeCol = "ts_us", idCol = "event_id",
+        typeCol = "event_type", queryType = "purchase", refType = "error")
+        .orderBy(col("event_id"))),
 
     // ---- D25: SQL entrypoint + LATERAL correlated subquery (top-2
     // customers per nation). Users of the engine can hand it SQL text;
@@ -1112,6 +1119,20 @@ object SparkEntry {
         |ORDER BY p.user_id, p.grid_us""".stripMargin,
 
     "q_asof_prior" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  COALESCE(e.ts_us, -1) AS asof_ts,
+        |  COALESCE(p.ts_us - e.ts_us, -1) AS gap
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_native" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |  WHERE event_type = 'purchase'),

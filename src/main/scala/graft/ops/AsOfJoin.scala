@@ -39,4 +39,24 @@ object AsOfJoin {
         coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
         coalesce(col(timeCol) - col("asof_ts"), lit(-1L)).as("gap"))
   }
+
+  /** [[lastPriorEvent]] through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinExec]]) instead of the union+window
+    * composition — same output contract, same DuckDB `ASOF LEFT JOIN`
+    * oracle, so the custom exec is held to the exact semantics of the
+    * built-in path. Right side aliased (self-join attribute hygiene). */
+  def lastPriorEventNative(events: DataFrame, key: String, timeCol: String,
+                           idCol: String, typeCol: String,
+                           queryType: String, refType: String): DataFrame = {
+    val q = events.filter(col(typeCol) === queryType)
+      .select(col(idCol), col(key), col(timeCol))
+    val r = events.filter(col(typeCol) === refType)
+      .select(col(key).as("ref_key"), col(timeCol).as("ref_ts"))
+    graft.plans.AsOfNative
+      .join(q, r, Seq(q(key)), Seq(r("ref_key")), q(timeCol), r("ref_ts"))
+      .select(
+        col(idCol), col(key), col(timeCol),
+        coalesce(col("ref_ts"), lit(-1L)).as("asof_ts"),
+        coalesce(col(timeCol) - col("ref_ts"), lit(-1L)).as("gap"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfNative
+import graft.sources.Tables
+
+/** The native as-of join (custom LogicalPlan → Strategy → SparkPlan):
+  * semantics pinned against the window composition and by hand-built
+  * edge cases; plan shape pinned to one AsOfJoinExec over exactly two
+  * exchanges. (The DuckDB native-ASOF oracle covers it end-to-end via
+  * `q_asof_native`.) */
+class PlansSpec extends SparkSpec {
+
+  /** The shared test session is built without GraftExtensions; register
+    * the strategy through the public experimental-methods hook. */
+  private def withStrategy(): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+  }
+
+  test("native as-of equals the window composition on real events") {
+    withStrategy()
+    val ev = Tables.events(spark, sf)
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String, String,
+        String, String) => org.apache.spark.sql.DataFrame) =
+      f(ev, "user_id", "ts_us", "event_id", "event_type", "purchase", "error")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+    val composed = run(ops.AsOfJoin.lastPriorEvent)
+    val native = run(ops.AsOfJoin.lastPriorEventNative)
+    assert(native.length == composed.length && native.nonEmpty)
+    assert(native.sameElements(composed))
+  }
+
+  test("native as-of: inclusive ties, unmatched rows, key skipping") {
+    withStrategy()
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L), (4L, 3L, 7L))
+      .toDF("id", "k", "t")
+    val r = Seq((1L, 10L, "tie"), (1L, 15L, "later"), (2L, 6L, "after"),
+      (4L, 1L, "orphan")).toDF("rk", "rt", "tag")
+    val out = AsOfNative.join(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select(col("id"), col("tag"))
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(out == Map(
+      1L -> "tie",    // rt == t matches (inclusive, ASOF >= semantics)
+      2L -> "later",  // greatest rt <= 20 wins, not the first
+      3L -> null,     // only right row for key 2 is AFTER t=5
+      4L -> null))    // key 3 has no right rows at all
+  }
+
+  test("native as-of plans one AsOfJoinExec over exactly two exchanges") {
+    withStrategy()
+    val ev = Tables.events(spark, sf)
+    val plan = ops.AsOfJoin.lastPriorEventNative(ev, "user_id", "ts_us",
+      "event_id", "event_type", "purchase", "error")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec missing from plan:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2, s"as-of should cost two exchanges, got $exchanges:\n$plan")
+  }
+}
