@@ -428,6 +428,8 @@ object SparkEntry {
     "q_dupspan" -> ((s, d) => ops.TrainingData.dupSpanCoverage(Tables.documents(s, d))),
     // E30: shard-parallel GPT-style sequence packing (no global cumsum)
     "q_pack" -> ((s, d) => ops.TrainingData.packSequences(Tables.documents(s, d))),
+    // E31: DSIR-style hashed-bigram importance scoring vs a target domain
+    "q_dsir" -> ((s, d) => ops.TrainingData.dsirScore(Tables.documents(s, d))),
 
     // ---- D27: GROUPING SETS with grouping() flags (SQL-text entry;
     // grouped-out keys coalesced to sentinels so the flags, not NULLs,
@@ -1619,6 +1621,41 @@ object SparkEntry {
         |  (cum - n_tok) // 512 AS seq_id,
         |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(source = 'src0' AS BIGINT) AS is_target,
+        |    string_split(text,' ') AS toks
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |pd AS (
+        |  SELECT doc_id, is_target,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1]),1,8))
+        |        AS BIGINT) % 8192)) AS b
+        |  FROM t),
+        |g1 AS (SELECT doc_id, is_target, b, count(*) AS c
+        |  FROM pd GROUP BY 1, 2, 3),
+        |model AS (SELECT b,
+        |    CAST(sum(c * is_target) AS BIGINT) AS ct,
+        |    CAST(sum(c * (1 - is_target)) AS BIGINT) AS cr
+        |  FROM g1 GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |    CAST(sum(cr) AS BIGINT) AS tr FROM model),
+        |w AS (SELECT b,
+        |    (ct + 1) * 1000000 // (tt + 8192)
+        |      - (cr + 1) * 1000000 // (tr + 8192) AS w_ppm
+        |  FROM model CROSS JOIN tot)
+        |SELECT g1.doc_id, g1.is_target,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(c * w_ppm) AS BIGINT) AS score_sum,
+        |  CAST(sum(c * w_ppm) AS BIGINT) // CAST(sum(c) AS BIGINT) AS score_avg,
+        |  CAST(g1.is_target = 0 AND
+        |    CAST(sum(c * w_ppm) AS BIGINT) // CAST(sum(c) AS BIGINT) > 0
+        |    AS BIGINT) AS selected
+        |FROM g1 JOIN w USING (b)
+        |GROUP BY g1.doc_id, g1.is_target
+        |ORDER BY g1.doc_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(c_mktsegment, '(all)') AS seg,

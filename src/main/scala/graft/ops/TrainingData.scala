@@ -271,6 +271,58 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** E31 — DSIR-style importance scoring (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-bigram distribution looks like a
+    * target domain versus the raw corpus. The published estimator is a
+    * bag-of-hashed-n-grams log-likelihood ratio; the libm-free
+    * deterministic variant scores each occurrence by the DIFFERENCE of
+    * Laplace-smoothed per-million frequencies (a linear classifier on
+    * the same features — same plan, bit-stable across engines).
+    *
+    * ONE corpus-sized pass: explode bigrams → hash into `buckets` →
+    * count per (doc, bucket). The bucket model (target/raw counts,
+    * ≤ `buckets` rows) is derived FROM that reduced frame — no second
+    * explode — and joins back as a broadcast; totals ride along via a
+    * broadcast single-row crossJoin. Scoring target-domain docs too
+    * costs nothing and gives the sanity signal (they should score high).
+    */
+  def dsirScore(docs: DataFrame, targetSource: String = "src0",
+                buckets: Int = 8192): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val perDoc = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"),
+        (col("source") === targetSource).cast(LongType).as("is_target"),
+        toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode_outer(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => pmod(h32(concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))), lit(buckets.toLong)))).as("b"))
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val model = perDoc.groupBy(col("b")).agg(
+      sum(col("c") * col("is_target")).as("ct"),
+      sum(col("c") * (lit(1L) - col("is_target"))).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val weighted = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr(s"(ct + 1) * 1000000 div (tt + $buckets)") -
+          expr(s"(cr + 1) * 1000000 div (tr + $buckets)")).as("w_ppm"))
+    perDoc
+      .join(broadcast(weighted), Seq("b"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("w_ppm")).as("score_sum"))
+      // Both engines truncate integer division toward zero (Spark `div`,
+      // DuckDB `//`) — verified on negative sums, so this is hash-stable.
+      .withColumn("score_avg", expr("score_sum div n_grams"))
+      .withColumn("selected",
+        (col("is_target") === 0 && col("score_avg") > 0).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   /** E25 — stratified sampling: a deterministic pseudo-random `perKey`
     * documents per stratum (language), ranked by a salted id hash. The
     * window's top-N is pushed down as a group-limit (WindowGroupLimit),

@@ -215,6 +215,25 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1L)))  // starts inside seq 1, ends at 11
   }
 
+  test("DSIR importance scoring selects the target-like raw document") {
+    import spark.implicits._
+    val mk = (id: Long, t: String, src: String) =>
+      (id, t, "en", src, t.length.toLong)
+    val docs = (
+      (0L until 5L).map(i => mk(i, "alpha beta alpha beta alpha beta", "src0")) ++
+      (10L until 15L).map(i => mk(i, "gamma delta gamma delta gamma delta", "srcX"))
+      :+ mk(20L, "alpha beta alpha beta alpha beta", "srcX"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TrainingData.dsirScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // the raw doc written in the target's bigram distribution must
+    // outscore the off-domain raw docs and be the only one selected
+    assert(out(20L)._1 > out(10L)._1)
+    assert(out(20L)._2 == 1L)
+    assert((10L until 15L).forall(out(_)._2 == 0L))
+    assert(out(0L)._2 == 0L) // target docs are never "selected"
+  }
+
   test("lshClusters fails fast when label propagation cannot converge") {
     val docs = Tables.documents(spark, sf).limit(200)
     val ex = intercept[IllegalStateException] {
