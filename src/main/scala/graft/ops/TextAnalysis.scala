@@ -144,11 +144,13 @@ object TextAnalysis {
     * the deterministic stand-in for an LM perplexity filter (log-prob
     * scoring is libm-dependent and can't hash-match across engines).
     *
-    * Plan: one corpus explode → bigram counts (vocabulary-sized) →
-    * prefix counts derived FROM the bigram table (no second corpus
-    * pass) → broadcast model join back onto the exploded stream →
-    * doc-keyed average. Two corpus-sized shuffles, model joins are
-    * broadcasts. */
+    * Plan: ONE corpus explode reduced immediately to (doc, bigram)
+    * counts and materialized once (lazy local checkpoint — per-branch
+    * column pruning defeats exchange reuse, see [[TrainingData.dsirScore]]);
+    * the corpus bigram model, its prefix denominators, AND the per-doc
+    * scoring all derive from that one reduced frame. Model joins are
+    * broadcasts; the occurrence-weighted average is
+    * `sum(c·ppm) / sum(c)` over the reduced rows. */
   def bigramCoherence(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toksCol = col("toks")
@@ -159,7 +161,10 @@ object TextAnalysis {
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode_outer(bigramsExpr).as("bg"))
-    val model = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // materialize-once barrier (see dsirScore)
+    val model = docBigrams.groupBy(col("bg"))
+      .agg(sum(col("c")).as("bg_cnt"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val prefix = model.groupBy(col("w1")).agg(sum(col("bg_cnt")).as("w1_cnt"))
     val scored = model.join(broadcast(prefix), Seq("w1"))
@@ -167,7 +172,8 @@ object TextAnalysis {
     docBigrams
       .join(broadcast(scored), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("ppm")).as("sum_ppm"))
       .withColumn("coherence_ppm", expr("sum_ppm div n_bigrams"))
       .orderBy(col("doc_id"))
   }

@@ -302,6 +302,15 @@ object TrainingData {
             element_at(col("toks"), i + 1))), lit(buckets.toLong)))).as("b"))
       .groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
+      // Materialize-once barrier on the REDUCED frame: it feeds three
+      // branches (model, totals, scoring) that need different column
+      // subsets, so Catalyst's per-branch pruning makes the subtrees
+      // non-identical and exchange reuse can never fire — each branch
+      // would re-scan and re-explode the corpus (verified in the final
+      // AQE plan: three parquet scans). A lazy local checkpoint is the
+      // two-phase materialization any engine performs for a shared
+      // reduced intermediate; blocks free on GC of the plan.
+      .localCheckpoint(eager = false)
     val model = perDoc.groupBy(col("b")).agg(
       sum(col("c") * col("is_target")).as("ct"),
       sum(col("c") * (lit(1L) - col("is_target"))).as("cr"))
