@@ -140,6 +140,93 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
+  /** One keyed as-of input row: a reference event or a query event. */
+  case class AsOfEvent(user_id: Long, ts_us: Long, is_ref: Boolean,
+                       ts_t: java.sql.Timestamp)
+
+  /** Resolved as-of match (same contract as the batch operator:
+    * −1 sentinels for unmatched). */
+  case class AsOfHit(user_id: Long, ts_us: Long, asof_ts: Long, gap: Long)
+
+  /** Keyed as-of state: buffered ref timestamps and pending queries. */
+  case class AsOfState(refs: List[Long], pending: List[Long])
+
+  /** F11 — streaming as-of join (the streaming twin of the native
+    * [[graft.plans.AsOfJoinExec]]): every query event is matched to the
+    * greatest same-key ref event time ≤ its own, CORRECTLY under
+    * out-of-order arrival — a query is finalized only once the
+    * watermark passes its event time, so a ref that arrives late (but
+    * inside the watermark delay) still wins. A naive "last seen ref"
+    * enrichment is processing-order-dependent; this one is
+    * deterministic given the watermark contract.
+    *
+    * State per key stays bounded: among refs at or below the watermark
+    * only the NEWEST can ever match a future query (later queries
+    * finalize at event times ≥ the watermark), so dominated refs are
+    * evicted every invocation; refs older than `lookbackMinutes` expire
+    * outright, and an idle key's state is removed by event-time timeout
+    * once its horizon passes. Pending queries arm a timeout at their
+    * event time, so resolution needs no further input for the key.
+    */
+  def streamingAsOf(events: Dataset[AsOfEvent],
+                    watermarkDelay: String = "10 minutes",
+                    lookbackMinutes: Long = 1440): Dataset[AsOfHit] = {
+    import events.sparkSession.implicits._
+    val lookbackUs = lookbackMinutes * 60000000L
+
+    def finalize(st: AsOfState, wmMs: Long,
+                 out: scala.collection.mutable.ListBuffer[AsOfHit],
+                 key: Long): AsOfState = {
+      val wmUs = wmMs * 1000L
+      val (ready, stillPending) = st.pending.partition(_ <= wmUs)
+      ready.sorted.foreach { q =>
+        val m = st.refs.filter(_ <= q)
+        if (m.isEmpty) out += AsOfHit(key, q, -1L, -1L)
+        else out += AsOfHit(key, q, m.max, q - m.max)
+      }
+      // evict: refs dominated by the newest ref at/below the watermark,
+      // and refs beyond the lookback horizon
+      val newestLE = st.refs.filter(_ <= wmUs) match {
+        case Nil => Long.MinValue
+        case xs => xs.max
+      }
+      val keptRefs = st.refs.filter(r =>
+        (r >= newestLE) && (r >= wmUs - lookbackUs))
+      AsOfState(keptRefs, stillPending)
+    }
+
+    def step(key: Long, rows: Iterator[AsOfEvent],
+             state: GroupState[AsOfState]): Iterator[AsOfHit] = {
+      val out = scala.collection.mutable.ListBuffer.empty[AsOfHit]
+      val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+      val st0 =
+        if (state.hasTimedOut) prev
+        else {
+          val (refs, queries) = rows.toSeq.partition(_.is_ref)
+          AsOfState(prev.refs ++ refs.map(_.ts_us),
+            prev.pending ++ queries.map(_.ts_us))
+        }
+      val wmMs = state.getCurrentWatermarkMs
+      val st = finalize(st0, wmMs, out, key)
+      if (st.refs.isEmpty && st.pending.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // wake at the earliest pending query, else at state expiry
+        val targetMs =
+          if (st.pending.nonEmpty) st.pending.min / 1000L
+          else st.refs.max / 1000L + lookbackMinutes * 60000L
+        state.setTimeoutTimestamp(math.max(targetMs + 1, wmMs + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts_t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
   /** F8 — stream-stream interval join: each purchase matched to the same
     * user's error events in the preceding `maxGapMinutes`. Both sides
     * carry watermarks, so Spark buffers only the interval's worth of

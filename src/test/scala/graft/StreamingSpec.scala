@@ -140,6 +140,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F11: streaming as-of resolves out-of-order refs once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{AsOfEvent, AsOfHit}
+    def ev(m: Long, ref: Boolean, uid: Long = 1L) =
+      AsOfEvent(uid, us(m), ref, new Timestamp(us(m) / 1000L))
+    val in = MemoryStream[AsOfEvent]
+    val q = StreamingOps.streamingAsOf(in.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: the QUERY (t=20) arrives before its best ref
+      in.addData(ev(20, ref = false), ev(5, ref = true))
+      q.processAllAvailable()
+      assert(spark.table("asof").isEmpty) // wm hasn't passed t=20 yet
+      // batch 2: a LATE ref (t=15, inside the delay) + wm advance to ~25
+      in.addData(ev(15, ref = true), ev(35, ref = true))
+      q.processAllAvailable()
+      // batch 3: push the watermark past t=20 to finalize the query
+      in.addData(ev(40, ref = true, uid = 2L))
+      q.processAllAvailable()
+      val hits = spark.table("asof").as[AsOfHit].collect().toSeq
+      // the late t=15 ref — not the t=5 one seen first — must win
+      assert(hits == Seq(AsOfHit(1L, us(20), us(15), us(20) - us(15))))
+      // unmatched query: user 2 has a ref at 40 but queries at 38
+      in.addData(ev(38, ref = false, uid = 2L))
+      in.addData(ev(60, ref = true)) // advance wm past 38
+      q.processAllAvailable()
+      val hits2 = spark.table("asof").as[AsOfHit].collect().toSeq
+      assert(hits2.contains(AsOfHit(2L, us(38), -1L, -1L)))
+    } finally q.stop()
+  }
+
   test("F8: stream-stream interval join matches errors within the gap only") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Timestamp, Long, Long)]
