@@ -386,6 +386,66 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- D37: exact-moment correlation/covariance/regression slope.
+    // Built-in corr()/covar_pop() accumulate running doubles whose
+    // summation order differs across engines — unusable for the hash
+    // gate. Instead: exact integer moments (decimal(38) sums — x² sums
+    // overflow BIGINT at 100 TB; DuckDB's HUGEINT matches), then ONE
+    // fixed sequence of IEEE ops (cast, sqrt, multiply, divide) that
+    // both engines round identically. Map-side partial aggregation,
+    // one shuffle on the group key.
+    "q_corr" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("x"),
+          col("l_quantity").cast(LongType).as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_price_qty"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("cov_price_qty"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))
+            .as("beta_price_on_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- D38: exact integer z-score outliers. The σ-threshold test
+    // |x−µ| > k·σ is squared into pure integer arithmetic —
+    // (x·n − sx)²·n > k²·(n·sxx − sx²) — so outlier flags involve NO
+    // floating point at all (µ and σ never materialize). Group moments
+    // are one agg shuffle; the broadcast joins them back; the flag is
+    // map-side. Deterministic on any engine with exact wide integers.
+    "q_outliers" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("x"))
+      val m = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      base.join(broadcast(m), Seq("l_returnflag"))
+        .withColumn("dev_n", col("x").cast(dec) * col("n") - col("sx"))
+        .filter(col("dev_n") * col("dev_n") * col("n") >
+          lit(9) * (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("x")).as("min_outlier_cents"),
+          max(col("x")).as("max_outlier_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- D16: pivot (wide per-user event-type value matrix)
     "q_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -1011,6 +1071,37 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, metric, v FROM base
         |UNPIVOT (v FOR metric IN (price_cents, discount_cents, tax_cents, qty))
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_corr" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_price_qty,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS cov_price_qty,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*syy - sy*sy AS DOUBLE) AS beta_price_on_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_outliers" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT b.l_returnflag, count(*) AS n_outliers,
+        |  min(x) AS min_outlier_cents, max(x) AS max_outlier_cents
+        |FROM b JOIN m USING (l_returnflag)
+        |WHERE (x*n - sx)*(x*n - sx)*n > 9*(n*sxx - sx*sx)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_corr_subquery" ->
       """WITH cust AS (

@@ -90,6 +90,63 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
 
+  final case class MediaHashed(media_id: Long, kind: String, phash: Long)
+
+  /** G4 — 64-bit perceptual hash (classic aHash): each bit compares one
+    * luma cell against the frame's mean. Computed inside the same
+    * per-partition decode pass as the features — the payload is decoded
+    * once and never shuffled; only (id, kind, 8-byte hash) moves on. */
+  def perceptualHash(media: DataFrame, decoder: MediaDecoder): Dataset[MediaHashed] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload) =>
+          val d = decoder.decode(kind, payload)
+          val mean =
+            if (d.luma.isEmpty) 0d else d.luma.sum / d.luma.length
+          var h = 0L
+          var i = 0
+          while (i < 64 && d.luma.nonEmpty) {
+            if (d.luma(i % d.luma.length) > mean) h |= (1L << i)
+            i += 1
+          }
+          MediaHashed(id, kind, h)
+        }
+      }
+  }
+
+  /** G4 — near-duplicate media via banded perceptual-hash LSH: the
+    * 64-bit hash splits into four 16-bit bands; any shared band makes a
+    * candidate pair, verified by exact Hamming distance
+    * (`bit_count(xor)`). Same bucket-join shape as the text MinHash
+    * pipeline ([[graft.ops.Dedup.minhashLsh]]) — candidates are bounded
+    * by bucket sizes, never all-pairs, and only 8-byte hashes shuffle.
+    * A pair within `maxHamming` in ANY band is reported once. */
+  def phashDups(hashed: Dataset[MediaHashed], maxHamming: Int = 8): DataFrame = {
+    val banded = hashed.toDF()
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            (shiftright(col("phash"), i * 16) bitwiseAND lit(0xffffL))
+              .as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("phash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("media_id").as("id1"), col("phash").as("h1"))
+    val b = banded.select(col("band"), col("bv"),
+      col("media_id").as("id2"), col("phash").as("h2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast(LongType)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Deterministic synthetic media table built from any keyed source —
     * lets the plumbing run in a container with no real media files. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
