@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions.col
 
 /** G1–G3 — multimodal plumbing with the deterministic stub decoder. */
 class MultimodalSpec extends SparkSpec {
