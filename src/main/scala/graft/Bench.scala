@@ -63,7 +63,11 @@ object Bench {
     // repeats of one query both land inside the same burst; spreading a
     // query's runs across full passes lets its min come from whichever
     // pass was quiet.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional trailing args filter to a subset (dev loop); the driver
+    // invokes with no args and benches everything.
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted.filter(SparkEntry.queries.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (_ <- 1 to 3; name <- names if !errors.contains(name)) {
@@ -88,7 +92,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout tail-capture truncated BENCH_r03.json (lost the first 9
+    // queries + total); persist the full line to a file as the durable
+    // artifact regardless of how much of stdout survives.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

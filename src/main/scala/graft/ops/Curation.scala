@@ -34,7 +34,9 @@ object Curation {
     val toks = split(col("text"), " ")
     val gated = docs
       .withColumn("n_tokens", size(toks).cast(LongType))
-      .withColumn("n_distinct", size(array_distinct(toks)).cast(LongType))
+      // single-pass sort + boundary count, not array_distinct (O(n²)
+      // per row on long docs)
+      .withColumn("n_distinct", nDistinct(toks))
       .filter(col("lang").isin(langs: _*))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .filter(col("n_distinct") / col("n_tokens") >= minDistinctRatio)

@@ -19,8 +19,11 @@ object Dedup {
 
   /** Word 3-gram shingles; rows with <3 tokens are dropped (a 2-token
     * doc has no 3-shingle). `distinct` costs O(n²) string compares per
-    * doc — required for Jaccard set semantics, skippable for MinHash
-    * (min over a multiset equals min over its set). */
+    * doc (array_distinct) — acceptable ONLY in the test-only sampled
+    * [[ngramJaccard]] baseline. Every production path (MinHash,
+    * [[lshVerify]]) passes distinct=false: MinHash needs no dedup (min
+    * over a multiset equals min over its set) and lshVerify dedups via
+    * an exploded hash aggregate, linear per doc. */
   def withShingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
     // `toks` must be a real column: referencing the split(...) expression
     // inside the transform lambda would inline it into every element_at,
@@ -153,16 +156,44 @@ object Dedup {
     * counts (deterministic cross-engine). */
   def lshVerify(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
                 dupMod: Long = 250): DataFrame = {
+    // pairs feeds three places (candidate ids, intersection, final
+    // assembly); eager localCheckpoint materializes the whole MinHash
+    // pipeline ONCE instead of re-running it per consumer. The frame is
+    // candidate-pair-sized — orders of magnitude below the corpus.
     val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
       .select(col("id1"), col("id2"), col("n_shared_bands"))
-    val sh = withShingles(withSyntheticDups(docs, dupMod))
-      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true)
+    val candIds = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+    // Distinct shingle SETS as exploded (doc_id, gram) rows, deduped by
+    // a map-side-combined hash aggregate — linear per doc. The earlier
+    // form (array_distinct on the shingle array, then array_intersect of
+    // two whole arrays per pair) paid O(n²) per-row compares on long
+    // documents; here intersection size is a count over an equi-join on
+    // (doc, gram), so both dedup and intersection stay linear and
+    // distributed at 100 TB. The semi join scopes the explode to
+    // CANDIDATE docs only — non-candidate documents (the overwhelming
+    // majority of the corpus) never shuffle a single gram row.
+    // Checkpointed: consumed by both the intersection and the size agg.
+    val grams = withShingles(withSyntheticDups(docs, dupMod), distinct = false)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.select(col("id1"), col("id2"))
+      .join(grams.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
+      .join(grams.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_i"))
     pairs
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      // left join: docs can share a band bucket (minhash collision)
+      // while sharing zero shingles — such pairs have n_inter = 0
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("n_shared_bands"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast(LongType).as("n_inter"),
-        (size(col("sh1")) + size(col("sh2"))).cast(LongType).as("n_sum"))
+        coalesce(col("n_i"), lit(0L)).cast(LongType).as("n_inter"),
+        (col("n1") + col("n2")).cast(LongType).as("n_sum"))
       .withColumn("n_union", col("n_sum") - col("n_inter"))
       .withColumn("jaccard", col("n_inter") / col("n_union"))
       .drop("n_sum")
@@ -299,10 +330,19 @@ object Dedup {
     * one row per (doc, bit)). */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Token-distinct via a map-side-combined hash aggregate over exploded
+    // (doc_id, tok) rows — NOT array_distinct, whose per-row pairwise
+    // compares are O(n²) in document length (lethal on book-length docs;
+    // same hazard class as the gopher-gate note in TrainingData.scala).
+    // The aggregate is linear per doc and stays distributed.
+    // explode_outer dodges InferFiltersFromGenerate cloning the split
+    // into a pre-shuffle interpreted filter; split() output is never
+    // empty, so outer ≡ inner here.
     val toks = docs
       .repartition(par, col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode_outer(split(col("text"), " ")).as("tok"))
+      .distinct()
       .withColumn("h", h32(col("tok")))
     val votes = toks
       .select(col("doc_id"), col("h"),

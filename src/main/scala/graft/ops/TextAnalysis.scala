@@ -63,7 +63,9 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text"))
       .withColumn("n_chars", length(col("text")).cast(LongType))
       .withColumn("n_tokens", size(toks).cast(LongType))
-      .withColumn("n_distinct", size(array_distinct(toks)).cast(LongType))
+      // single-pass sort + boundary count, not array_distinct (O(n²)
+      // per row on long docs)
+      .withColumn("n_distinct", nDistinct(toks))
       .withColumn("sum_tok_len",
         aggregate(transform(toks, t => length(t).cast(LongType)),
           lit(0L), (acc, x) => acc + x))
