@@ -21,6 +21,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_fraud_mart")(spark, "/root/testdata/sf0.001")
 
+  /** Where `q_ann_ivf_learned` exports its learned cell assignment so
+    * the DuckDB twin can probe the SAME cells (KMeans itself is not
+    * cross-engine-reproducible; the exported table is). Keyed by sf dir
+    * so verify (sf0.01) and bench (sf0.1) runs never clobber each
+    * other. [[Verify]] substitutes this path for the `__GRAFT_CELLS__`
+    * token when dumping oracle_sql.json. */
+  def cellsExportPath(sfDir: String): String =
+    "/tmp/graft_ivf_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- D1: grouped aggregation, exact-integer money (TPC-H Q1 shape)
@@ -160,6 +169,21 @@ object SparkEntry {
     // contraction — O(log² path) rounds, the adversarial-graph scale path
     "q_dedup_cc" -> ((s, d) => ops.Dedup.lshClustersScalable(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => ops.Dedup.simhash(Tables.documents(s, d))),
+    // ---- G4 end-to-end: perceptual-hash media near-dup through the
+    // deterministic stub decoder. Payloads are index-derived, so the
+    // DuckDB twin regenerates the identical byte strings and replays
+    // the decoder's rolling-hash scan with a recursive CTE — the whole
+    // decode→aHash→banded-LSH→Hamming-verify pipeline is hash-checked.
+    "q_phash_dups" -> ((s, d) => {
+      val media = multimodal.Multimodal.syntheticMedia(s, 500)
+      val withDups = media.unionByName(
+        media.filter(col("media_id") % 50 === 0)
+          .select((col("media_id") + 10000L).as("media_id"),
+            col("kind"), col("payload")))
+      multimodal.Multimodal.phashDups(
+        multimodal.Multimodal.perceptualHash(withDups,
+          multimodal.Multimodal.StubDecoder))
+    }),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -238,10 +262,19 @@ object SparkEntry {
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     // Learned KMeans coarse quantizer, nprobe=2. KMeans float math isn't
-    // reproducible in DuckDB → rows-only check; recall contract in OpsSpec.
-    "q_ann_ivf_learned" -> ((s, d) =>
+    // reproducible in DuckDB, so the learned ASSIGNMENT is exported to
+    // parquet and read back for the probe — Spark and the DuckDB twin
+    // then consume the identical cell table, and everything downstream
+    // (scaled-integer centroids, routing, top-k) is exact cross-engine
+    // math, flipping this from rows-only to a full hash check. The
+    // recall-vs-brute-force contract stays in OpsSpec.
+    "q_ann_ivf_learned" -> ((s, d) => {
+      graft.ml.EmbeddingClustering.assignCells(s, d, k = 10)
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(cellsExportPath(d))
       ops.Ann.ivfTopKLearned(Tables.embeddings(s, d),
-        graft.ml.EmbeddingClustering.assignCells(s, d, k = 10))),
+        s.read.parquet(cellsExportPath(d)))
+    }),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
@@ -1285,6 +1318,61 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // G4 twin: regenerate the index-derived payload strings, replay the
+    // stub decoder's sequential rolling hash (acc = (31·acc + byte) mod
+    // 2³²) as a recursive CTE, then aHash bits / 16-bit bands / Hamming
+    // verify — all in exact integer space except the mean compare,
+    // which is the same single IEEE division on both engines. The
+    // 64-bit phash itself is never materialized here (bit tables
+    // instead), dodging cross-engine signed-shift semantics.
+    "q_phash_dups" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT i AS media_id, i AS src FROM range(500) t(i)
+        |  UNION ALL
+        |  SELECT i + 10000 AS media_id, i AS src FROM range(500) t(i) WHERE i % 50 = 0),
+        |medias AS (
+        |  SELECT media_id,
+        |    'media-' || src || '-' ||
+        |    (CASE src % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) ||
+        |    '-payload' AS payload
+        |  FROM base),
+        |m2 AS (
+        |  SELECT media_id, payload, length(payload) AS len,
+        |    (4 + length(payload) % 8) * (3 + length(payload) % 5) AS n_luma
+        |  FROM medias),
+        |scan AS (
+        |  SELECT media_id, payload, len, n_luma, CAST(0 AS BIGINT) AS i,
+        |    CAST((17*31 + ascii(substr(payload, 1, 1))) % 4294967296 AS BIGINT) AS acc
+        |  FROM m2
+        |  UNION ALL
+        |  SELECT media_id, payload, len, n_luma, i + 1,
+        |    (acc * 31 + ascii(substr(payload, CAST((i + 1) % len AS INTEGER) + 1, 1))) % 4294967296
+        |  FROM scan WHERE i + 1 < n_luma),
+        |luma AS (SELECT media_id, i, acc % 256 AS v FROM scan),
+        |stats AS (
+        |  SELECT media_id, count(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |  FROM luma GROUP BY 1),
+        |bits AS (
+        |  SELECT st.media_id, b.i AS bit,
+        |    CASE WHEN l.v > st.s / st.n THEN 1 ELSE 0 END AS bs
+        |  FROM stats st CROSS JOIN range(64) b(i)
+        |  JOIN luma l ON l.media_id = st.media_id AND l.i = b.i % st.n),
+        |bands AS (
+        |  SELECT media_id, bit // 16 AS band,
+        |    CAST(SUM(CASE WHEN bs = 1 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+        |SELECT c.id1, c.id2,
+        |  CAST(SUM(CASE WHEN x.bs <> y.bs THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN bits x ON x.media_id = c.id1
+        |JOIN bits y ON y.media_id = c.id2 AND y.bit = x.bit
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN x.bs <> y.bs THEN 1 ELSE 0 END) <= 8
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_lang_id" -> {
       val lex = Map(
         "de" -> "['join','merge','sort','order']",
@@ -1465,6 +1553,55 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT q_id, label, vec_id, cos, rnk FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // Learned-IVF twin: identical probe math to q_ann_ivf but the coarse
+    // cell comes from the parquet the Spark query exported (path patched
+    // in by Verify — __GRAFT_CELLS__), nprobe=2, k=3. Everything after
+    // the assignment table is exact scaled-integer math.
+    "q_ann_ivf_learned" ->
+      """WITH cells AS (
+        |  SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |  FROM read_parquet('__GRAFT_CELLS__/*.parquet')),
+        |v AS (
+        |  SELECT e.vec_id, c.cell, list_transform(e.embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings e JOIN cells c USING (vec_id)),
+        |n AS (
+        |  SELECT vec_id, cell, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2 FROM n WHERE vec_id < 10),
+        |cent0 AS (
+        |  SELECT cell, i, SUM(svec[i]) AS s
+        |  FROM n, range(1,65) t(i) GROUP BY cell, i),
+        |cent AS (
+        |  SELECT cell, list(s ORDER BY i) AS cvec FROM cent0 GROUP BY cell),
+        |centn AS (
+        |  SELECT cell, cvec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(cvec, x -> x*x)), (a,b) -> a+b) AS cnorm2
+        |  FROM cent),
+        |routed0 AS (
+        |  SELECT q.q_id, q.q_svec, q.q_norm2, c.cell,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) AS ccos
+        |  FROM q CROSS JOIN centn c),
+        |routed AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS crnk
+        |    FROM routed0) WHERE crnk <= 2),
+        |sc AS (
+        |  SELECT r.q_id, n.cell, n.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> r.q_svec[i]*n.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(r.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cos
+        |  FROM n JOIN routed r ON n.cell = r.cell AND n.vec_id <> r.q_id),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT q_id, cell, vec_id, cos, rnk FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "q_curate" ->
       """WITH g AS (

@@ -54,6 +54,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      // the learned-IVF twin reads the cell table the Spark query
+      // exported; the path depends on the sf dir, so patch it in here
+      .map { case (k, v) =>
+        (k, v.replace("__GRAFT_CELLS__", SparkEntry.cellsExportPath(sfDir)))
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,239 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, Dedup, Sessionize}
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{AsOfEvent, AsOfHit}
+
+/** Streaming ↔ batch parity: the SAME rows through a streaming operator
+  * (MemoryStream-driven) and its batch twin must produce the SAME
+  * answer. This pins the two implementations to one semantics — the
+  * hand-built expectations in StreamingSpec check behavior, this suite
+  * checks agreement:
+  *   F10 session windows   ↔ D17 [[Sessionize.sessions]]
+  *   F11 streaming as-of   ↔ D11 [[AsOfJoin.lastPriorEvent]] and the
+  *                            native I12 exec (3-way)
+  *   F8  interval join     ↔ the same predicate on static frames
+  *   F5  minhash near-dedup↔ first-per-signature keeper over batch sigs
+  *   F7  SRP embed dedup   ↔ first-per-signature keeper over batch sigs
+  */
+class ParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 h base offset: rows at the epoch sit AT the initial watermark and
+  // are dropped by stateful operators (see StreamingSpec).
+  private def us(minutes: Long): Long = (600L + minutes) * 60000000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(us(minutes) / 1000L)
+
+  test("F10 session windows agree with the batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMin = 30L
+    // three users, gaps straddling the 30-min session boundary
+    val rows = for {
+      u <- 1L to 3L
+      (m, i) <- Seq(0L, 12L, 29L, 75L, 80L, 200L).zipWithIndex
+    } yield (u, m + u * 3, 100L * u + i) // (user, minute, cents)
+
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val events = in.toDF().toDF("ts_t", "user_id", "amt_cents")
+    val q = StreamingOps.sessionizedCounts(events, gap = s"$gapMin minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("psessions")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.map { case (u, m, c) => (ts(m), u, c) })
+      q.processAllAvailable()
+      val streamed = spark.table("psessions")
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n_events"), col("sum_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2) - gapMin * 60000000L, r.getLong(3), r.getLong(4)))
+        .toSet
+
+      val batch = Sessionize.sessions(
+        rows.toDF("user_id", "minute", "amt_cents")
+          .withColumn("ts_us", expr(s"(600 + minute) * 60000000")),
+        key = "user_id", tsUs = "ts_us", valueCents = "amt_cents",
+        gapMinutes = gapMin)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("sum_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      // session_window's end = last event + gap; batch end_us = last event
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("F11 streaming as-of agrees with the composed AND native batch as-of") {
+    implicit val sqlCtx = spark.sqlContext
+    // shared test session has no GraftExtensions; register the native
+    // as-of strategy through the experimental hook (same as PlansSpec)
+    locally {
+      val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      if (!cs.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        cs.experimental.extraStrategies =
+          cs.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    // refs and queries per user, including an unmatched query (user 3's
+    // first query precedes every ref) and co-timed tie cases
+    val evs = for {
+      u <- 1L to 3L
+      (m, isRef) <- Seq((5L + u, true), (15L + u, true), (2L, false),
+        (20L + u, false), (35L, true), (38L + u, false))
+    } yield (u, us(m), isRef)
+
+    val in = MemoryStream[AsOfEvent]
+    val q = StreamingOps.streamingAsOf(in.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("pasof")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.map { case (u, t, r) => AsOfEvent(u, t, r, new Timestamp(t / 1000L)) })
+      q.processAllAvailable()
+      // flush: ref for an unused key pushes the watermark past every query
+      in.addData(AsOfEvent(999L, us(600), true, ts(600)))
+      q.processAllAvailable()
+      in.addData(AsOfEvent(999L, us(601), true, ts(601)))
+      q.processAllAvailable()
+      val streamed = spark.table("pasof").as[AsOfHit].collect()
+        .filter(_.user_id != 999L)
+        .map(h => (h.user_id, h.ts_us, h.asof_ts, h.gap)).toSet
+
+      val batchEvents = evs.zipWithIndex
+        .map { case ((u, t, r), i) => (i.toLong, u, t, if (r) "r" else "q") }
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+      def asSet(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("ts_us"), col("asof_ts"), col("gap"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val composed = asSet(AsOfJoin.lastPriorEvent(batchEvents,
+        "user_id", "ts_us", "event_id", "event_type", "q", "r"))
+      val native = asSet(AsOfJoin.lastPriorEventNative(batchEvents,
+        "user_id", "ts_us", "event_id", "event_type", "q", "r"))
+      assert(streamed == composed, s"stream=$streamed batch=$composed")
+      assert(streamed == native, s"stream=$streamed native=$native")
+    } finally q.stop()
+  }
+
+  test("F8 stream-stream interval join agrees with the static-frame join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = for {
+      u <- 1L to 4L
+      m <- Seq(60L, 62L + u, 90L)
+    } yield (u, m, 100L * u + m)
+    val errors = for {
+      u <- 1L to 4L
+      m <- Seq(49L, 55L + u, 58L, 86L, 89L)
+    } yield (u, m)
+
+    val pIn = MemoryStream[(Timestamp, Long, Long)]
+    val eIn = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.purchaseErrorJoin(
+      pIn.toDF().toDF("ts_t", "user_id", "amt_cents"),
+      eIn.toDF().toDF("ts_t", "user_id"),
+      watermark = "30 minutes", maxGapMinutes = 10)
+      .writeStream.format("memory").queryName("pssjoin")
+      .outputMode("append").start()
+    try {
+      pIn.addData(purchases.map { case (u, m, c) => (ts(m), u, c) })
+      eIn.addData(errors.map { case (u, m) => (ts(m), u) })
+      q.processAllAvailable()
+      pIn.addData((ts(600), 999L, 0L))
+      eIn.addData((ts(600), 999L))
+      q.processAllAvailable()
+      val streamed = spark.table("pssjoin")
+        .select(col("user_id"), unix_micros(col("p_ts")),
+          unix_micros(col("e_ts")), col("amt_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 999L).toSet
+
+      val expected = (for {
+        (u, pm, c) <- purchases
+        (eu, em) <- errors
+        if eu == u && us(em) >= us(pm) - 10L * 60000000L && us(em) <= us(pm)
+      } yield (u, us(pm), us(em), c)).toSet
+      assert(streamed == expected, s"stream=$streamed batch=$expected")
+    } finally q.stop()
+  }
+
+  test("F5 streaming near-dedup keeps exactly the batch first-per-signature docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "spark structured streaming joins watermarks and stateful operators",
+      "completely unrelated text about parquet files and column pruning")
+    // 9 docs: each content appears 3 times at distinct, interleaved times
+    val docs = (0 until 9).map(i => (i.toLong, texts(i % 3), 2L * i))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingNearDedup(
+      in.toDF().toDF("ts_t", "doc_id", "text"), "2 hours")
+      .writeStream.format("memory").queryName("pneardedup")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per doc in event-time order: "first arriving" is
+      // then deterministic and equals "earliest event time"
+      docs.sortBy(_._3).foreach { case (id, text, m) =>
+        in.addData((ts(m), id, text))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pneardedup")
+        .select("doc_id").as[Long].collect().toSet
+
+      val sig = Dedup.withMinhashSigPerRow(
+        Dedup.withShingles(
+          docs.toDF("doc_id", "text", "minute"), distinct = false), 8)
+        .withColumn("sig_key", concat_ws("_",
+          (0 until 8).map(i => col(s"sig_$i").cast("string")): _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sig_key")).orderBy(col("minute"))
+      val batch = sig
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("F7 streaming embed dedup keeps exactly the batch first-per-signature vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val distinctVecs = Array.fill(3)(Array.fill(64)(rnd.nextFloat()))
+    // 9 vectors: each base vector appears 3 times, interleaved
+    val vecs = (0 until 9).map(i => (i.toLong, distinctVecs(i % 3), 2L * i))
+
+    val in = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = StreamingOps.streamingEmbedDedup(
+      in.toDF().toDF("ts_t", "vec_id", "embedding"), "2 hours")
+      .writeStream.format("memory").queryName("pembdedup")
+      .outputMode("append").start()
+    try {
+      vecs.sortBy(_._3).foreach { case (id, v, m) =>
+        in.addData((ts(m), id, v))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pembdedup")
+        .select("vec_id").as[Long].collect().toSet
+
+      val sig = vecs.toDF("vec_id", "embedding", "minute")
+        .withColumn("svec", transform(col("embedding"),
+          x => graft.functions.GraftFunctions.scaled(x)))
+        .withColumn("srp_sig", graft.functions.SrpSig.sigL(col("svec"), 16))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("srp_sig")).orderBy(col("minute"))
+      val batch = sig
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id").as[Long].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
