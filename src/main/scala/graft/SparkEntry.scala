@@ -277,6 +277,13 @@ object SparkEntry {
     }),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
+    // The multiprobe KNOB at its other setting: exact-signature buckets
+    // only (oneBitProbes=false) — 1/17th the probe fan-out of
+    // q_dedup_embed, loses exactly the pairs straddling one hyperplane.
+    // Both settings benched + oracle-checked; trade recorded in
+    // docs/PLANS.md.
+    "q_dedup_embed_exactsig" -> ((s, d) =>
+      ops.Ann.embedCosineDups(Tables.embeddings(s, d), oneBitProbes = false)),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
     "q_curate_full" -> ((s, d) => ops.Curation.curateFull(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
@@ -1695,6 +1702,47 @@ object SparkEntry {
         |cand AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2
         |  FROM sig a JOIN probes b ON a.sig = b.psig AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT c.id1, c.id2,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> x.svec[i]*y.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))) AS cos
+        |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)
+        |SELECT id1, id2, cos FROM sc WHERE cos >= 0.999 ORDER BY id1, id2""".stripMargin,
+
+    // knob-off twin: identical up to candidate generation, which joins
+    // exact signatures only (no 1-bit probe masks)
+    "q_dedup_embed_exactsig" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |signs AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN CAST(('0x'||substr(md5(CAST(j.j AS VARCHAR)||'_'||CAST(i.i AS VARCHAR)),1,8)) AS BIGINT) & 1 = 1
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM range(0,16) j(j), range(0,64) i(i)),
+        |ex AS (SELECT vec_id, i.i AS i, svec[CAST(i.i AS INTEGER)+1] AS x
+        |  FROM n, range(0,64) i(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, SUM(e.x * s.w) AS p
+        |  FROM ex e JOIN signs s ON e.i = s.i GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
         |sc AS (
         |  SELECT c.id1, c.id2,
         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

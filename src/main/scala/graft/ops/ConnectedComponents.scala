@@ -75,16 +75,24 @@ object ConnectedComponents {
       // whole extra confirming round: the edge set is a disjoint star
       // forest iff no root is also a child (no v appears as a u) AND
       // every child has exactly one edge. Stars are a fixed point of
-      // both half-rounds, so this is exactly convergence — one light
-      // probe per round in place of a fourth of the loop's work.
+      // both half-rounds, so this is exactly convergence. ONE action per
+      // round: "some node is both a u and a v" replaces the earlier
+      // limit-join probe, so chained-ness, edge count, and distinct-u
+      // count all come out of a single two-level aggregation (the
+      // scalar collect is a 3-value row, not a data collect).
       def isStarForest(e: DataFrame): Boolean = {
-        val chained = e.as("a").join(e.as("b"), col("a.v") === col("b.u"))
-          .limit(1).count() > 0
-        if (chained) false
-        else {
-          val r = e.agg(count(lit(1)), count_distinct(col("u"))).collect()(0)
-          r.getLong(0) == r.getLong(1)
-        }
+        val roles = e
+          .select(col("u").as("node"), lit(1L).as("is_u"), lit(0L).as("is_v"))
+          .unionByName(
+            e.select(col("v").as("node"), lit(0L).as("is_u"), lit(1L).as("is_v")))
+        val r = roles
+          .groupBy(col("node"))
+          .agg(sum(col("is_u")).as("u_cnt"),
+            max(col("is_u")).as("a"), max(col("is_v")).as("b"))
+          .agg(sum(col("a") * col("b")), sum(col("u_cnt")), sum(col("a")))
+          .collect()(0)
+        r.isNullAt(0) || // empty edge set: trivially a star forest
+          (r.getLong(0) == 0L && r.getLong(1) == r.getLong(2))
       }
       var edges = canonical
       var round = 0

@@ -78,6 +78,59 @@ class ScaleSpec extends SparkSpec {
       s"z-layout spans too wide: d1 $avg1, d2 $avg2 (naive layout = 63)")
   }
 
+  test("z-order layout skips row groups end-to-end on the second dimension") {
+    import spark.implicits._
+    // 256×256 grid written two ways: z-ordered, and range-sorted on d1
+    // only. A thin d2 filter then measures what Spark's parquet reader
+    // ACTUALLY reads (recordsRead skips min/max-pruned row groups): the
+    // d1-sorted layout has the full d2 range in every file and can skip
+    // nothing; the z-layout bounds d2 per file, so most files prune.
+    // This is the end-to-end counterpart of the span-statistics test
+    // above — scan metrics, not layout statistics.
+    val n = 256
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("d1", "d2")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.ops.ZOrder.layout(grid, "d1", "d2", bits = 8, numPartitions = 32)
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    grid.repartitionByRange(32, col("d1")).sortWithinPartitions(col("d1"))
+      .write.mode("overwrite").parquet(s"$tmp/naive")
+
+    def recordsRead(path: String): Long = {
+      @volatile var total = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            total += e.taskMetrics.inputMetrics.recordsRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val scan = spark.read.parquet(path)
+          .filter(col("d2") >= 100L && col("d2") <= 107L)
+        // the range predicate must reach the parquet reader
+        val plan = scan.queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(d2,100)"),
+          s"d2 range not pushed down:\n$plan")
+        assert(scan.count() == 8L * n) // the slice itself is correct
+        // task-end events post asynchronously; poll until stable
+        var last = -1L
+        var spins = 0
+        while (total != last && spins < 100) {
+          last = total; Thread.sleep(100); spins += 1
+        }
+        total
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val naive = recordsRead(s"$tmp/naive")
+    val z = recordsRead(s"$tmp/z")
+    assert(naive == n.toLong * n,
+      s"d1-sorted layout should read everything for a d2 filter, read $naive")
+    assert(z <= naive / 2 && z > 0,
+      s"z-layout should prune most row groups: read $z of $naive")
+  }
+
   test("oracle-checked salted join really joins on (key, salt)") {
     val plan = SparkEntry.queries("q_salted_join")(spark, sf)
       .queryExecution.executedPlan.toString
