@@ -70,7 +70,10 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to 3; name <- names if !errors.contains(name)) {
+    // Pass count knob: 3 interleaved passes by default; large-SF runs
+    // can drop to 1-2 to bound wall-clock.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    for (_ <- 1 to passes; name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         drive(name)

@@ -526,6 +526,19 @@ object SparkEntry {
     "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
     // E29: exact-substring-dedup signal — token coverage by corpus-duplicated n-grams
     "q_dupspan" -> ((s, d) => ops.TrainingData.dupSpanCoverage(Tables.documents(s, d))),
+    // ---- E32: C4-style common-line boilerplate removal. A 10-token
+    // footer prepended to every 10th doc is the deterministic stand-in
+    // for crawl boilerplate; its line repeats across enough docs to
+    // cross the document-frequency cut and must be stripped.
+    "q_lines_dedup" -> ((s, d) => {
+      val withFooter = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("nav footer terms privacy contact about login search home menu "),
+              col("text")))
+            .otherwise(col("text")).as("text"))
+      ops.TrainingData.removeCommonLines(withFooter)
+    }),
     // E30: shard-parallel GPT-style sequence packing (no global cumsum)
     "q_pack" -> ((s, d) => ops.TrainingData.packSequences(Tables.documents(s, d))),
     // E31: DSIR-style hashed-bigram importance scoring vs a target domain
@@ -1856,6 +1869,35 @@ object SparkEntry {
         |      AS BIGINT), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_lines_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'nav footer terms privacy contact about login search home menu ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        |l0 AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS pos
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(tk[CAST(pos*10+1 AS INTEGER):CAST(pos*10+10 AS INTEGER)], ' ') AS line
+        |  FROM l0),
+        |h AS (SELECT doc_id, pos, line, md5(line) AS line_hash FROM l),
+        |f AS (SELECT line_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+        |  FROM h GROUP BY 1),
+        |k AS (
+        |  SELECT h.doc_id, h.pos, h.line,
+        |    CASE WHEN f.line_df < 3 THEN 1 ELSE 0 END AS keep
+        |  FROM h JOIN f USING (line_hash))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY pos), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dupspan" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -337,6 +337,58 @@ object TrainingData {
     * window's top-N is pushed down as a group-limit (WindowGroupLimit),
     * so no stratum ever materializes a full sort of its partition.
     */
+  /** E32 — C4/RefinedWeb-style common-line (boilerplate) removal: split
+    * each document into fixed `lineTokens`-token "lines", drop every
+    * line whose hash appears in ≥ `minDocFreq` DISTINCT documents
+    * (navigation bars, footers, license banners — the lines that repeat
+    * across a crawl), and reassemble the surviving lines in order.
+    * Output is bounded per doc: line counts plus the md5 of the cleaned
+    * text (never the text itself).
+    *
+    * Shuffle inventory: one doc_id repartition before the token arrays
+    * are built (tiny rows cross the wire), one hash aggregation on
+    * line_hash for the document-frequency table (map-side combined),
+    * one join of line rows to that table, one doc_id aggregation to
+    * reassemble. The df table join is written as a plain shuffle join —
+    * correct at any scale; in practice boilerplate lines are a small
+    * distinct set and AQE converts the build side to a broadcast.
+    */
+  def removeCommonLines(docs: DataFrame, lineTokens: Int = 10,
+                        minDocFreq: Long = 3): DataFrame = {
+    require(lineTokens > 0 && minDocFreq > 1, "bad line/df parameters")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val lines = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+      .withColumn("tk", toks(col("text")))
+      // posexplode_outer: the array is non-empty by construction, and
+      // the outer form dodges InferFiltersFromGenerate cloning the
+      // line-building transform into a pre-shuffle interpreted filter
+      .select(col("doc_id"),
+        posexplode_outer(transform(
+          sequence(lit(0), ceil(size(col("tk")) / lineTokens.toDouble).cast("int") - 1),
+          i => concat_ws(" ", slice(col("tk"), i * lineTokens + 1, lit(lineTokens)))))
+          .as(Seq("pos", "line")))
+      .withColumn("line_hash", md5(col("line")))
+    val df = lines
+      .groupBy(col("line_hash"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    val kept = lines
+      .join(df, Seq("line_hash"))
+      .withColumn("keep", (col("line_df") < minDocFreq).cast(LongType))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (count(lit(1)) - sum(col("keep"))).as("n_removed"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("keep") === 1L,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def stratifiedSample(docs: DataFrame, perKey: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(h32(concat(lit("strat:"), col("doc_id").cast("string"))),
