@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass native token statistics over the raw TEXT column.
+  *
+  * The functions-only compositions (split → array_sort → aggregate HOF
+  * for the distinct count, transform+aggregate for summed token length,
+  * filter HOF per lexicon) run on Catalyst's interpreted
+  * higher-order-function path, allocating intermediate arrays per row.
+  * These expressions tokenize once inside whole-stage codegen and fold
+  * everything in primitive loops. Tokenization is the SAME
+  * `UTF8String.split(" ", -1)` the built-in `split(text, ' ')` uses, so
+  * token boundaries (including empty tokens from repeated separators)
+  * are identical to the composed forms and to DuckDB's string_split —
+  * ExpressionSpec pins native == composed on real documents.
+  */
+object TextNative {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def tokenStatsL(text: Column): Column =
+    Bridge.column(TokenStatsL(Bridge.expression(text)))
+
+  def lexiconHitsL(text: Column, lexicon: Seq[String]): Column =
+    Bridge.column(LexiconHitsL(Bridge.expression(text), lexicon))
+
+  /** (n_tokens, n_distinct, Σ token length) in one tokenize pass. */
+  def tokenStats(s: UTF8String): InternalRow = {
+    val parts = s.split(Space, -1)
+    val seen = new java.util.HashSet[UTF8String](math.max(16, parts.length * 2))
+    var sumLen = 0L
+    var i = 0
+    while (i < parts.length) {
+      seen.add(parts(i))
+      sumLen += parts(i).numChars()
+      i += 1
+    }
+    InternalRow(parts.length.toLong, seen.size.toLong, sumLen)
+  }
+
+  // Per-JVM lexicon-set cache (lexicons are tiny static vocabularies;
+  // executors rebuild identical sets independently).
+  private val lexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[UTF8String]]()
+
+  /** Duplicate-counting lexicon hits (the `len(filter(toks, t ∈ lex))`
+    * semantics the DuckDB twins mirror). `key` is the comma-joined
+    * lexicon — words never contain commas. */
+  def lexHits(s: UTF8String, key: String): Long = {
+    val lex = lexCache.computeIfAbsent(key, k => {
+      val hs = new java.util.HashSet[UTF8String]()
+      k.split(",").foreach(w => hs.add(UTF8String.fromString(w)))
+      hs
+    })
+    val parts = s.split(Space, -1)
+    var n = 0L
+    var i = 0
+    while (i < parts.length) {
+      if (lex.contains(parts(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+case class TokenStatsL(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("d", LongType, nullable = false),
+    StructField("sl", LongType, nullable = false)))
+  override def prettyName: String = "token_stats_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.tokenStats(s.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.tokenStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsL =
+    copy(child = newChild)
+}
+
+case class LexiconHitsL(child: Expression, lexicon: Seq[String])
+    extends UnaryExpression {
+  require(lexicon.nonEmpty && lexicon.forall(w => !w.contains(",")),
+    "lexicon words must be non-empty and comma-free")
+  private val key = lexicon.mkString(",")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lexicon_hits_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.lexHits(s.asInstanceOf[UTF8String], key)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("lexKey", key, "java.lang.String")
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.lexHits($s, $keyRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconHitsL =
+    copy(child = newChild)
+}

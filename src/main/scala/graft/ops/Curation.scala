@@ -31,12 +31,13 @@ object Curation {
   private def curateKeepers(docs: DataFrame, langs: Seq[String],
                             minTokens: Long, maxTokens: Long,
                             minDistinctRatio: Double): DataFrame = {
-    val toks = split(col("text"), " ")
     val gated = docs
-      .withColumn("n_tokens", size(toks).cast(LongType))
-      // single-pass sort + boundary count, not array_distinct (O(n²)
-      // per row on long docs)
-      .withColumn("n_distinct", nDistinct(toks))
+      // native single-pass token stats (codegen'd; the composed
+      // split→sort→aggregate form runs interpreted per row)
+      .withColumn("ts", graft.functions.TextNative.tokenStatsL(col("text")))
+      .withColumn("n_tokens", col("ts.n"))
+      .withColumn("n_distinct", col("ts.d"))
+      .drop("ts")
       .filter(col("lang").isin(langs: _*))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .filter(col("n_distinct") / col("n_tokens") >= minDistinctRatio)

@@ -41,9 +41,9 @@ object TextAnalysis {
   /** E7 — language ID: score each lexicon, argmax with ties broken by
     * language-code order. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val scored = Lexicons.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
-      case (df, (code, lex)) => df.withColumn(s"score_$code", lexiconHits(toks, lex))
+      case (df, (code, lex)) => df.withColumn(s"score_$code",
+        graft.functions.TextNative.lexiconHitsL(col("text"), lex))
     }
     val best = greatest(Lexicons.map { case (c, _) => col(s"score_$c") }: _*)
     val pred = Lexicons.foldRight(lit("und")) { case ((c, _), other) =>
@@ -59,17 +59,18 @@ object TextAnalysis {
   /** E8 — quality scoring: exact integer counts, ratios as single IEEE
     * divisions of those ints (deterministic cross-engine). */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // Native single-pass token stats (graft.functions.TextNative): the
+    // composed split→sort→aggregate / filter-HOF forms run interpreted
+    // and allocate arrays per row; ExpressionSpec pins native==composed.
     docs.select(col("doc_id"), col("text"))
+      .withColumn("ts", graft.functions.TextNative.tokenStatsL(col("text")))
       .withColumn("n_chars", length(col("text")).cast(LongType))
-      .withColumn("n_tokens", size(toks).cast(LongType))
-      // single-pass sort + boundary count, not array_distinct (O(n²)
-      // per row on long docs)
-      .withColumn("n_distinct", nDistinct(toks))
-      .withColumn("sum_tok_len",
-        aggregate(transform(toks, t => length(t).cast(LongType)),
-          lit(0L), (acc, x) => acc + x))
-      .withColumn("stop_hits", lexiconHits(toks, Lexicons.flatMap(_._2)))
+      .withColumn("n_tokens", col("ts.n"))
+      .withColumn("n_distinct", col("ts.d"))
+      .withColumn("sum_tok_len", col("ts.sl"))
+      .withColumn("stop_hits",
+        graft.functions.TextNative.lexiconHitsL(col("text"), Lexicons.flatMap(_._2)))
+      .drop("ts")
       .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
       .withColumn("mean_tok_len", col("sum_tok_len") / col("n_tokens"))
       .withColumn("stop_ratio", col("stop_hits") / col("n_tokens"))

@@ -110,6 +110,30 @@ class ExpressionSpec extends SparkSpec {
     assert(distinct > 100)
   }
 
+  test("token_stats_l / lexicon_hits_l equal the composed HOF forms on real docs") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      // exercise empty tokens and an empty string too
+      .unionByName(Seq((900001L, "a  b "), (900002L, "")).toDF("doc_id", "text"))
+    val toks = split(col("text"), " ")
+    val lex = graft.ops.TextAnalysis.Lexicons.flatMap(_._2)
+    val mismatches = docs
+      .withColumn("ts", graft.functions.TextNative.tokenStatsL(col("text")))
+      .select(
+        col("ts.n").as("n_native"), size(toks).cast("long").as("n_hof"),
+        col("ts.d").as("d_native"), GraftFunctions.nDistinct(toks).as("d_hof"),
+        col("ts.sl").as("sl_native"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sl_hof"),
+        graft.functions.TextNative.lexiconHitsL(col("text"), lex).as("lx_native"),
+        graft.ops.TextAnalysis.lexiconHits(toks, lex).as("lx_hof"))
+      .filter(col("n_native") =!= col("n_hof") ||
+        col("d_native") =!= col("d_hof") ||
+        col("sl_native") =!= col("sl_hof") ||
+        col("lx_native") =!= col("lx_hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
