@@ -184,6 +184,31 @@ object SparkEntry {
         multimodal.Multimodal.perceptualHash(withDups,
           multimodal.Multimodal.StubDecoder))
     }),
+    // ---- G2 end-to-end: the batched per-partition decode + feature
+    // extraction itself, hash-checked via the same decoder-replay
+    // technique as q_phash_dups (exact integer lumas; the mean is one
+    // IEEE division on both engines).
+    "q_media_features" -> ((s, d) =>
+      multimodal.Multimodal.extractFeatures(
+        multimodal.Multimodal.syntheticMedia(s, 500),
+        multimodal.Multimodal.StubDecoder)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("mean_luma"), col("max_luma"))
+        .orderBy(col("media_id"))),
+    // ---- G3 end-to-end: frame-sampling plumbing (every 2nd frame
+    // index), replayed in SQL from the stub's metadata derivation.
+    "q_frame_sample" -> ((s, d) =>
+      multimodal.Multimodal.sampleFrames(
+        multimodal.Multimodal.extractFeatures(
+          multimodal.Multimodal.syntheticMedia(s, 500),
+          multimodal.Multimodal.StubDecoder), stride = 2)
+        .select(col("media_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -1392,6 +1417,60 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN x.bs <> y.bs THEN 1 ELSE 0 END) <= 8
         |ORDER BY 1, 2""".stripMargin,
+
+    // G2 twin: decoder replay (same recursive CTE as q_phash_dups,
+    // without the dup injection), then per-media feature aggregates.
+    "q_media_features" ->
+      """WITH RECURSIVE medias AS (
+        |  SELECT i AS media_id,
+        |    (CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+        |    'media-' || i || '-' ||
+        |    (CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) ||
+        |    '-payload' AS payload
+        |  FROM range(500) t(i)),
+        |m2 AS (
+        |  SELECT media_id, kind, payload, length(payload) AS len,
+        |    4 + length(payload) % 8 AS w, 3 + length(payload) % 5 AS h,
+        |    (4 + length(payload) % 8) * (3 + length(payload) % 5) AS n_luma,
+        |    CASE WHEN kind = 'video' THEN 1 + length(payload) % 7 ELSE 1 END AS frames
+        |  FROM medias),
+        |scan AS (
+        |  SELECT media_id, payload, len, n_luma, CAST(0 AS BIGINT) AS i,
+        |    CAST((17*31 + ascii(substr(payload, 1, 1))) % 4294967296 AS BIGINT) AS acc
+        |  FROM m2
+        |  UNION ALL
+        |  SELECT media_id, payload, len, n_luma, i + 1,
+        |    (acc * 31 + ascii(substr(payload, CAST((i + 1) % len AS INTEGER) + 1, 1))) % 4294967296
+        |  FROM scan WHERE i + 1 < n_luma),
+        |stats AS (
+        |  SELECT media_id, count(*) AS n,
+        |    CAST(SUM(acc % 256) AS BIGINT) AS s,
+        |    CAST(MAX(acc % 256) AS DOUBLE) AS mx
+        |  FROM scan GROUP BY 1)
+        |SELECT m.media_id, m.kind,
+        |  CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+        |  CAST(m.frames AS BIGINT) AS n_frames,
+        |  st.s / st.n AS mean_luma, st.mx AS max_luma
+        |FROM m2 m JOIN stats st USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
+
+    // G3 twin: frame indices from the stub's metadata derivation alone.
+    "q_frame_sample" ->
+      """WITH medias AS (
+        |  SELECT i AS media_id,
+        |    (CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+        |    length('media-' || i || '-' ||
+        |      (CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) ||
+        |      '-payload') AS len
+        |  FROM range(500) t(i)),
+        |f AS (
+        |  SELECT media_id,
+        |    CASE WHEN kind = 'video' THEN 1 + len % 7 ELSE 1 END AS frames
+        |  FROM medias)
+        |SELECT media_id,
+        |  unnest(range(0, CAST(frames AS BIGINT), 2)) AS frame_idx
+        |FROM f
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_lang_id" -> {
       val lex = Map(
