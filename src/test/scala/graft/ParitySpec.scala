@@ -29,6 +29,53 @@ class ParitySpec extends SparkSpec {
   private def us(minutes: Long): Long = (600L + minutes) * 60000000L
   private def ts(minutes: Long): Timestamp = new Timestamp(us(minutes) / 1000L)
 
+  test("F2 streaming pattern rule agrees with the batch guessing-amount rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{FraudHit, Txn}
+    val maxMin = 30L
+    val rows = Seq(
+      // user 1: textbook pattern -> hit at m=6
+      (1L, 0L, 5000L, "REJECT"), (1L, 2L, 4000L, "REJECT"),
+      (1L, 4L, 3000L, "REJECT"), (1L, 6L, 2500L, "SUCCESS"),
+      // user 2: not strictly decreasing -> no hit
+      (2L, 0L, 5000L, "REJECT"), (2L, 2L, 6000L, "REJECT"),
+      (2L, 4L, 3000L, "REJECT"), (2L, 6L, 2500L, "SUCCESS"),
+      // user 3: pattern window exceeded (40 min span > 30) -> no hit
+      (3L, 0L, 5000L, "REJECT"), (3L, 20L, 4000L, "REJECT"),
+      (3L, 30L, 3000L, "REJECT"), (3L, 40L, 2500L, "SUCCESS"),
+      // user 4: success above the last reject -> no hit
+      (4L, 0L, 5000L, "REJECT"), (4L, 2L, 4000L, "REJECT"),
+      (4L, 4L, 3000L, "REJECT"), (4L, 6L, 3500L, "SUCCESS"),
+      // user 5: hit, then a second success whose lookback now contains
+      // the first success -> only one hit
+      (5L, 0L, 9000L, "REJECT"), (5L, 2L, 8000L, "REJECT"),
+      (5L, 4L, 7000L, "REJECT"), (5L, 6L, 100L, "SUCCESS"),
+      (5L, 8L, 50L, "SUCCESS")
+    ).map { case (u, m, a, r) => (u, us(m), a, r) }
+
+    val in = MemoryStream[Txn]
+    val q = StreamingOps.guessingAmountStream(in.toDS(), maxMinutes = maxMin)
+      .writeStream.format("memory").queryName("pfraud")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map { case (u, t, a, r) => Txn(u, t, a, r) })
+      q.processAllAvailable()
+      val streamed = spark.table("pfraud").as[FraudHit].collect()
+        .map(h => (h.user_id, h.ts_us)).toSet
+
+      val txns = rows.toDF("user_id", "ts_us", "amt_cents", "oper_result")
+        .withColumn("event_type", lit("purchase"))
+      val clients = Seq((1L, "P1", "N1", "T1", "S1"))
+        .toDF("c_custkey", "passport_num", "fio", "phone", "segment")
+      val batch = graft.fraud.FraudRules
+        .guessingAmountFraud(txns, clients, maxMin)
+        .select(col("client_key"), col("event_dt_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed == Set((1L, us(6)), (5L, us(6)))) // and both are right
+    } finally q.stop()
+  }
+
   test("F10 session windows agree with the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val gapMin = 30L
