@@ -156,43 +156,69 @@ object Dedup {
     * counts (deterministic cross-engine). */
   def lshVerify(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
                 dupMod: Long = 250): DataFrame = {
-    // pairs feeds three places (candidate ids, intersection, final
-    // assembly); eager localCheckpoint materializes the whole MinHash
-    // pipeline ONCE instead of re-running it per consumer. The frame is
-    // candidate-pair-sized — orders of magnitude below the corpus.
+    // pairs feeds several consumers; eager localCheckpoint materializes
+    // the whole MinHash pipeline ONCE instead of re-running it per
+    // consumer. The frame is candidate-pair-sized — orders of magnitude
+    // below the corpus.
     val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
       .select(col("id1"), col("id2"), col("n_shared_bands"))
       .localCheckpoint(true)
     val candIds = pairs.select(col("id1").as("doc_id"))
       .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
-    // Distinct shingle SETS as exploded (doc_id, gram) rows, deduped by
-    // a map-side-combined hash aggregate — linear per doc. The earlier
-    // form (array_distinct on the shingle array, then array_intersect of
-    // two whole arrays per pair) paid O(n²) per-row compares on long
-    // documents; here intersection size is a count over an equi-join on
-    // (doc, gram), so both dedup and intersection stay linear and
-    // distributed at 100 TB. The semi join scopes the explode to
-    // CANDIDATE docs only — non-candidate documents (the overwhelming
-    // majority of the corpus) never shuffle a single gram row.
-    // Checkpointed: consumed by both the intersection and the size agg.
-    val grams = withShingles(withSyntheticDups(docs, dupMod), distinct = false)
+    val universe = withSyntheticDups(docs, dupMod)
+
+    // Verify by distinct CONTENT, not by doc: exact duplicates (the
+    // most common near-dup in a real crawl, and every injected dup
+    // here) share a content hash, and identical contents have
+    // n_inter = n_sh and jaccard = 1 with NO gram join at all. Only
+    // DIFFERING content pairs pay for intersection — on a dup-heavy
+    // corpus this collapses the dominant join (measured 11.7 s → see
+    // PLANS.md at the 10× replica corpus, where every doc sits in a
+    // 10-clique of identical texts).
+    val docContent = universe
+      .select(col("doc_id"), md5(col("text")).as("ch"))
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .localCheckpoint(true)
+    // one representative text per candidate content (texts are
+    // identical within a hash, so "any" is deterministic)
+    val contentRep = universe
+      .select(md5(col("text")).as("ch"), col("text"))
+      .join(docContent.select(col("ch")).distinct(), Seq("ch"), "left_semi")
+      .dropDuplicates("ch")
+
+    // Distinct shingle SETS as exploded (content, gram) rows, deduped
+    // by a map-side-combined hash aggregate — linear per content. The
+    // earlier form (array_distinct + array_intersect of whole arrays
+    // per pair) paid O(n²) per-row compares on long documents; here
+    // intersection size is a count over an equi-join on (content,
+    // gram). Non-candidate documents never shuffle a gram row.
+    val grams = withShingles(contentRep, distinct = false)
+      .select(col("ch"), explode_outer(col("sh")).as("g"))
       .distinct()
       .localCheckpoint(true)
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs.select(col("id1"), col("id2"))
-      .join(grams.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
-      .join(grams.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_i"))
-    pairs
+    val sizes = grams.groupBy(col("ch")).agg(count(lit(1)).as("n_sh"))
+
+    val cpairs = pairs
+      .join(docContent.select(col("doc_id").as("id1"), col("ch").as("c1")), Seq("id1"))
+      .join(docContent.select(col("doc_id").as("id2"), col("ch").as("c2")), Seq("id2"))
+      .localCheckpoint(true)
+    // gram-intersection join only for DISTINCT differing content pairs
+    val needInter = cpairs.filter(col("c1") =!= col("c2"))
+      .select(col("c1"), col("c2")).distinct()
+    val interC = needInter
+      .join(grams.select(col("ch").as("c1"), col("g")), Seq("c1"))
+      .join(grams.select(col("ch").as("c2"), col("g")), Seq("c2", "g"))
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("n_i"))
+
+    cpairs
       // left join: docs can share a band bucket (minhash collision)
       // while sharing zero shingles — such pairs have n_inter = 0
-      .join(inter, Seq("id1", "id2"), "left")
-      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
+      .join(interC, Seq("c1", "c2"), "left")
+      .join(sizes.select(col("ch").as("c1"), col("n_sh").as("n1")), Seq("c1"))
+      .join(sizes.select(col("ch").as("c2"), col("n_sh").as("n2")), Seq("c2"))
       .select(col("id1"), col("id2"), col("n_shared_bands"),
-        coalesce(col("n_i"), lit(0L)).cast(LongType).as("n_inter"),
+        when(col("c1") === col("c2"), col("n1"))
+          .otherwise(coalesce(col("n_i"), lit(0L))).cast(LongType).as("n_inter"),
         (col("n1") + col("n2")).cast(LongType).as("n_sum"))
       .withColumn("n_union", col("n_sum") - col("n_inter"))
       .withColumn("jaccard", col("n_inter") / col("n_union"))
