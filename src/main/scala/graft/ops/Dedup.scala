@@ -226,22 +226,80 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Near-dup CLUSTERING — transitive closure over the LSH candidate
-    * pairs, emitting (doc_id, cluster_id=min id in component,
-    * cluster_size). Iterative min-label propagation: each round every
-    * node takes the min of its own and its neighbors' labels; converges
-    * in O(component diameter) rounds — LSH dup components are
-    * near-cliques (diameter 1–2), so a handful of rounds suffice even at
-    * 100 TB. Each round is one shuffle join; frames are persisted and
-    * the previous round released, so lineage and memory stay bounded.
-    * (The round-halving large-star/small-star variant is the upgrade
-    * path if components with large diameters ever appear.) */
-  def lshClusters(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                  dupMod: Long = 250, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val spark = docs.sparkSession
+  /** Shared contraction pre-step for both closure operators: collapse
+    * every exact-duplicate content group to its minimum doc id BEFORE
+    * the iterative closure. Identical contents share every band, so
+    * each group is already a clique in the candidate graph — the
+    * contraction merges only already-connected nodes and cannot change
+    * components, while shrinking the iterated graph by the corpus's
+    * duplication factor (the dominant factor on crawl data). Returns
+    * (docRep: (doc_id, rep) over candidate docs, repPairs: contracted
+    * distinct edges), both eagerly checkpointed. */
+  private def contractedCandidates(docs: DataFrame, bands: Int,
+                                   rowsPerBand: Int, dupMod: Long)
+      : (DataFrame, DataFrame) = {
     val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
       .select(col("id1"), col("id2"))
+      .localCheckpoint(true)
+    val candIds = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+    val withCh = withSyntheticDups(docs, dupMod)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val reps = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
+    val docRep = withCh.join(reps, Seq("ch"))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint(true)
+    val repPairs = pairs
+      .join(docRep.select(col("doc_id").as("id1"), col("rep").as("r1")), Seq("id1"))
+      .join(docRep.select(col("doc_id").as("id2"), col("rep").as("r2")), Seq("id2"))
+      .select(least(col("r1"), col("r2")).as("id1"),
+        greatest(col("r1"), col("r2")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .distinct()
+      .localCheckpoint(true)
+    (docRep, repPairs)
+  }
+
+  /** Expand representative-level component labels back to documents:
+    * every doc inherits its representative's label; a representative
+    * with no contracted edge is its own (content-group) cluster.
+    * cluster_id stays "min doc id in component" because each rep IS
+    * its group's min id and labels are min-rep ids. */
+  private def expandClusters(docRep: DataFrame, labels: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    docRep
+      .join(labels.select(col("node"), col("label")),
+        docRep("rep") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup CLUSTERING — transitive closure over the LSH candidate
+    * pairs, emitting (doc_id, cluster_id=min id in component,
+    * cluster_size). Exact-dup groups are contracted to one node first
+    * ([[contractedCandidates]]); then iterative min-label propagation:
+    * each round every node takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds — LSH dup
+    * components are near-cliques (diameter 1–2), so a handful of rounds
+    * suffice even at 100 TB. Each round is one shuffle join; frames are
+    * persisted and the previous round released, so lineage and memory
+    * stay bounded. (The round-halving large-star/small-star variant is
+    * the upgrade path if components with large diameters ever appear.) */
+  def lshClusters(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                  dupMod: Long = 250, maxIter: Int = 20): DataFrame = {
+    val (docRep, repPairs) =
+      contractedCandidates(docs, bands, rowsPerBand, dupMod)
+    expandClusters(docRep, minLabelClosure(repPairs, maxIter))
+      .localCheckpoint(true)
+  }
+
+  /** The min-label fixed-point loop over an (id1, id2) edge list;
+    * returns (node, label) for every node with ≥1 edge. */
+  private def minLabelClosure(pairs: DataFrame, maxIter: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(MEMORY_AND_DISK)
@@ -302,15 +360,10 @@ object Dedup {
         throw new IllegalStateException(
           s"lshClusters: not converged after $maxIter rounds " +
             s"($changed labels still moving); raise maxIter")
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      val result = labels
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(wc))
-        .orderBy(col("doc_id"))
-        // materialize once and cut lineage: the loop's named persists
-        // can then be released deterministically instead of living
-        // until session end (result blocks free on GC of this frame)
-        .localCheckpoint(true)
+      // materialize once and cut lineage: the loop's named persists
+      // can then be released deterministically instead of living
+      // until session end (result blocks free on GC of this frame)
+      val result = labels.select(col("node"), col("label")).localCheckpoint(true)
       edges.unpersist(false)
       persisted.unpersist(false)
       result
@@ -329,13 +382,9 @@ object Dedup {
   def lshClustersScalable(docs: DataFrame, bands: Int = 4,
                           rowsPerBand: Int = 2, dupMod: Long = 250,
                           maxRounds: Int = 30): DataFrame = {
-    val pairs = minhashLshPairs(docs, bands, rowsPerBand, dupMod)
-      .select(col("id1"), col("id2"))
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    ConnectedComponents.components(pairs, maxRounds)
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(wc))
-      .orderBy(col("doc_id"))
+    val (docRep, repPairs) =
+      contractedCandidates(docs, bands, rowsPerBand, dupMod)
+    expandClusters(docRep, ConnectedComponents.components(repPairs, maxRounds))
   }
 
   /** Per-row MinHash signatures (no aggregation): one h32 per shingle
