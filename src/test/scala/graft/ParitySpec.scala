@@ -76,6 +76,47 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F1 incremental windowed aggregation agrees with the one-shot batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches force incremental state updates (several
+    // windows receive rows in both batches); complete mode then exposes
+    // the accumulated result for comparison against a one-shot batch
+    // aggregation of the same rows.
+    val batch1 = for {
+      u <- 1L to 3L; m <- Seq(1L, 17L, 61L, 125L)
+    } yield (ts(m + u), Seq("purchase", "error")((u % 2).toInt), 1.5 * m + u)
+    val batch2 = for {
+      u <- 1L to 3L; m <- Seq(5L, 63L, 200L)
+    } yield (ts(m + u), "purchase", 2.5 * m + u)
+
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.windowedEventCounts(
+      in.toDF().toDF("ts_t", "event_type", "value"), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("pwinagg")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("pwinagg")
+        .select(unix_micros(col("window.start")), col("event_type"),
+          col("n"), col("sum_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      val batch = (batch1 ++ batch2).toDF("ts_t", "event_type", "value")
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.GraftFunctions.cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("window.start")), col("event_type"),
+          col("n"), col("sum_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("F10 session windows agree with the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val gapMin = 30L
