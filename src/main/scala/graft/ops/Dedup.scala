@@ -11,9 +11,14 @@ import graft.functions.GraftFunctions._
   *
   * Scale posture: exact dedup is one hash-shuffle on the content hash;
   * MinHash/LSH shuffles on (band, bucket) so candidate generation never
-  * compares across buckets; the quadratic true-Jaccard verify only ever
-  * runs on a bounded candidate/sample set. SimHash and signatures are
-  * per-row map work in whole-stage codegen.
+  * compares across buckets; the true-Jaccard verify runs only on the
+  * candidate set, keyed by DISTINCT CONTENT (identical texts verify for
+  * free), via linear exploded-gram aggregates — never array_distinct's
+  * O(n²) per-row compares. Both closure operators contract exact-dup
+  * groups before iterating, so the graph shrinks by the corpus's
+  * duplication factor. SimHash dedups tokens through a map-side-combined
+  * hash aggregate; MinHash signatures are flat codegen over exploded
+  * (doc, shingle) rows.
   */
 object Dedup {
 
