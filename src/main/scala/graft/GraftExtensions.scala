@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L}
+import graft.functions.{DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L, TokenStatsL}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Enable with
@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ScaledNorm2L].getName, "scaled_norm2_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ScaledNorm2L(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_stats_l"),
+      new ExpressionInfo(classOf[TokenStatsL].getName, "token_stats_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenStatsL(children.head)))
   }
 }
