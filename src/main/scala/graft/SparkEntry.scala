@@ -551,6 +551,8 @@ object SparkEntry {
     "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
     // E29: exact-substring-dedup signal — token coverage by corpus-duplicated n-grams
     "q_dupspan" -> ((s, d) => ops.TrainingData.dupSpanCoverage(Tables.documents(s, d))),
+    // ---- E33: duplicated-span REMOVAL (the dedup step E29 detects for)
+    "q_dupspan_removal" -> ((s, d) => ops.TrainingData.removeDupSpans(Tables.documents(s, d))),
     // ---- E32: C4-style common-line boilerplate removal. A 10-token
     // footer prepended to every 10th doc is the deterministic stand-in
     // for crawl boilerplate; its line repeats across enough docs to
@@ -1948,6 +1950,36 @@ object SparkEntry {
         |      AS BIGINT), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_dupspan_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+        |g AS (
+        |  SELECT doc_id, pos0,
+        |    CAST(('0x'||substr(md5(array_to_string(tk[CAST(pos0 AS INTEGER):CAST(pos0+2 AS INTEGER)], ' ')),1,8)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(range(1, CAST(len(tk) AS BIGINT) - 1)) AS pos0
+        |        FROM b WHERE n >= 3)),
+        |d AS (SELECT g FROM (SELECT g, count(*) AS c FROM g GROUP BY g) WHERE c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos0 + off AS p
+        |  FROM g JOIN d USING (g)
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS off) o),
+        |tokrows AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(range(1, CAST(len(tk) AS BIGINT) + 1)) AS p
+        |  FROM b),
+        |kept AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS cm
+        |  FROM (SELECT tr.doc_id, tr.tok, tr.p
+        |        FROM tokrows tr ANTI JOIN cov USING (doc_id, p))
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  b.n - COALESCE(k.n_kept, 0) AS n_removed,
+        |  COALESCE(k.cm, md5('')) AS clean_md5
+        |FROM b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_lines_dedup" ->
       """WITH d AS (

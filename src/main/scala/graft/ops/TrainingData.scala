@@ -337,6 +337,57 @@ object TrainingData {
     * window's top-N is pushed down as a group-limit (WindowGroupLimit),
     * so no stratum ever materializes a full sort of its partition.
     */
+  /** E33 — duplicated-n-gram span REMOVAL (the dedup step of Lee et
+    * al.'s exact-substring dedup, where E29 is the detection signal):
+    * every token covered by a corpus-duplicated n-gram occurrence is
+    * dropped and the survivors reassemble in order. Aggressive variant
+    * (ALL occurrences removed, not all-but-one) — deterministic and
+    * order-independent, which a distributed remover needs.
+    *
+    * Shape: the n-gram explode + corpus-count join of [[dupSpanCoverage]],
+    * then covered POSITIONS (hit start + 0..gram-1, distinct) anti-join
+    * the exploded token rows — all linear shuffles, no per-row interval
+    * scans, and the DuckDB twin mirrors the exact same joins. Output is
+    * bounded per doc (counts + md5 of the cleaned text). */
+  def removeDupSpans(docs: DataFrame, gram: Int = 3, minCount: Long = 2)
+      : DataFrame = {
+    require(gram >= 2, "gram must be ≥ 2")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+    val gramed = base.filter(col("n") >= gram)
+      .select(col("doc_id"),
+        posexplode_outer(transform(
+          sequence(lit(1), size(col("toks")) - (gram - 1)),
+          i => h32(array_join(slice(col("toks"), i, lit(gram)), " "))))
+          .as(Seq("pos0", "g")))
+    val dup = gramed.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("g"))
+    // posexplode's pos0 is 0-based: hit j covers 1-based tokens
+    // j+1 .. j+gram
+    val coveredPos = gramed.join(dup, Seq("g"))
+      .select(col("doc_id"),
+        explode_outer(sequence(col("pos0") + 1, col("pos0") + gram)).as("p"))
+      .distinct()
+    val tokRows = base
+      .select(col("doc_id"), posexplode_outer(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
+    val kept = tokRows.join(coveredPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")))).as("clean_md5"))
+    base.select(col("doc_id"), col("n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E32 — C4/RefinedWeb-style common-line (boilerplate) removal: split
     * each document into fixed `lineTokens`-token "lines", drop every
     * line whose hash appears in ≥ `minDocFreq` DISTINCT documents

@@ -88,6 +88,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
   }
 
+  test("dup-span removal drops exactly the covered tokens and keeps order") {
+    // two docs sharing the 3-gram "a b c" (corpus count 2 -> dup);
+    // everything else unique. Doc 1: tokens 1-3 covered; doc 2: the
+    // shared gram sits mid-doc (tokens 3-5 covered).
+    val docs = docsDf(
+      1L -> "a b c x1 y1 z1",
+      2L -> "p2 q2 a b c r2")
+    val out = TrainingData.removeDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 6L && out(1L)._2 == 3L)
+    assert(out(2L)._1 == 6L && out(2L)._2 == 3L)
+    // survivors reassemble in original order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(out(1L)._3 == md5hex("x1 y1 z1"))
+    assert(out(2L)._3 == md5hex("p2 q2 r2"))
+
+    // removal is exactly E29's detection: n_removed == covered_tokens
+    // for every real document
+    val real = Tables.documents(spark, sf)
+    val rem = TrainingData.removeDupSpans(real)
+      .select(col("doc_id"), col("n_removed"))
+    val cov = TrainingData.dupSpanCoverage(real)
+      .select(col("doc_id"), col("covered_tokens"))
+    val disagree = rem.join(cov, Seq("doc_id"))
+      .filter(col("n_removed") =!= col("covered_tokens")).count()
+    assert(disagree == 0L)
+  }
+
   test("stratified sample takes at most perKey per language, deterministically") {
     val docs = Tables.documents(spark, sf)
     val out = TrainingData.stratifiedSample(docs, perKey = 7).collect()
