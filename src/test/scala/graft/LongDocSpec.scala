@@ -61,8 +61,18 @@ class LongDocSpec extends SparkSpec {
       assert(hit.get.getDouble(hit.get.fieldIndex("jaccard")) == 1.0d)
     }
 
+    // removal operators stay linear too: both are explode+join shapes
+    // with no per-row pairwise work. 30k-token docs each; the 4 docs
+    // share their (shifted) vocabulary so dup grams and common lines
+    // genuinely fire.
+    val docRemoval = graft.ops.TrainingData.removeDupSpans(docs).collect()
+    assert(docRemoval.length == 4 &&
+      docRemoval.forall(r => r.getLong(2) > 0L), "expected dup spans removed")
+    val lineRemoval = graft.ops.TrainingData.removeCommonLines(docs).collect()
+    assert(lineRemoval.length == 4)
+
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    assert(elapsedSec < 120d,
+    assert(elapsedSec < 180d,
       f"long-doc paths took $elapsedSec%.1f s — quadratic per-row scan suspected")
   }
 }
