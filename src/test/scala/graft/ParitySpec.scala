@@ -291,6 +291,40 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F3 streaming exact dedup keeps exactly the batch first-per-content docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota")
+    val docs = (0 until 9).map(i => (i.toLong, texts(i % 3), 2L * i))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingDedup(
+      in.toDF().toDF("ts_t", "doc_id", "text"), "2 hours")
+      .writeStream.format("memory").queryName("pexactdedup")
+      .outputMode("append").start()
+    try {
+      docs.sortBy(_._3).foreach { case (id, text, m) =>
+        in.addData((ts(m), id, text))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pexactdedup")
+        .select("doc_id").as[Long].collect().toSet
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("minute"))
+      val batch = docs.toDF("doc_id", "text", "minute")
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // and the batch keeper set matches Dedup.exact's min-id keepers
+      // (ids arrive in time order here, so first == min)
+      val exact = Dedup.exact(docs.toDF("doc_id", "text", "minute"))
+        .select("keep_id").as[Long].collect().toSet
+      assert(streamed == exact, s"stream=$streamed exact=$exact")
+    } finally q.stop()
+  }
+
   test("F7 streaming embed dedup keeps exactly the batch first-per-signature vectors") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
