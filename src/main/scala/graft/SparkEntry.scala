@@ -30,6 +30,12 @@ object SparkEntry {
   def cellsExportPath(sfDir: String): String =
     "/tmp/graft_ivf_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
 
+  /** Same pattern for `q_semdedup`'s coarse-quantizer assignment (its
+    * corpus includes the synthetic duplicates, so it is a different
+    * table than the IVF one); token `__GRAFT_SEMCELLS__`. */
+  def semCellsExportPath(sfDir: String): String =
+    "/tmp/graft_sem_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- D1: grouped aggregation, exact-integer money (TPC-H Q1 shape)
@@ -94,6 +100,20 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => RelationalQueries.windowTopN(s, d)),
     "q_window_running" -> ((s, d) => RelationalQueries.windowRunning(s, d)),
     "q_semi_anti" -> ((s, d) => RelationalQueries.semiAnti(s, d)),
+    // D39/I15: Bloom-prefiltered semi-join — hash-equal to the plain
+    // IN-subquery semi-join (Bloom has no false negatives); the filter
+    // drops non-matching lineitem rows BEFORE the join shuffle, so at
+    // scale the exchange carries matches, not the corpus.
+    "q_bloom_semi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 480000.0).select(col("o_orderkey"))
+      graft.relational.BloomPrune.semiJoin(li, "l_orderkey", big, "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("rev_cents"))
+        .orderBy(col("l_orderkey"))
+    }),
     "q_setops" -> ((s, d) => RelationalQueries.setOps(s, d)),
     "q_rollup" -> ((s, d) => RelationalQueries.rollup(s, d)),
     "q_cube" -> ((s, d) => RelationalQueries.cube(s, d)),
@@ -299,6 +319,20 @@ object SparkEntry {
         .write.mode("overwrite").parquet(cellsExportPath(d))
       ops.Ann.ivfTopKLearned(Tables.embeddings(s, d),
         s.read.parquet(cellsExportPath(d)))
+    }),
+    // E34 SemDeDup: seeded-KMeans cells over the dup-injected corpus,
+    // assignment exported (same reproducibility contract as the learned
+    // IVF above), then cell-scoped exact-cosine near-dup removal.
+    "q_semdedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withDups = base.unionByName(
+        base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      graft.ml.EmbeddingClustering.assignCellsDf(withDups, k = 10)
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(semCellsExportPath(d))
+      ops.SemDedup.semanticDups(
+        withDups.join(s.read.parquet(semCellsExportPath(d)), Seq("vec_id")))
     }),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
@@ -1024,6 +1058,18 @@ object SparkEntry {
         |AND NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    // Bloom prefilter is transparent to semantics: the twin is the
+    // plain IN-subquery semi-join + aggregation.
+    "q_bloom_semi" ->
+      """SELECT l_orderkey,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_setops" ->
       """SELECT * FROM (
@@ -2233,6 +2279,43 @@ object SparkEntry {
         |  CAST(sum(norm2) AS BIGINT) AS sum_norm2,
         |  CAST(min(norm2) AS BIGINT) AS min_norm2,
         |  CAST(max(norm2) AS BIGINT) AS max_norm2
-        |FROM n GROUP BY label ORDER BY label""".stripMargin
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // SemDeDup twin: identical dup injection, the exported KMeans cell
+    // table (__GRAFT_SEMCELLS__), and the same µ-scaled exact-integer
+    // cosine op sequence as the other embedding oracles; removal =
+    // EXISTS a smaller-id same-cell neighbor at cos >= 0.999.
+    "q_semdedup" ->
+      """WITH wd AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |cells AS (
+        |  SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |  FROM read_parquet('__GRAFT_SEMCELLS__/*.parquet')),
+        |nn AS (
+        |  SELECT w.vec_id, c.cell,
+        |    list_transform(w.embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM wd w JOIN cells c USING (vec_id)),
+        |n AS (
+        |  SELECT vec_id, cell, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM nn),
+        |rm AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> a.svec[i]*b.svec[i])),
+        |      (x,y) -> x+y) AS DOUBLE)
+        |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+        |    >= 0.999)
+        |SELECT n.vec_id, n.cell,
+        |  CASE WHEN rm.vec_id IS NULL THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS kept
+        |FROM n LEFT JOIN rm USING (vec_id)
+        |ORDER BY n.vec_id""".stripMargin
   )
 }

@@ -57,7 +57,8 @@ object Verify {
       // the learned-IVF twin reads the cell table the Spark query
       // exported; the path depends on the sf dir, so patch it in here
       .map { case (k, v) =>
-        (k, v.replace("__GRAFT_CELLS__", SparkEntry.cellsExportPath(sfDir)))
+        (k, v.replace("__GRAFT_CELLS__", SparkEntry.cellsExportPath(sfDir))
+          .replace("__GRAFT_SEMCELLS__", SparkEntry.semCellsExportPath(sfDir)))
       }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -130,6 +130,24 @@ class OpsSpec extends SparkSpec {
       "exact bucketing should miss it (else the pair isn't straddling)")
   }
 
+  test("SemDeDup removes the later twin of a same-cell near-dup pair only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat())
+    val base = vec()
+    // 1 and 2 share cell 0 and are exact duplicates; 3 is an exact
+    // duplicate of 1 but quantized to ANOTHER cell — SemDeDup by
+    // construction must NOT see that cross-cell pair (the published
+    // trade: recall is scoped to the cluster).
+    val df = Seq(
+      (1L, base, 0), (2L, base, 0), (3L, base, 1),
+      (4L, vec(), 0), (5L, vec(), 1))
+      .toDF("vec_id", "embedding", "cell")
+    val out = graft.ops.SemDedup.semanticDups(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("exact dedup groups identical content") {
     val docs = Tables.documents(spark, sf).limit(20)
     val doubled = docs.unionByName(
