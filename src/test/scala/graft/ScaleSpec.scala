@@ -131,6 +131,30 @@ class ScaleSpec extends SparkSpec {
       s"z-layout should prune most row groups: read $z of $naive")
   }
 
+  test("bloom prefilter drops most non-matching rows and loses none") {
+    import graft.relational.BloomPrune
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 480000.0).select(col("o_orderkey"))
+    val bits = BloomPrune.buildBits(big, "o_orderkey")
+    val total = li.count()
+    val surviving = BloomPrune.prefilter(li, "l_orderkey", bits).count()
+    val matching = li.join(big.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    // no false negatives, and leakage (false positives) stays small:
+    // the prefilter must remove the bulk of the non-matching corpus
+    assert(surviving >= matching, "bloom dropped a matching row")
+    assert(surviving <= matching + (total - matching) / 10,
+      s"bloom leaked too much: $surviving survivors for $matching matches of $total")
+    // the full operator is exactly the plain semi-join (bag equality:
+    // same multiset size and no extra rows)
+    val viaBloom = BloomPrune.semiJoin(li, "l_orderkey", big, "o_orderkey")
+    assert(viaBloom.count() == matching)
+    assert(viaBloom.exceptAll(li.join(
+      big.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")).isEmpty)
+  }
+
   test("oracle-checked salted join really joins on (key, salt)") {
     val plan = SparkEntry.queries("q_salted_join")(spark, sf)
       .queryExecution.executedPlan.toString
