@@ -44,6 +44,60 @@ object StreamingIngest {
       }
       .start()
 
+  /** F12 — streaming SCD2 maintenance: the reference's daily terminal
+    * loop (data_to_db.py's update_terminals_hist cadence) as a
+    * continuous job. Each micro-batch carries one or more DATED
+    * snapshots; they merge in date order via [[graft.etl.Scd2.merge]]
+    * into a versioned history directory (`v=<batchId>`), so the
+    * dimension state advances exactly as the batch merge chain does —
+    * ParitySpec pins the equality. Versioning keeps the update
+    * restart-safe: a replayed batch rebuilds from the last version
+    * BEFORE its own id (never from its possibly-half-written output)
+    * and overwrites only its own directory.
+    */
+  def scd2Stream(snapshots: DataFrame, key: String, attrs: Seq[String],
+                 dateCol: String, histPath: String,
+                 checkpoint: String): StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val s = batch.sparkSession
+        // distinct snapshot dates in the batch — day-count-sized
+        // metadata, the only driver-side materialization here
+        val dates = batch.select(col(dateCol)).distinct()
+          .collect().map(_.getString(0)).sorted
+        if (dates.nonEmpty) {
+          var hist = latestHistory(s, histPath, beforeVersion = batchId)
+          dates.foreach { dt =>
+            val snap = batch.filter(col(dateCol) === dt)
+              .select((key +: attrs).map(col): _*)
+            hist = Some(hist
+              .map(h => graft.etl.Scd2.merge(h, snap, key, attrs, dt))
+              .getOrElse(graft.etl.Scd2.init(snap, dt)))
+          }
+          hist.get.write.mode("overwrite").parquet(s"$histPath/v=$batchId")
+        }
+      }
+      .start()
+
+  /** Latest committed history version under `histPath` with id below
+    * `beforeVersion` (replay safety: a restarted batch must not read
+    * its own previous attempt). */
+  def latestHistory(s: SparkSession, histPath: String,
+                    beforeVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(histPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(_ < beforeVersion)
+      .sorted.lastOption
+      .map(v => s.read.parquet(s"$histPath/v=$v"))
+  }
+
   /** Land a transaction stream into a date-partitioned parquet lake —
     * partitioning by event date makes every date-ranged read prune at
     * the directory level (the 100 TB access path). */

@@ -358,4 +358,50 @@ class ParitySpec extends SparkSpec {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("F12 streaming SCD2 maintenance equals the batch merge chain") {
+    import graft.etl.{Scd2, Scd2Snapshots}
+    import graft.streaming.StreamingIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    val drop = java.nio.file.Files.createDirectory(root.resolve("drop"))
+    val hist = root.resolve("hist").toString
+
+    // land each day's snapshot as one file in the drop dir, ordered by
+    // mod time so the file source replays the reference's daily cadence
+    def land(df: org.apache.spark.sql.DataFrame, day: String, mtime: Long): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = root.resolve(s"tmp_$day")
+      df.withColumn("batch_dt", lit(day)).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = drop.resolve(s"snapshot_$day.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    land(Scd2Snapshots.day1(spark, sf), Scd2Snapshots.Day1, 1000000L)
+    land(Scd2Snapshots.day2(spark, sf), Scd2Snapshots.Day2, 2000000L)
+
+    val snapSchema = spark.read.parquet(drop.resolve(s"snapshot_${Scd2Snapshots.Day1}.parquet").toString).schema
+    val stream = spark.readStream.schema(snapSchema)
+      .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+    val q = StreamingIngest.scd2Stream(stream, Scd2Snapshots.Key,
+      Scd2Snapshots.Attrs, "batch_dt", hist, root.resolve("ckpt").toString)
+    q.awaitTermination()
+
+    val cols = (Scd2Snapshots.Key +: Scd2Snapshots.Attrs) ++
+      Seq("effective_from", "effective_to", "deleted_flg")
+    val expected = Scd2.merge(
+      Scd2.init(Scd2Snapshots.day1(spark, sf), Scd2Snapshots.Day1),
+      Scd2Snapshots.day2(spark, sf),
+      Scd2Snapshots.Key, Scd2Snapshots.Attrs, Scd2Snapshots.Day2)
+      .select(cols.map(col): _*)
+    val got = StreamingIngest.latestHistory(spark, hist).get
+      .select(cols.map(col): _*)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // and the two-batch path really produced two history versions
+    assert(new java.io.File(hist).list().count(_.startsWith("v=")) == 2)
+  }
 }
