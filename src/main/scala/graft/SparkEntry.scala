@@ -118,6 +118,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => RelationalQueries.rollup(s, d)),
     "q_cube" -> ((s, d) => RelationalQueries.cube(s, d)),
     "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d)),
+    // D40: equi-width histogram, exact integer bin edges
+    "q_histogram" -> ((s, d) => RelationalQueries.histogram(s, d)),
 
     // ---- B2..B6: SCD2 dimension maintenance on deterministic snapshots
     "q_scd2_new" -> ((s, d) =>
@@ -581,6 +583,9 @@ object SparkEntry {
     "q_gopher" -> ((s, d) => ops.TrainingData.gopherQuality(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => ops.TrainingData.piiScrub(Tables.documents(s, d))),
     "q_split" -> ((s, d) => ops.TrainingData.hashSplit(Tables.documents(s, d))),
+    // E35: DLT priority sampling — weighted subset via top-N priorities
+    "q_priority_sample" -> ((s, d) =>
+      ops.TrainingData.prioritySample(Tables.documents(s, d))),
     "q_contam" -> ((s, d) => ops.TrainingData.contamination(Tables.documents(s, d))),
     "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
     // E29: exact-substring-dedup signal — token coverage by corpus-duplicated n-grams
@@ -1976,6 +1981,29 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    // DLT priority sampling twin: same md5-derived uniform, identical
+    // two-op IEEE sequence (cast-mul, then divide), same tie-break.
+    "q_priority_sample" ->
+      """SELECT doc_id, source, n_chars,
+        |  (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+        |  CAST(CAST(('0x'||substr(md5('prio:'||CAST(doc_id AS VARCHAR)),1,8))
+        |    AS BIGINT) + 1 AS DOUBLE) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT min(v) AS mn, max(v) AS mx FROM ev)
+        |SELECT event_type,
+        |  ((v - mn) * 10) // (mx - mn + 1) AS bin,
+        |  count(*) AS n,
+        |  min(v) AS lo_cents, max(v) AS hi_cents
+        |FROM ev CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "q_contam" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

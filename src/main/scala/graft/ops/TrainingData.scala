@@ -156,6 +156,26 @@ object TrainingData {
       .orderBy(col("source"), col("split"))
   }
 
+  /** E35 — priority sampling (Duffield, Lund & Thorup, JACM 2007):
+    * weight-proportional subset selection with DETERMINISTIC uniforms.
+    * u = (md5₃₂(doc)+1)/2³² ∈ (0,1], priority q = w/u, keep the N
+    * largest — the classic scheme for unbiased weighted subset-sum
+    * estimation that needs only a top-N, not inclusion-probability
+    * bookkeeping. Here w = n_chars (token-budget-proportional pick).
+    *
+    * Scale: top-N is TakeOrdered — a per-partition heap merged once on
+    * the driver; no global sort, no shuffle of the corpus. Determinism:
+    * q is two correctly-rounded IEEE ops on exact integers, identical
+    * cross-engine (same discipline as the cosine family).
+    */
+  def prioritySample(docs: DataFrame, n: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars").cast("double") * lit(4294967296.0) /
+          (h32(concat(lit("prio:"), col("doc_id").cast("string"))) + lit(1L))
+            .cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(n)
+
   /** E24 — benchmark-contamination screen: for each training document,
     * how many distinct n-grams it shares with a held-out evaluation set
     * (here doc_id ≡ 0 mod `evalMod`; real pipelines join against the

@@ -159,6 +159,27 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** D40 — equi-width histogram with data-derived bounds, pure integer
+    * bin math: bin = (v−min)·nBins div (max−min+1) ∈ [0, nBins), exact
+    * in BIGINT so bucket edges are bit-identical cross-engine (float
+    * widths would put edge values in different buckets per engine).
+    * Scale: the bounds row is one scalar aggregate broadcast into a
+    * map-side bin tag; the histogram itself is one (type, bin) shuffle
+    * with map-side partial aggregation — corpus-sized work is a single
+    * scan. */
+  def histogram(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val bounds = ev.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"((v - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
   def etlRename(s: SparkSession, d: String): DataFrame =
     graft.etl.ColumnMapping.apply(
