@@ -586,6 +586,9 @@ object SparkEntry {
     // E35: DLT priority sampling — weighted subset via top-N priorities
     "q_priority_sample" -> ((s, d) =>
       ops.TrainingData.prioritySample(Tables.documents(s, d))),
+    // E36: fixed-mixture sampling to per-source char budgets
+    "q_mixture" -> ((s, d) =>
+      ops.TrainingData.mixtureSample(Tables.documents(s, d))),
     "q_contam" -> ((s, d) => ops.TrainingData.contamination(Tables.documents(s, d))),
     "q_stratified" -> ((s, d) => ops.TrainingData.stratifiedSample(Tables.documents(s, d))),
     // E29: exact-substring-dedup signal — token coverage by corpus-duplicated n-grams
@@ -1991,6 +1994,24 @@ object SparkEntry {
         |    AS BIGINT) + 1 AS DOUBLE) AS priority
         |FROM documents
         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Mixture-sampling twin: same parity budgets, same md5 permutation,
+    // same strictly-before cumulative predicate.
+    "q_mixture" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |      THEN 4000 ELSE 2000 END AS budget,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,8))
+        |        AS BIGINT), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM t WHERE cum_before < budget
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_histogram" ->
       """WITH ev AS (

@@ -176,6 +176,37 @@ object TrainingData {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(n)
 
+  /** E36 — deterministic mixture sampling: fill a per-source character
+    * budget (the DoReMi/Pile-style fixed mixture weights, here keyed by
+    * source parity so the oracle can derive the same budgets) by taking
+    * documents in md5-permuted order until the budget is reached —
+    * selection is "cumulative chars BEFORE this doc < budget", so every
+    * source overshoots by at most one document and the pick is stable
+    * under corpus growth upstream of the permutation.
+    *
+    * Scale: one shuffle on source + a per-source running sum. A source
+    * with 10¹⁰ docs makes that window sequential — the shard-parallel
+    * cumsum from sequence packing (E30) is the drop-in scale path once
+    * budgets get per-shard pre-splits; the selection predicate is
+    * unchanged.
+    */
+  def mixtureSample(docs: DataFrame, evenBudget: Long = 4000,
+                    oddBudget: Long = 2000): DataFrame = {
+    val budget = when(expr("cast(substring(source, 4) as int) % 2") === 0,
+      evenBudget).otherwise(oddBudget)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(h32(concat(lit("mix:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** E24 — benchmark-contamination screen: for each training document,
     * how many distinct n-grams it shares with a held-out evaluation set
     * (here doc_id ≡ 0 mod `evalMod`; real pipelines join against the
