@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: the native as-of join's planner strategy
     // (logical AsOfJoinNode → AsOfJoinExec streaming merge).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Macro-node extension: BloomSemiNode expands into the BloomPrune
+    // composition at the end of analysis, so the optimizer sees only
+    // built-in operators (I16).
+    ext.injectPostHocResolutionRule(s => graft.plans.BloomSemiExpandRule(s))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),

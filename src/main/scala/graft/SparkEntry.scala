@@ -109,7 +109,9 @@ object SparkEntry {
         cents(col("l_extendedprice")).as("price_cents"))
       val big = Tables.orders(s, d)
         .filter(col("o_totalprice") > 480000.0).select(col("o_orderkey"))
-      graft.relational.BloomPrune.semiJoin(li, "l_orderkey", big, "o_orderkey")
+      // through the I16 macro node — the analysis-end expansion rule
+      // produces exactly BloomPrune.semiJoin's composition
+      graft.plans.BloomSemi.join(li, "l_orderkey", big, "o_orderkey")
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("rev_cents"))
         .orderBy(col("l_orderkey"))

@@ -73,7 +73,14 @@ object BloomPrune {
   def semiJoin(fact: DataFrame, factKey: String,
                dim: DataFrame, dimKey: String,
                mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    // materialize the word table once — it feeds k separate broadcast
+    // joins, and without the cut the dim-side build aggregation would
+    // re-execute per probe (the table is ≤ mBits/64 rows, so the
+    // materialization is metadata-sized). Lazy: this code also runs
+    // inside the analyzer (the BloomSemiNode expansion rule), where an
+    // eager job would stall plan construction.
     val bits = buildBits(dim.select(col(dimKey)).distinct(), dimKey, mBits, k)
+      .localCheckpoint(eager = false)
     prefilter(fact, factKey, bits, mBits, k)
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_semi")

@@ -62,4 +62,23 @@ class PlansSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 2, s"as-of should cost two exchanges, got $exchanges:\n$plan")
   }
+
+  test("BloomSemiNode expands to the prefilter composition at analysis end") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    val viaNode = graft.plans.BloomSemi.join(li, "l_orderkey", big, "o_orderkey")
+    // the macro node must be gone after analysis, replaced by the
+    // bloom bit-test probes + the exact semi-join
+    val analyzed = viaNode.queryExecution.analyzed.toString
+    assert(!analyzed.contains("BloomSemiNode"), s"node not expanded:\n$analyzed")
+    val physical = viaNode.queryExecution.executedPlan.toString
+    assert(physical.contains("shiftright"), s"no bloom probe in plan:\n$physical")
+    assert(physical.contains("LeftSemi"), s"no exact semi-join in plan:\n$physical")
+    // and semantics are exactly the plain semi-join
+    val plain = li.join(big.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    assert(viaNode.count() == plain.count())
+    assert(viaNode.exceptAll(plain).isEmpty)
+  }
 }

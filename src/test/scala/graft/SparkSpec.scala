@@ -8,6 +8,9 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // same extension set as production sessions (GraftSession) — the
+    // BloomSemiNode expansion rule only exists via extensions
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
