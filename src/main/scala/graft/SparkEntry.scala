@@ -146,6 +146,22 @@ object SparkEntry {
           etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2))
         .orderBy(col("terminal_id"))
     }),
+    // B10: point-in-time join — facts dated across the snapshot window
+    // resolve the dimension version effective on their date
+    "q_scd2_pit" -> ((s, d) => {
+      val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
+      val hist = etl.Scd2.merge(h0, etl.Scd2Snapshots.day2(s, d),
+        etl.Scd2Snapshots.Key, etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2)
+      val facts = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        date_format(date_add(to_date(lit("2024-03-01")),
+          (col("l_orderkey") % 4).cast("int")), "yyyy-MM-dd").as("fact_dt"))
+      etl.Scd2.pointInTimeJoin(facts, "l_partkey", "fact_dt", hist, "terminal_id")
+        .groupBy(col("fact_dt"), col("terminal_city"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("fact_dt"), col("terminal_city").asc_nulls_first)
+    }),
 
     // ---- B8: CDC changelog from SCD2 history
     "q_scd2_changelog" -> ((s, d) => {
@@ -934,6 +950,25 @@ object SparkEntry {
       s"""SELECT * FROM $sqlScd2History
          |WHERE deleted_flg = 0 AND effective_to = '2999-12-31'
          |ORDER BY terminal_id""".stripMargin,
+
+    // PIT twin: same half-open windows, non-deleted versions joined in
+    // the ON clause so unmatched facts survive the left join.
+    "q_scd2_pit" ->
+      s"""WITH hist AS (SELECT * FROM $sqlScd2History),
+         |f AS (
+         |  SELECT l_orderkey, l_partkey,
+         |    strftime(DATE '2024-03-01' +
+         |      CAST(l_orderkey % 4 AS INT) * INTERVAL 1 DAY, '%Y-%m-%d') AS fact_dt
+         |  FROM lineitem),
+         |j AS (
+         |  SELECT f.fact_dt, f.l_partkey, h.terminal_city
+         |  FROM f LEFT JOIN hist h ON h.terminal_id = f.l_partkey
+         |    AND h.deleted_flg = 0
+         |    AND f.fact_dt >= h.effective_from AND f.fact_dt < h.effective_to)
+         |SELECT fact_dt, terminal_city, count(*) AS n,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM j GROUP BY 1, 2
+         |ORDER BY fact_dt, terminal_city NULLS FIRST""".stripMargin,
 
     "q_scd2_changelog" ->
       s"""WITH hist AS (SELECT * FROM $sqlScd2History),

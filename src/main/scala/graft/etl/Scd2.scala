@@ -104,6 +104,33 @@ object Scd2 {
   def currentView(history: DataFrame): DataFrame =
     history.filter(col("deleted_flg") === 0L && col("effective_to") === HighDate)
 
+  /** B10 — point-in-time (temporal) fact-to-dimension join: each fact
+    * row resolves the dimension version whose effective window covers
+    * its date — the historically-correct read the reference's
+    * current-view joins approximate. Windows are half-open [from, to)
+    * (a closed version's effective_to equals its successor's
+    * effective_from, so no date matches two versions); tombstoned
+    * spans leave the fact unmatched (left join keeps it, attrs null).
+    *
+    * Scale: an equi-join on the dimension key — the range predicate
+    * rides the join as a filter since versions-per-key is tiny — with
+    * the dimension side broadcast (dimension history ≪ facts; drop the
+    * hint if a dimension ever outgrows broadcast and the same plan
+    * shuffles on the key). Dates are ISO strings, so lexicographic
+    * comparison IS date comparison.
+    */
+  def pointInTimeJoin(facts: DataFrame, factKey: String, factDate: String,
+                      history: DataFrame, key: String): DataFrame = {
+    val h = history.filter(col("deleted_flg") === 0L)
+      .withColumnRenamed(key, "__dim_key")
+    facts.join(broadcast(h),
+      col(factKey) === col("__dim_key") &&
+        col(factDate) >= col("effective_from") &&
+        col(factDate) < col("effective_to"),
+      "left")
+      .drop("__dim_key")
+  }
+
   /** CDC changelog derived from an SCD2 history: one (op, key, attrs)
     * row per change — 'I' for first versions, 'U' for reopened versions
     * of an existing key (new attribute values), 'D' for tombstones. The

@@ -38,6 +38,26 @@ class Scd2Spec extends SparkSpec {
     assert(hist.contains((4L, "Kiev", "d2", Scd2.HighDate, 0L)))
   }
 
+  test("point-in-time join resolves the version covering each fact date") {
+    import org.apache.spark.sql.functions.col
+    val day1 = mkDim(Seq((1L, "ATM", "Rome"), (2L, "POS", "Oslo"), (3L, "ATM", "Lima")))
+    val day2 = mkDim(Seq((1L, "ATM", "Rome"), (2L, "POS", "Bern"), (4L, "POS", "Kiev")))
+    val hist = Scd2.merge(Scd2.init(day1, "2024-01-01"), day2,
+      "terminal_id", attrs, "2024-01-02")
+    val facts = Seq(
+      (10L, 2L, "2024-01-01"), // before change: Oslo
+      (11L, 2L, "2024-01-02"), // on change date (half-open): Bern
+      (12L, 3L, "2024-01-01"), // before delete: Lima
+      (13L, 3L, "2024-01-03"), // after delete: unmatched
+      (14L, 9L, "2024-01-01")) // unknown key: unmatched
+      .toDF("fact_id", "tid", "fact_dt")
+    val out = Scd2.pointInTimeJoin(facts, "tid", "fact_dt", hist, "terminal_id")
+      .select(col("fact_id"), col("terminal_city"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(10L -> Some("Oslo"), 11L -> Some("Bern"),
+      12L -> Some("Lima"), 13L -> None, 14L -> None))
+  }
+
   test("current view after merge equals the incoming snapshot (minus tombstones)") {
     val day1 = Scd2Snapshots.day1(spark, sf)
     val day2 = Scd2Snapshots.day2(spark, sf)
