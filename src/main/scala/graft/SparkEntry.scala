@@ -146,6 +146,14 @@ object SparkEntry {
           etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2))
         .orderBy(col("terminal_id"))
     }),
+    // B11: one-pass column profile over orders (timestamp pre-formatted
+    // to a date string so min/max stringification is engine-neutral)
+    "q_profile" -> ((s, d) =>
+      etl.DataQuality.profile(
+        Tables.orders(s, d).withColumn("o_orderdate",
+          date_format(col("o_orderdate"), "yyyy-MM-dd")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
     // B10: point-in-time join — facts dated across the snapshot window
     // resolve the dimension version effective on their date
     "q_scd2_pit" -> ((s, d) => {
@@ -950,6 +958,22 @@ object SparkEntry {
       s"""SELECT * FROM $sqlScd2History
          |WHERE deleted_flg = 0 AND effective_to = '2999-12-31'
          |ORDER BY terminal_id""".stripMargin,
+
+    // Profile twin: one SELECT per column over the same pre-formatted
+    // frame, UNION ALL into the tall shape.
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_v,
+           |  CAST(max($c) AS VARCHAR) AS max_v
+           |FROM (SELECT * REPLACE (strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate)
+           |      FROM orders)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // PIT twin: same half-open windows, non-deleted versions joined in
     // the ON clause so unmatched facts survive the left join.
