@@ -210,6 +210,15 @@ object SparkEntry {
 
     // ---- E1..E11: training-data pipeline operators
     "q_dedup_exact" -> ((s, d) => ops.Dedup.exact(Tables.documents(s, d))),
+    // E37: normalization-aware dedup — injected case/punctuation
+    // variants must collide on the normalized hash only
+    "q_dedup_norm" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" .")).as("text"))
+      ops.Dedup.exactNormalized(base.unionByName(variants))
+    }),
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => ops.Dedup.lshClusters(Tables.documents(s, d))),
@@ -1439,6 +1448,30 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // Normalization-dedup twin: same ASCII-only normalization (DuckDB
+    // needs the 'g' flag for replace-all; Spark replaces all by
+    // default), same injected variants, same 2-level aggregation.
+    "q_dedup_norm" ->
+      """WITH wd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, upper(text) || ' .'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |h AS (
+        |  SELECT doc_id, md5(text) AS raw_hash,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM wd),
+        |g AS (
+        |  SELECT norm_hash, raw_hash, min(doc_id) AS keep_id,
+        |    count(*) AS n_docs
+        |  FROM h GROUP BY 1, 2)
+        |SELECT norm_hash, min(keep_id) AS keep_id,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_copies,
+        |  count(*) AS n_raw_variants
+        |FROM g GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $sqlLshCtes

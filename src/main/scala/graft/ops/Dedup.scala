@@ -52,6 +52,37 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** The CCNet/RefinedWeb dedup-normalization: lowercase, strip
+    * everything but [a-z0-9 ], collapse whitespace runs, trim. Pure
+    * codegen string ops; the character class is deliberately ASCII-only
+    * so both engines' regex dialects agree byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** E37 — normalization-aware dedup: hash the NORMALIZED text (the
+    * step real pipelines run before every exact/MinHash pass —
+    * case/punctuation variants of one document should collide) and
+    * report the groups that only normalization catches: normalized
+    * groups spanning >1 RAW content. One map-side normalize + the same
+    * single md5 hash-shuffle as E1, so the scale posture is identical;
+    * n_raw_variants counts distinct raw hashes inside each normalized
+    * group (2-level aggregation, no extra corpus pass).
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(col("text")).as("raw_hash"),
+        md5(normalizeText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"), col("raw_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_docs")).as("n_copies"),
+        count(lit(1)).as("n_raw_variants"))
+      .filter(col("n_raw_variants") > 1)
+      .orderBy(col("keep_id"))
+
   /** TEST-ONLY baseline — all-pairs n-gram Jaccard on a keyed sample.
     * The production path is [[lshVerify]] (exact Jaccard on LSH
     * candidates only); this quadratic cross join exists solely to
