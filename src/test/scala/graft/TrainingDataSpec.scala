@@ -126,4 +126,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.stratifiedSample(docs, perKey = 7).collect().toSeq
       == out.toSeq)
   }
+
+  test("training-data pipeline composes: curate -> chunk -> pack -> split") {
+    // the end-to-end user story on real tables: curation keepers feed
+    // chunking, packing, and the split — schemas line up, every stage
+    // is non-empty, and the whole chain is deterministic across runs
+    val docs = Tables.documents(spark, sf)
+    def run() = {
+      val keepers = graft.ops.Curation.curateFull(docs).select("doc_id")
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val chunks = TrainingData.chunk(kept)
+      val packed = TrainingData.packSequences(kept)
+      val split = TrainingData.hashSplit(kept)
+      (kept.count(), chunks.count(), packed.count(),
+        split.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    }
+    val (nKept, nChunks, nPacked, splits) = run()
+    assert(nKept > 0 && nKept < docs.count(), "curation must gate something")
+    assert(nChunks >= nKept, "every kept doc yields at least one chunk")
+    assert(nPacked == nKept, "packing emits one row per doc")
+    assert(splits.map(_._2) == Set("train", "val", "test"))
+    assert(run() == ((nKept, nChunks, nPacked, splits)), "pipeline must be deterministic")
+  }
 }
