@@ -341,6 +341,9 @@ object SparkEntry {
     // E28: corpus-conditional bigram frequency averaged per doc — the
     // deterministic stand-in for LM-perplexity quality filtering
     "q_coherence" -> ((s, d) => ops.TextAnalysis.bigramCoherence(Tables.documents(s, d))),
+    // E38: sparse cosine top-k via inverted-index join (bigram tf
+    // vectors, df-capped posting lists)
+    "q_sparse_sim" -> ((s, d) => ops.SparseSim.topK(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     // Learned KMeans coarse quantizer, nprobe=2. KMeans float math isn't
@@ -1448,6 +1451,41 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // Sparse-cosine twin: same bigram vectors, same df cap computed
+    // against the corpus size, same exact-integer cosine sequence.
+    "q_sparse_sim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS gram
+        |  FROM toks WHERE len(ts) >= 2),
+        |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |keptg AS (
+        |  SELECT gram FROM tf CROSS JOIN nd
+        |  GROUP BY gram, n_docs HAVING count(*) <= n_docs * 0.4),
+        |kept AS (SELECT tf.* FROM tf JOIN keptg USING (gram)),
+        |norms AS (SELECT doc_id, SUM(tf*tf) AS norm2 FROM kept GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, gram, tf AS tfq FROM kept
+        |      WHERE doc_id % 50 = 0),
+        |dots AS (
+        |  SELECT q.q_id, k.doc_id, SUM(q.tfq * k.tf) AS dot
+        |  FROM q JOIN kept k USING (gram)
+        |  WHERE k.doc_id <> q.q_id GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.q_id, d.doc_id,
+        |    CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nd2.norm2 AS DOUBLE))) AS cos
+        |  FROM dots d
+        |  JOIN norms nq ON nq.doc_id = d.q_id
+        |  JOIN norms nd2 ON nd2.doc_id = d.doc_id),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT q_id, doc_id, cos, rnk FROM rk WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     // Normalization-dedup twin: same ASCII-only normalization (DuckDB
     // needs the 'g' flag for replace-all; Spark replaces all by
