@@ -1466,10 +1466,15 @@ object SparkEntry {
         |keptg AS (
         |  SELECT gram FROM tf CROSS JOIN nd
         |  GROUP BY gram, n_docs HAVING count(*) <= n_docs * 0.4),
-        |kept AS (SELECT tf.* FROM tf JOIN keptg USING (gram)),
+        |kept0 AS (SELECT tf.* FROM tf JOIN keptg USING (gram)),
+        |kept AS (
+        |  SELECT doc_id, gram, tf FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY gram
+        |      ORDER BY tf DESC, doc_id) AS pr FROM kept0)
+        |  WHERE pr <= 1000),
         |norms AS (SELECT doc_id, SUM(tf*tf) AS norm2 FROM kept GROUP BY 1),
         |q AS (SELECT doc_id AS q_id, gram, tf AS tfq FROM kept
-        |      WHERE doc_id % 50 = 0),
+        |      WHERE doc_id % 50 = 0 AND doc_id < 5000),
         |dots AS (
         |  SELECT q.q_id, k.doc_id, SUM(q.tfq * k.tf) AS dot
         |  FROM q JOIN kept k USING (gram)
