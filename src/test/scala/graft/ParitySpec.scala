@@ -20,6 +20,7 @@ import graft.streaming.StreamingOps.{AsOfEvent, AsOfHit}
   *   F8  interval join     ↔ the same predicate on static frames
   *   F5  minhash near-dedup↔ first-per-signature keeper over batch sigs
   *   F7  SRP embed dedup   ↔ first-per-signature keeper over batch sigs
+  *   F12 streaming SCD2    ↔ B5 [[graft.etl.Scd2.merge]] chain
   */
 class ParitySpec extends SparkSpec {
   import spark.implicits._
