@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L, TokenStatsL}
+import graft.functions.{BigramsL, DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L, TokenStatsL}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Enable with
@@ -50,5 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenStatsL].getName, "token_stats_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenStatsL(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bigrams_l"),
+      new ExpressionInfo(classOf[BigramsL].getName, "bigrams_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BigramsL(children.head)))
   }
 }

@@ -32,6 +32,27 @@ object TextNative {
   def lexiconHitsL(text: Column, lexicon: Seq[String]): Column =
     Bridge.column(LexiconHitsL(Bridge.expression(text), lexicon))
 
+  def bigramsL(text: Column): Column =
+    Bridge.column(BigramsL(Bridge.expression(text)))
+
+  /** Adjacent-token bigram array ("a b") in one tokenize pass — the
+    * native form of `transform(sequence(1, n-1), i -> concat_ws(' ',
+    * ts[i-1], ts[i]))`, which walks the interpreted HOF path and
+    * allocates a lambda frame per element. n < 2 tokens → empty array
+    * (explode then drops the row, matching the composed form's
+    * size >= 2 prefilter). */
+  def bigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val parts = s.split(Space, -1)
+    val n = parts.length
+    val out = new Array[Any](math.max(0, n - 1))
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(parts(i), Space, parts(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** (n_tokens, n_distinct, Σ token length) in one tokenize pass. */
   def tokenStats(s: UTF8String): InternalRow = {
     val parts = s.split(Space, -1)
@@ -89,6 +110,25 @@ case class TokenStatsL(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.tokenStats($s)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenStatsL =
+    copy(child = newChild)
+}
+
+case class BigramsL(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.bigrams(s.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.bigrams($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsL =
     copy(child = newChild)
 }
 

@@ -37,12 +37,9 @@ object SparseSim {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val grams = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .withColumn("n", size(col("ts")))
-      .filter(col("n") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, n - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
-        .as("gram"))
+      // native one-pass bigram array (I17)
+      .select(col("doc_id"),
+        explode(graft.functions.TextNative.bigramsL(col("text"))).as("gram"))
     val tf = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

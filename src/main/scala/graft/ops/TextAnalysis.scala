@@ -125,14 +125,13 @@ object TextAnalysis {
   /** E15 — corpus bigram counts (collocation mining), exact integers. */
   def bigramCounts(docs: DataFrame, minCount: Long = 10): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toksCol = col("toks")
-    val bigrams = transform(sequence(lit(1), size(toksCol) - 1),
-      i => concat_ws(" ", element_at(toksCol, i), element_at(toksCol, i + 1)))
     docs
       .repartition(par)
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 2)
-      .select(explode_outer(bigrams).as("bigram"))
+      // native one-pass bigram array (I17) — the composed
+      // transform(sequence(...)) walks the interpreted HOF path;
+      // ExpressionSpec pins native == composed on real documents
+      .select(explode(graft.functions.TextNative.bigramsL(col("text")))
+        .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -156,14 +155,11 @@ object TextAnalysis {
     * `sum(c·ppm) / sum(c)` over the reduced rows. */
   def bigramCoherence(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toksCol = col("toks")
-    val bigramsExpr = transform(sequence(lit(1), size(toksCol) - 1),
-      i => concat_ws(" ", element_at(toksCol, i), element_at(toksCol, i + 1)))
     val docBigrams = docs
       .repartition(par, col("doc_id"))
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode_outer(bigramsExpr).as("bg"))
+      // native one-pass bigram array (I17), as in bigramCounts
+      .select(col("doc_id"),
+        explode(graft.functions.TextNative.bigramsL(col("text"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false) // materialize-once barrier (see dsirScore)
     val model = docBigrams.groupBy(col("bg"))

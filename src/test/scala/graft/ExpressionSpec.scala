@@ -134,6 +134,24 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("bigrams_l equals the composed transform(sequence(...)) on real docs") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      // empty tokens, single token, empty string
+      .unionByName(Seq((900001L, "a  b "), (900002L, "solo"), (900003L, ""))
+        .toDF("doc_id", "text"))
+    val ts = split(col("text"), " ")
+    val composed = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val mismatches = docs
+      .select(graft.functions.TextNative.bigramsL(col("text")).as("nat"),
+        composed.as("hof"))
+      .filter(col("nat") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
