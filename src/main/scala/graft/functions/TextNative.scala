@@ -35,6 +35,34 @@ object TextNative {
   def bigramsL(text: Column): Column =
     Bridge.column(BigramsL(Bridge.expression(text)))
 
+  def ngramHashesL(text: Column, gram: Int): Column =
+    Bridge.column(NgramHashesL(Bridge.expression(text), gram))
+
+  /** h32 hashes of all `gram`-token windows in one tokenize pass — the
+    * native form of `transform(sequence(1, n-gram+1), i ->
+    * h32(array_join(slice(toks, i, gram), ' ')))`, which allocates a
+    * slice array + joined string through the interpreted HOF path per
+    * window. Hash identity is exact: the same space-joined window
+    * string goes through the same [[Md5Prefix32.hash]]. */
+  def ngramHashes(s: UTF8String, gram: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val parts = s.split(Space, -1)
+    val n = parts.length
+    if (n < gram)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](n - gram + 1)
+    val window = new Array[UTF8String](gram)
+    var i = 0
+    while (i <= n - gram) {
+      var j = 0
+      while (j < gram) { window(j) = parts(i + j); j += 1 }
+      out(i) = Md5Prefix32.hash(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Adjacent-token bigram array ("a b") in one tokenize pass — the
     * native form of `transform(sequence(1, n-1), i -> concat_ws(' ',
     * ts[i-1], ts[i]))`, which walks the interpreted HOF path and
@@ -129,6 +157,27 @@ case class BigramsL(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.bigrams($s)")
 
   override protected def withNewChildInternal(newChild: Expression): BigramsL =
+    copy(child = newChild)
+}
+
+case class NgramHashesL(child: Expression, gram: Int) extends UnaryExpression {
+  require(gram >= 1, "gram must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.ngramHashes(s.asInstanceOf[UTF8String], gram)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextNative.ngramHashes($s, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesL =
     copy(child = newChild)
 }
 

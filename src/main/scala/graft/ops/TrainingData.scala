@@ -221,14 +221,13 @@ object TrainingData {
   def contamination(docs: DataFrame, gram: Int = 2, evalMod: Long = 97)
       : DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // native one-pass n-gram hashes (I17) — hash-identical to the
+    // composed slice+join+h32 HOF (ExpressionSpec); short docs yield an
+    // empty array, which explode drops, so no length prefilter needed
     val grams = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= gram)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), col("n") - (gram - 1)),
-        i => h32(array_join(slice(col("toks"), i, lit(gram)), " ")))).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextNative.ngramHashesL(col("text"), gram)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % evalMod =!= 0)
@@ -265,12 +264,12 @@ object TrainingData {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), col("text"),
+        size(toks(col("text"))).cast(LongType).as("n"))
       .filter(col("n") >= gram)
     val grams = base.select(col("doc_id"), col("n"),
-      posexplode_outer(transform(sequence(lit(1), size(col("toks")) - (gram - 1)),
-        i => h32(array_join(slice(col("toks"), i, lit(gram)), " "))))
+      posexplode_outer(
+        graft.functions.TextNative.ngramHashesL(col("text"), gram))
         .as(Seq("pos0", "g")))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))
@@ -406,13 +405,12 @@ object TrainingData {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), toks(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
     val gramed = base.filter(col("n") >= gram)
       .select(col("doc_id"),
-        posexplode_outer(transform(
-          sequence(lit(1), size(col("toks")) - (gram - 1)),
-          i => h32(array_join(slice(col("toks"), i, lit(gram)), " "))))
+        posexplode_outer(
+          graft.functions.TextNative.ngramHashesL(col("text"), gram))
           .as(Seq("pos0", "g")))
     val dup = gramed.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("g"))

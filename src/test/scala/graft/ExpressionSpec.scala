@@ -152,6 +152,25 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("ngram_hashes_l equals the composed slice+join+h32 HOF on real docs") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "a  b c "), (900002L, "x y"), (900003L, ""))
+        .toDF("doc_id", "text"))
+    for (gram <- Seq(2, 3)) {
+      val ts = split(col("text"), " ")
+      val composed = when(size(ts) >= gram,
+        transform(sequence(lit(1), size(ts) - (gram - 1)),
+          i => GraftFunctions.h32(array_join(slice(ts, i, lit(gram)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+      val mismatches = docs
+        .select(graft.functions.TextNative.ngramHashesL(col("text"), gram).as("nat"),
+          composed.as("hof"))
+        .filter(col("nat") =!= col("hof"))
+        .count()
+      assert(mismatches == 0, s"gram=$gram")
+    }
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
