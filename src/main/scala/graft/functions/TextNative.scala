@@ -63,23 +63,34 @@ object TextNative {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Adjacent-token bigram array ("a b") in one tokenize pass — the
-    * native form of `transform(sequence(1, n-1), i -> concat_ws(' ',
-    * ts[i-1], ts[i]))`, which walks the interpreted HOF path and
-    * allocates a lambda frame per element. n < 2 tokens → empty array
-    * (explode then drops the row, matching the composed form's
-    * size >= 2 prefilter). */
-  def bigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def ngramsL(text: Column, gram: Int): Column =
+    Bridge.column(NgramsL(Bridge.expression(text), gram))
+
+  /** Space-joined `gram`-token window array in one tokenize pass — the
+    * native form of `transform(sequence(1, n-gram+1), i -> concat_ws(
+    * ' ', ts[i-1..i+gram-2]))`, which walks the interpreted HOF path
+    * and allocates a lambda frame per element. Fewer than `gram`
+    * tokens → empty array (explode then drops the row, matching the
+    * composed forms' size prefilters). */
+  def ngrams(s: UTF8String, gram: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
     val parts = s.split(Space, -1)
     val n = parts.length
-    val out = new Array[Any](math.max(0, n - 1))
+    val out = new Array[Any](math.max(0, n - gram + 1))
+    val window = new Array[UTF8String](gram)
     var i = 0
-    while (i < n - 1) {
-      out(i) = UTF8String.concat(parts(i), Space, parts(i + 1))
+    while (i <= n - gram) {
+      var j = 0
+      while (j < gram) { window(j) = parts(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Adjacent-token bigrams — the 2-gram case of [[ngrams]]. */
+  def bigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    ngrams(s, 2)
 
   /** (n_tokens, n_distinct, Σ token length) in one tokenize pass. */
   def tokenStats(s: UTF8String): InternalRow = {
@@ -157,6 +168,26 @@ case class BigramsL(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.bigrams($s)")
 
   override protected def withNewChildInternal(newChild: Expression): BigramsL =
+    copy(child = newChild)
+}
+
+case class NgramsL(child: Expression, gram: Int) extends UnaryExpression {
+  require(gram >= 1, "gram must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.ngrams(s.asInstanceOf[UTF8String], gram)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.ngrams($s, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramsL =
     copy(child = newChild)
 }
 

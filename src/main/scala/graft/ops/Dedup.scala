@@ -29,20 +29,29 @@ object Dedup {
     * [[lshVerify]]) passes distinct=false: MinHash needs no dedup (min
     * over a multiset equals min over its set) and lshVerify dedups via
     * an exploded hash aggregate, linear per doc. */
-  def withShingles(docs: DataFrame, distinct: Boolean = true): DataFrame = {
-    // `toks` must be a real column: referencing the split(...) expression
-    // inside the transform lambda would inline it into every element_at,
-    // re-splitting the text O(shingles·3) times per doc.
-    val grams = transform(sequence(lit(1), size(col("toks")) - 2),
-      i => concat_ws(" ",
-        element_at(col("toks"), i), element_at(col("toks"), i + 1),
-        element_at(col("toks"), i + 2)))
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", if (distinct) array_distinct(grams) else grams)
-      .drop("toks")
-  }
+  def withShingles(docs: DataFrame, distinct: Boolean = true): DataFrame =
+    if (!distinct)
+      // production path: native one-pass shingle array (I17). The
+      // row filter tests the cheap token count, NOT size(sh) —
+      // predicate pushdown would inline sh's defining expression into
+      // the filter and evaluate the shingle construction twice per row.
+      docs
+        .filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("sh", graft.functions.TextNative.ngramsL(col("text"), 3))
+    else {
+      // test-only sampled baseline (array_distinct is quadratic per
+      // doc). `toks` must be a real column: referencing the split
+      // expression inside the lambda would inline it per element_at.
+      val grams = transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))
+      docs
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", array_distinct(grams))
+        .drop("toks")
+    }
 
   /** E1 — exact dedup: md5 content groups, keeper = min id. */
   def exact(docs: DataFrame): DataFrame =

@@ -79,7 +79,7 @@ object TrainingData {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), toks(col("text")).as("toks"))
     val uni = base
       .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -87,11 +87,10 @@ object TrainingData {
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_uni"))
-    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
-      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
     val bi = base
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      // native one-pass bigram array (I17); empty arrays drop in explode
+      .select(col("doc_id"),
+        explode(graft.functions.TextNative.bigramsL(col("text"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bi"))
