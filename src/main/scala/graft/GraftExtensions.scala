@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramsL, DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L, TokenStatsL}
+import graft.functions.{BigramsL, DotL, Md5Prefix32, Norm2L, QuantStatsL, ScaledNorm2L, SimHashL, TokenStatsL}
 
 /** Session extensions: registers the engine's native expressions for SQL
   * use. Enable with
@@ -55,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramsL].getName, "bigrams_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BigramsL(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_l"),
+      new ExpressionInfo(classOf[SimHashL].getName, "simhash_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashL(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

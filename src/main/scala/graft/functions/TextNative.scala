@@ -66,6 +66,42 @@ object TextNative {
   def ngramsL(text: Column, gram: Int): Column =
     Bridge.column(NgramsL(Bridge.expression(text), gram))
 
+  def simHashL(text: Column, bits: Int): Column =
+    Bridge.column(SimHashL(Bridge.expression(text), bits))
+
+  /** Distinct-token majority-vote SimHash in one tokenize pass — the
+    * native form of explode→distinct→per-bit vote→two aggregations
+    * (which costs two corpus-token-sized shuffles). Distinctness is a
+    * per-row HashSet (O(distinct tokens) memory, bounded by document
+    * length); each new token's [[Md5Prefix32.hash]] votes ±1 on every
+    * bit; bit b of the result is 1 iff its vote sum is > 0 — bit-for-bit
+    * the aggregation form's semantics, so the fingerprints are
+    * identical and the operator becomes a pure map. */
+  def simHash(s: UTF8String, bits: Int): Long = {
+    val parts = s.split(Space, -1)
+    val seen = new java.util.HashSet[UTF8String](math.max(16, parts.length * 2))
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < parts.length) {
+      if (seen.add(parts(i))) {
+        val h = Md5Prefix32.hash(parts(i))
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** Space-joined `gram`-token window array in one tokenize pass — the
     * native form of `transform(sequence(1, n-gram+1), i -> concat_ws(
     * ' ', ts[i-1..i+gram-2]))`, which walks the interpreted HOF path
@@ -209,6 +245,25 @@ case class NgramHashesL(child: Expression, gram: Int) extends UnaryExpression {
       s => s"graft.functions.TextNative.ngramHashes($s, $gram)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashesL =
+    copy(child = newChild)
+}
+
+case class SimHashL(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.simHash(s.asInstanceOf[UTF8String], bits)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.simHash($s, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashL =
     copy(child = newChild)
 }
 

@@ -445,10 +445,21 @@ object Dedup {
   }
 
   /** E4 — SimHash fingerprint (`bits`-wide): per-bit majority vote over
-    * distinct-token 32-bit hashes. Implemented as an explode + two-level
-    * exact-integer aggregation (map-side combine keeps the shuffle tiny:
-    * one row per (doc, bit)). */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    * distinct-token 32-bit hashes, computed by the native one-pass
+    * [[graft.functions.TextNative.simHash]] expression — the operator is
+    * a pure MAP now (zero shuffles; the aggregation form below cost two
+    * corpus-token-sized exchanges). ExpressionSpec pins native ==
+    * composed on real documents. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextNative.simHashL(col("text"), bits).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** The aggregation form of [[simhash]] — kept as the spec baseline the
+    * native expression is pinned against (and the shape a pure
+    * functions-only engine would use). */
+  def simhashComposed(docs: DataFrame, bits: Int = 16): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // Token-distinct via a map-side-combined hash aggregate over exploded
     // (doc_id, tok) rows — NOT array_distinct, whose per-row pairwise

@@ -171,6 +171,17 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("simhash_l equals the composed explode+vote aggregation on real docs") {
+    // Edge rows: repeated separators (empty tokens), single token, empty
+    // string — the same adversarial shapes the other native pins use.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "a  b a"), (900002L, "solo"), (900003L, ""))
+        .toDF("doc_id", "text"))
+    val nat = graft.ops.Dedup.simhash(docs)
+    val comp = graft.ops.Dedup.simhashComposed(docs)
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
