@@ -122,6 +122,9 @@ object SparkEntry {
     "q_distinct_cond" -> ((s, d) => RelationalQueries.distinctCond(s, d)),
     // D40: equi-width histogram, exact integer bin edges
     "q_histogram" -> ((s, d) => RelationalQueries.histogram(s, d)),
+    // D41: equi-depth histogram — contracted value distribution, tie-
+    // coherent integer bucket assignment (never ntile: it splits ties)
+    "q_histogram_depth" -> ((s, d) => RelationalQueries.histogramDepth(s, d)),
 
     // ---- B2..B6: SCD2 dimension maintenance on deterministic snapshots
     "q_scd2_new" -> ((s, d) =>
@@ -154,6 +157,10 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
+    // B12: key-skew profiler — exact discrete frequency quantiles via
+    // the count-of-counts contraction (no global sort of keys)
+    "q_skew_profile" -> ((s, d) =>
+      etl.DataQuality.skewProfile(Tables.events(s, d), "user_id")),
     // B10: point-in-time join — facts dated across the snapshot window
     // resolve the dimension version effective on their date
     "q_scd2_pit" -> ((s, d) => {
@@ -206,6 +213,23 @@ object SparkEntry {
         f.getItem(2).cast(LongType).as("nationkey"),
         f.getItem(3).as("segment"))
         .orderBy(col("custkey"))
+    }),
+
+    // ---- A7: ORC round-trip — write a projection of events to ORC,
+    // read it back through the Orc() source, aggregate. The oracle runs
+    // the same aggregate on the parquet originals, so the hash check
+    // proves the ORC encode/decode preserves values exactly.
+    "q_src_orc" -> ((s, d) => {
+      val out = System.getProperty("java.io.tmpdir") + "/graft_orc_roundtrip"
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), cents(col("value")).as("v"))
+        .write.mode("overwrite").orc(out)
+      sources.DelimitedSource.Orc().load(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- E1..E11: training-data pipeline operators
@@ -344,6 +368,12 @@ object SparkEntry {
     // E38: sparse cosine top-k via inverted-index join (bigram tf
     // vectors, df-capped posting lists)
     "q_sparse_sim" -> ((s, d) => ops.SparseSim.topK(Tables.documents(s, d))),
+    // E39: BM25 top-k retrieval — rational idf (no transcendentals),
+    // micro-unit integer scores, E38's posting-list bounds
+    "q_bm25" -> ((s, d) => ops.Bm25.topK(Tables.documents(s, d))),
+    // E40: charset/mojibake cleanliness gate (deterministic injected
+    // noise, exact char-count metrics)
+    "q_charset" -> ((s, d) => ops.TextAnalysis.charsetGate(Tables.documents(s, d))),
     "q_ann_brute" -> ((s, d) => ops.Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => ops.Ann.ivfTopK(Tables.embeddings(s, d))),
     // Learned KMeans coarse quantizer, nprobe=2. KMeans float math isn't
@@ -2162,6 +2192,112 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM ev CROSS JOIN b
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "q_histogram_depth" ->
+      """WITH vals AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v, count(*) AS nv
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT v, nv, sum(nv) OVER (ORDER BY v) AS cum FROM vals),
+        |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n_rows FROM vals)
+        |SELECT CAST(((cum - nv) * 8) // n_rows AS BIGINT) AS bucket,
+        |  CAST(sum(nv) AS BIGINT) AS n,
+        |  min(v) AS lo_cents, max(v) AS hi_cents
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |cc AS (SELECT cnt, count(*) AS nk FROM pk GROUP BY 1),
+        |cum AS (SELECT cnt, nk, sum(nk) OVER (ORDER BY cnt) AS cum FROM cc),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+        |               CAST(sum(cnt*nk) AS BIGINT) AS n_rows,
+        |               max(cnt) AS max_cnt, min(cnt) AS min_cnt FROM cc)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'max_cnt' AS metric, max_cnt AS value FROM tot
+        |  UNION ALL SELECT 'mean_cnt_ppm', (n_rows * 1000000) // n_keys FROM tot
+        |  UNION ALL SELECT 'min_cnt', min_cnt FROM tot
+        |  UNION ALL SELECT 'n_keys', n_keys FROM tot
+        |  UNION ALL SELECT 'n_rows', n_rows FROM tot
+        |  UNION ALL SELECT 'skew_ppm', (max_cnt * n_keys * 1000000) // n_rows FROM tot
+        |  UNION ALL SELECT 'p50_cnt', min(cnt) FROM cum CROSS JOIN tot
+        |    WHERE cum >= (1 * n_keys + 1) // 2
+        |  UNION ALL SELECT 'p90_cnt', min(cnt) FROM cum CROSS JOIN tot
+        |    WHERE cum >= (9 * n_keys + 9) // 10
+        |  UNION ALL SELECT 'p99_cnt', min(cnt) FROM cum CROSS JOIN tot
+        |    WHERE cum >= (99 * n_keys + 99) // 100)
+        |ORDER BY metric""".stripMargin,
+
+    "q_src_orc" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS tok
+        |  FROM t WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM g GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+        |      AS BIGINT) AS dl
+        |  FROM t),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s
+        |  FROM dl),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |kept0 AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dft.df
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN c
+        |  WHERE dft.df <= CAST(c.n AS DOUBLE) * 0.4),
+        |kept AS (
+        |  SELECT doc_id, tok, tf, df FROM (
+        |    SELECT k.*, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS pr
+        |    FROM kept0 k)
+        |  WHERE pr <= 1000),
+        |q AS (SELECT doc_id AS q_id, tok FROM kept WHERE doc_id % 50 = 0),
+        |terms AS (
+        |  SELECT q.q_id, k.doc_id,
+        |    CAST(c.s AS DOUBLE) AS sd, CAST(k.tf AS DOUBLE) AS tfd,
+        |    CAST(c.n AS DOUBLE) AS nd, CAST(k.df AS DOUBLE) AS dfd,
+        |    CAST(d.dl AS DOUBLE) AS dld
+        |  FROM q JOIN kept k USING (tok)
+        |  JOIN dl d ON d.doc_id = k.doc_id
+        |  CROSS JOIN c
+        |  WHERE k.doc_id <> q.q_id),
+        |scored AS (
+        |  SELECT q_id, doc_id,
+        |    CAST(SUM(CAST(ROUND((22.0 * sd * tfd * (2.0*nd - 2.0*dfd + 1.0) * 1000000.0) / ((10.0*sd*tfd + 3.0*sd + 9.0*dld*nd) * (2.0*dfd + 1.0))) AS BIGINT)) AS BIGINT) AS score_u
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score_u, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_charset" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '�' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' café naïve' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN chr(9) || chr(9) ELSE '' END) AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars,
+        |    CAST(length(t2) - length(regexp_replace(t2, '�', '', 'g'))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(length(t2) - length(regexp_replace(t2, '[\x00-\x1f]', '', 'g'))
+        |      AS BIGINT) AS n_ctrl,
+        |    CAST(length(t2) - length(regexp_replace(t2, '[^\x00-\x7f]', '', 'g'))
+        |      AS BIGINT) AS n_non_ascii
+        |  FROM noisy)
+        |SELECT doc_id, n_chars, n_repl, n_ctrl,
+        |  (n_non_ascii * 1000000) // n_chars AS non_ascii_ppm,
+        |  CAST(n_repl = 0 AND n_ctrl = 0 AND
+        |    (n_non_ascii * 1000000) // n_chars < 20000 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_contam" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

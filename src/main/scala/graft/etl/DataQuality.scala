@@ -53,4 +53,52 @@ object DataQuality {
           col("n_distinct"), col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
       .orderBy(col("col_name"))
+
+  /** B12 — key-skew profiler: the pre-flight diagnostic behind every
+    * salting / skew-join decision (relational/Salting.scala) — is this
+    * key safe to shuffle on, and how hot is the hottest key?
+    *
+    * Exact discrete quantiles of the per-key frequency distribution
+    * WITHOUT a global sort: per-key counts contract to a
+    * COUNT-OF-COUNTS table (one row per distinct frequency — a few
+    * hundred rows even at 100 TB, because key frequencies repeat
+    * massively), and pXX is the smallest frequency whose cumulative key
+    * count reaches ⌈p·n_keys⌉ (integer ceilings — no floats anywhere).
+    * The only window runs over that tiny contracted frame. Output is a
+    * tall (metric, value) BIGINT frame: key/row counts, min/max
+    * frequency, p50/p90/p99, mean frequency and max/mean skew in ppm
+    * (integer division).
+    */
+  def skewProfile(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val cc = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cc.withColumn("cum", sum(col("nk")).over(w))
+    val tot = cc.agg(
+      sum(col("nk")).as("n_keys"),
+      sum(col("cnt") * col("nk")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      min(col("cnt")).as("min_cnt"))
+    val q = cum.crossJoin(broadcast(tot))
+    def pct(name: String, num: Int, den: Int): DataFrame = q
+      .filter(col("cum") >= expr(s"($num * n_keys + ${den - 1}) div $den"))
+      .agg(min(col("cnt")).as("value"))
+      .select(lit(name).as("metric"), col("value"))
+    val scalars = tot.selectExpr(
+      """stack(6,
+        |  'max_cnt', max_cnt,
+        |  'mean_cnt_ppm', (n_rows * 1000000) div n_keys,
+        |  'min_cnt', min_cnt,
+        |  'n_keys', n_keys,
+        |  'n_rows', n_rows,
+        |  'skew_ppm', (max_cnt * n_keys * 1000000) div n_rows
+        |) AS (metric, value)""".stripMargin)
+    scalars
+      .unionByName(pct("p50_cnt", 1, 2))
+      .unionByName(pct("p90_cnt", 9, 10))
+      .unionByName(pct("p99_cnt", 99, 100))
+      .orderBy(col("metric"))
+  }
 }

@@ -56,6 +56,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** E40 — charset/mojibake cleanliness gate: the encoding-hygiene
+    * filter every web-crawl pipeline runs before tokenization. Per doc:
+    * exact counts of U+FFFD replacement characters (the smoking gun of
+    * a mis-decoded byte stream), C0 control characters, and the
+    * non-ASCII ratio in ppm (integer division — exact), plus a keep
+    * flag. All metrics are character-count differences after literal
+    * `replace` / one `regexp_replace` per class, so every value is an
+    * exact integer both engines agree on. Pure map — zero shuffles; at
+    * 100 TB the cost is the scan itself.
+    *
+    * The synthetic corpus is clean ASCII, so deterministic noise is
+    * injected first (same rule, same literals in the DuckDB twin —
+    * the E22 injected-PII pattern): replacement char on doc_id≡0 (7),
+    * accented text on ≡0 (11), control chars on ≡0 (13). */
+  def charsetGate(docs: DataFrame, maxNonAsciiPpm: Long = 20000): DataFrame = {
+    val noisy = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit("�")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" café naïve"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\t\t")).otherwise(lit("")))
+        .as("t2"))
+    noisy
+      .select(col("doc_id"),
+        length(col("t2")).cast(LongType).as("n_chars"),
+        (length(col("t2")) -
+          length(regexp_replace(col("t2"), "�", "")))
+          .cast(LongType).as("n_repl"),
+        (length(col("t2")) -
+          length(regexp_replace(col("t2"), "[\\x00-\\x1f]", "")))
+          .cast(LongType).as("n_ctrl"),
+        (length(col("t2")) -
+          length(regexp_replace(col("t2"), "[^\\x00-\\x7f]", "")))
+          .cast(LongType).as("n_non_ascii"))
+      .withColumn("non_ascii_ppm",
+        expr("(n_non_ascii * 1000000) div n_chars"))
+      .withColumn("keep",
+        (col("n_repl") === 0 && col("n_ctrl") === 0 &&
+          col("non_ascii_ppm") < maxNonAsciiPpm).cast(LongType))
+      .drop("n_non_ascii")
+      .orderBy(col("doc_id"))
+  }
+
   /** E8 — quality scoring: exact integer counts, ratios as single IEEE
     * divisions of those ints (deterministic cross-engine). */
   def qualityScore(docs: DataFrame): DataFrame = {

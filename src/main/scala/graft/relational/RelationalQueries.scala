@@ -180,6 +180,36 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** D41 — EQUI-DEPTH histogram (the optimizer-statistics companion of
+    * D40's equi-width form): buckets hold ~equal row counts, so bucket
+    * boundaries are the value quantiles. Built WITHOUT a global row
+    * sort: values contract to a (value, count) distribution first —
+    * bounded by the value DOMAIN (cents here), not the row count — a
+    * running sum over that contracted frame positions each distinct
+    * value, and the bucket is `(rows_before · nb) div n_rows`, a pure
+    * integer formula. Tied values land in ONE bucket by construction
+    * (ntile would split them nondeterministically across a boundary —
+    * exactly why it has no cross-engine hash), so bucket sizes deviate
+    * from n/nb only by tie mass. The window runs over distinct values
+    * only; at 100 TB the contraction is the same count-of-counts trick
+    * as B12's profiler. */
+  def histogramDepth(s: SparkSession, d: String, nBuckets: Int = 8): DataFrame = {
+    val vals = Tables.events(s, d)
+      .select(cents(col("value")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(sum(col("nv")).as("n_rows"))
+    vals
+      .withColumn("cum", sum(col("nv")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((cum - nv) * $nBuckets) div n_rows"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("nv")).as("n"),
+        min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
   def etlRename(s: SparkSession, d: String): DataFrame =
     graft.etl.ColumnMapping.apply(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.DataQuality
+import graft.ops.{Bm25, TextAnalysis}
+
+/** Hand-computed expectations for the diagnostic / retrieval operators
+  * added in r4's second leg: B12 skew profiler, E39 BM25, E40 charset
+  * gate (D41's equi-depth histogram is pinned in ScaleSpec alongside the
+  * other relational plans, and all four have DuckDB oracles). */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skew profiler: exact discrete quantiles from the count-of-counts") {
+    // keys: a×1, b×2, c×2, d×5 → n_keys 4, n_rows 10, counts {1:1,2:2,5:1}
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(5)("d")).toDF("k")
+    val m = DataQuality.skewProfile(df, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_keys") == 4 && m("n_rows") == 10)
+    assert(m("max_cnt") == 5 && m("min_cnt") == 1)
+    // p50: ⌈4/2⌉=2 → smallest cnt with cum≥2 is 2 (cum: 1→1, 2→3, 5→4)
+    assert(m("p50_cnt") == 2)
+    // p90: ⌈3.6⌉=4 → 5; p99: ⌈3.96⌉=4 → 5
+    assert(m("p90_cnt") == 5 && m("p99_cnt") == 5)
+    assert(m("mean_cnt_ppm") == 2500000L)   // 10/4 keys
+    assert(m("skew_ppm") == 2000000L)       // max/mean = 2
+  }
+
+  test("bm25: an exact content twin is the top hit; shared-prefix doc is df-capped out") {
+    // doc 0 = query (qMod 100). doc 1 is an exact twin: bigrams
+    // "x y","y z","z w" — "x y" also in doc 2 → df 3 > 0.4·5, dropped;
+    // the twin still matches on the surviving two. doc 2 shares ONLY
+    // the dropped bigram with the query → must not be scored at all.
+    val docs = Seq(
+      (0L, "x y z w"), (1L, "x y z w"), (2L, "x y q r"),
+      (3L, "m n o p"), (4L, "m n o q")).toDF("doc_id", "text")
+    val hits = Bm25.topK(docs, qMod = 100, k = 5, dfFrac = 0.4).collect()
+    assert(hits.map(_.getLong(0)).forall(_ == 0L))
+    assert(hits.map(_.getLong(1)).toSeq == Seq(1L))
+    assert(hits.head.getLong(2) > 0L && hits.head.getLong(3) == 1L)
+  }
+
+  test("charset gate: injected noise classes are counted exactly") {
+    val docs = Seq(
+      (1L, "clean ascii"), (7L, "oops"), (11L, "x"), (13L, "y"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.charsetGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: untouched → keep
+    assert(m(1L).getLong(2) == 0 && m(1L).getLong(3) == 0 &&
+      m(1L).getLong(4) == 0 && m(1L).getLong(5) == 1)
+    // doc 7: +U+FFFD → 1 replacement char (also non-ascii), keep 0
+    assert(m(7L).getLong(1) == 5 && m(7L).getLong(2) == 1 &&
+      m(7L).getLong(5) == 0)
+    // doc 11: +" café naïve" → 2 non-ascii chars of 12 → 166666 ppm
+    assert(m(11L).getLong(1) == 12 && m(11L).getLong(4) == 166666L &&
+      m(11L).getLong(5) == 0)
+    // doc 13: +2 tab control chars
+    assert(m(13L).getLong(1) == 3 && m(13L).getLong(3) == 2 &&
+      m(13L).getLong(5) == 0)
+  }
+
+  test("equi-depth histogram keeps tied values in one bucket") {
+    import graft.relational.RelationalQueries
+    // Direct-shape check on the real table: buckets are contiguous,
+    // counts sum to the row count, and lo/hi ranges never overlap.
+    val h = RelationalQueries.histogramDepth(spark, sf, nBuckets = 4).collect()
+    assert(h.length <= 4 && h.map(_.getLong(1)).sum ==
+      graft.sources.Tables.events(spark, sf).count())
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+  }
+}
