@@ -69,6 +69,54 @@ object TextNative {
   def simHashL(text: Column, bits: Int): Column =
     Bridge.column(SimHashL(Bridge.expression(text), bits))
 
+  /** MinHash permutation params — canonical home (graft.ops.Dedup
+    * re-exports them): k universal hashes `(a_i·x + b_i) mod P` over
+    * one shared 32-bit base hash; P = Mersenne 2³¹−1, a_i·x < 2⁶³. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = 1103515245L + 12345L * i
+  def minhashB(i: Int): Long = 1013904223L + 7919L * i
+
+  def minHashSigL(text: Column, gram: Int, k: Int): Column =
+    Bridge.column(MinHashSigL(Bridge.expression(text), gram, k))
+
+  /** Fused shingle→h32→k-way running-min MinHash signature in ONE
+    * tokenize pass: the native form of explode(shingles) → k
+    * aggregated mins, which needs the shingle array materialized, a
+    * generator, and a hash aggregate. Here each gram window is hashed
+    * as it is formed (same [[Md5Prefix32.hash]] of the same
+    * space-joined window) and folded into k running minima — the
+    * signature operator becomes a pure MAP, so LSH candidate
+    * generation starts with zero corpus shuffles. min over the window
+    * MULTISET equals min over the set, so no per-doc dedup is needed;
+    * values are bit-identical to the aggregation form (ExpressionSpec).
+    * Fewer than `gram` tokens → empty array (callers filter those rows
+    * out, as the composed path does). */
+  def minHashSig(s: UTF8String, gram: Int, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val parts = s.split(Space, -1)
+    val n = parts.length
+    if (n < gram)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val mins = Array.fill(k)(Long.MaxValue)
+    val window = new Array[UTF8String](gram)
+    var i = 0
+    while (i <= n - gram) {
+      var j = 0
+      while (j < gram) { window(j) = parts(i + j); j += 1 }
+      val x = Md5Prefix32.hash(UTF8String.concatWs(Space, window: _*))
+      var f = 0
+      while (f < k) {
+        val v = (minhashA(f) * x + minhashB(f)) % MinhashP
+        if (v < mins(f)) mins(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
   /** Distinct-token majority-vote SimHash in one tokenize pass — the
     * native form of explode→distinct→per-bit vote→two aggregations
     * (which costs two corpus-token-sized shuffles). Distinctness is a
@@ -245,6 +293,28 @@ case class NgramHashesL(child: Expression, gram: Int) extends UnaryExpression {
       s => s"graft.functions.TextNative.ngramHashes($s, $gram)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashesL =
+    copy(child = newChild)
+}
+
+case class MinHashSigL(child: Expression, gram: Int, k: Int)
+    extends UnaryExpression {
+  require(gram >= 1 && k >= 1, "gram and k must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  protected override def nullSafeEval(s: Any): Any =
+    TextNative.minHashSig(s.asInstanceOf[UTF8String], gram, k)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextNative.minHashSig($s, $gram, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigL =
     copy(child = newChild)
 }
 

@@ -117,9 +117,9 @@ object Dedup {
     * `(a_i * x + b_i) mod P` over one shared 32-bit base hash — one md5
     * per shingle total, not per (shingle, function). P is the Mersenne
     * prime 2^31-1; a_i·x stays < 2^63. */
-  val MinhashP = 2147483647L
-  def minhashA(i: Int): Long = 1103515245L + 12345L * i
-  def minhashB(i: Int): Long = 1013904223L + 7919L * i
+  val MinhashP = graft.functions.TextNative.MinhashP
+  def minhashA(i: Int): Long = graft.functions.TextNative.minhashA(i)
+  def minhashB(i: Int): Long = graft.functions.TextNative.minhashB(i)
 
   /** MinHash signatures sig_0..sig_{k-1} via explode + map-side-combined
     * min aggregation: the shuffle carries one row per doc after partial
@@ -168,8 +168,19 @@ object Dedup {
     val withDups = withSyntheticDups(docs, dupMod)
     val k = bands * rowsPerBand
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sig = withMinhashSig(
-      withShingles(withDups.repartition(par, col("doc_id")), distinct = false), k)
+    // Fused native signature (I19): shingle→h32→k running mins in one
+    // tokenize pass — a pure map, bit-identical to [[withMinhashSig]]
+    // (pinned in ExpressionSpec). The repartition only spreads the
+    // CPU-heavy scan across local cores (tiny (id,text) rows); a real
+    // cluster's input splits make it unnecessary. Two-step select so
+    // CollapseProject cannot inline the signature expression k times.
+    val sig = withDups
+      .repartition(par, col("doc_id"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sigarr",
+        graft.functions.TextNative.minHashSigL(col("text"), 3, k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigarr"), i + 1).as(s"sig_$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))

@@ -182,6 +182,27 @@ class ExpressionSpec extends SparkSpec {
     assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
   }
 
+  test("minhash_sig_l equals the explode+min aggregation on real docs") {
+    val k = 8
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val composed = graft.ops.Dedup.withMinhashSig(
+      graft.ops.Dedup.withShingles(docs, distinct = false), k)
+    val native = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sigarr",
+        graft.functions.TextNative.minHashSigL(col("text"), 3, k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigarr"), i + 1).as(s"sig_$i")): _*)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // short docs (< 3 tokens) yield an empty signature array
+    import spark.implicits._
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(graft.functions.TextNative.minHashSigL(col("text"), 3, k).as("s"))
+      .collect()
+    assert(short.head.getSeq[Long](0).isEmpty)
+  }
+
   test("registered as SQL function through GraftExtensions") {
     val ext = new GraftExtensions
     // register on the shared session's function registry directly
