@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BigramsL(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("topk_min_l"),
+      new ExpressionInfo(classOf[graft.functions.TopKMinL].getName, "topk_min_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new graft.functions.TopKMinL(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("simhash_l"),
       new ExpressionInfo(classOf[SimHashL].getName, "simhash_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

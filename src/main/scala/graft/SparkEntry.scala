@@ -125,6 +125,19 @@ object SparkEntry {
     // D41: equi-depth histogram — contracted value distribution, tie-
     // coherent integer bucket assignment (never ntile: it splits ties)
     "q_histogram_depth" -> ((s, d) => RelationalQueries.histogramDepth(s, d)),
+    // D42/I20: k smallest values per group through the custom
+    // TypedImperativeAggregate (O(k) buffer, map-side partials) — the
+    // oracle is the window form the aggregate replaces at scale
+    "q_topk_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKMinL(col("v"), 5).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast(LongType).as("rnk"),
+          col("col").as("v_cents"))
+        .orderBy(col("event_type"), col("rnk"))),
 
     // ---- B2..B6: SCD2 dimension maintenance on deterministic snapshots
     "q_scd2_new" -> ((s, d) =>
@@ -2205,6 +2218,14 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM cum CROSS JOIN tot
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, v AS v_cents FROM (
+        |  SELECT event_type, v, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY v) AS rnk
+        |  FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |        FROM events))
+        |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
 
     "q_skew_profile" ->
       """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -62,6 +62,30 @@ class ProfilingSpec extends SparkSpec {
       m(13L).getLong(5) == 0)
   }
 
+  test("topk_min_l equals the window top-k on real events, across partial merges") {
+    import graft.sources.Tables
+    // repartition(16) on 4 cores forces multiple partial buffers per
+    // group → update, serialize, and merge paths all exercised
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.cents(col("value")).as("v"))
+      .repartition(16)
+    val native = ev.groupBy(col("event_type"))
+      .agg(graft.functions.TopKMinL(col("v"), 5).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"))
+    val composed = ev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("event_type"), col("v"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // sub-k group keeps multiset semantics (duplicates retained)
+    val tiny = Seq(("a", 3L), ("a", 1L), ("a", 1L)).toDF("g", "v")
+      .groupBy(col("g")).agg(graft.functions.TopKMinL(col("v"), 5).as("tk"))
+      .collect()
+    assert(tiny.head.getSeq[Long](1) == Seq(1L, 1L, 3L))
+  }
+
   test("equi-depth histogram keeps tied values in one bucket") {
     import graft.relational.RelationalQueries
     // Direct-shape check on the real table: buckets are contiguous,
