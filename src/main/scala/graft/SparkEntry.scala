@@ -170,6 +170,12 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
+    // B13: bucket-checksum reconciliation between the two SCD2 snapshot
+    // days — O(buckets) exchange per side, differing buckets survive
+    "q_table_diff" -> ((s, d) =>
+      etl.TableDiff.diff(
+        etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.day2(s, d),
+        etl.Scd2Snapshots.Key, etl.Scd2Snapshots.Attrs)),
     // B12: key-skew profiler — exact discrete frequency quantiles via
     // the count-of-counts contraction (no global sort of keys)
     "q_skew_profile" -> ((s, d) =>
@@ -2218,6 +2224,32 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM cum CROSS JOIN tot
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_table_diff" ->
+      s"""WITH $sqlSnaps,
+         |la AS (
+         |  SELECT terminal_id % 256 AS bucket,
+         |    CAST(('0x'||substr(md5(CAST(terminal_id AS VARCHAR) || '|' ||
+         |      terminal_type || '|' || terminal_city || '|' ||
+         |      terminal_address),1,8)) AS BIGINT) AS rh
+         |  FROM snap1),
+         |lb AS (
+         |  SELECT terminal_id % 256 AS bucket,
+         |    CAST(('0x'||substr(md5(CAST(terminal_id AS VARCHAR) || '|' ||
+         |      terminal_type || '|' || terminal_city || '|' ||
+         |      terminal_address),1,8)) AS BIGINT) AS rh
+         |  FROM snap2),
+         |ga AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(bit_xor(rh) AS BIGINT) AS cs FROM la GROUP BY 1),
+         |gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(bit_xor(rh) AS BIGINT) AS cs FROM lb GROUP BY 1)
+         |SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+         |  COALESCE(ga.n, 0) AS n_left, COALESCE(gb.n, 0) AS n_right,
+         |  COALESCE(ga.cs, 0) AS xor_left, COALESCE(gb.cs, 0) AS xor_right
+         |FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+         |WHERE COALESCE(ga.n, 0) <> COALESCE(gb.n, 0)
+         |   OR COALESCE(ga.cs, 0) <> COALESCE(gb.cs, 0)
+         |ORDER BY bucket""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, v AS v_cents FROM (

@@ -86,6 +86,23 @@ class ProfilingSpec extends SparkSpec {
     assert(tiny.head.getSeq[Long](1) == Seq(1L, 1L, 3L))
   }
 
+  test("table diff prunes identical buckets and flags the changed one") {
+    import graft.etl.TableDiff
+    val a = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "payload")
+    // one update (k=37), one delete (k=74): exactly two buckets differ
+    val b = a.filter(col("k") =!= 74)
+      .withColumn("payload",
+        when(col("k") === 37, lit("CHANGED")).otherwise(col("payload")))
+    val d = TableDiff.diff(a, b, "k", Seq("payload"), buckets = 10).collect()
+    assert(d.map(_.getLong(0)).toSeq == Seq(4L, 7L))
+    val byBucket = d.map(r => r.getLong(0) -> r).toMap
+    // bucket 7 (k=37): same count, different checksum
+    assert(byBucket(7L).getLong(1) == byBucket(7L).getLong(2) &&
+      byBucket(7L).getLong(3) != byBucket(7L).getLong(4))
+    // bucket 4 (k=74): count drop
+    assert(byBucket(4L).getLong(1) == byBucket(4L).getLong(2) + 1)
+  }
+
   test("equi-depth histogram keeps tied values in one bucket") {
     import graft.relational.RelationalQueries
     // Direct-shape check on the real table: buckets are contiguous,
