@@ -125,6 +125,11 @@ object SparkEntry {
     // D41: equi-depth histogram — contracted value distribution, tie-
     // coherent integer bucket assignment (never ntile: it splits ties)
     "q_histogram_depth" -> ((s, d) => RelationalQueries.histogramDepth(s, d)),
+    // D43: exact trailing-7-day distinct users — distinct counts don't
+    // compose across frames, so (user, day) rows explode into their
+    // bounded ×7 window coverage instead
+    "q_window_distinct" -> ((s, d) =>
+      RelationalQueries.slidingDistinctUsers(s, d)),
     // D42/I20: k smallest values per group through the custom
     // TypedImperativeAggregate (O(k) buffer, map-side partials) — the
     // oracle is the window form the aggregate replaces at scale
@@ -384,6 +389,11 @@ object SparkEntry {
     // E28: corpus-conditional bigram frequency averaged per doc — the
     // deterministic stand-in for LM-perplexity quality filtering
     "q_coherence" -> ((s, d) => ops.TextAnalysis.bigramCoherence(Tables.documents(s, d))),
+    // E41: EXACT Jaccard-threshold self-join via prefix filtering
+    // (AllPairs/PPJoin) — oracle is the brute-force shared-gram join,
+    // so the hash check proves no false negatives
+    "q_prefix_join" -> ((s, d) =>
+      ops.PrefixJoin.jaccardJoin(Tables.documents(s, d))),
     // E38: sparse cosine top-k via inverted-index join (bigram tf
     // vectors, df-capped posting lists)
     "q_sparse_sim" -> ((s, d) => ops.SparseSim.topK(Tables.documents(s, d))),
@@ -2224,6 +2234,46 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM cum CROSS JOIN tot
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_window_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |b AS (SELECT max(day) AS dmax FROM ud),
+        |e AS (
+        |  SELECT user_id,
+        |    unnest(range(day, least(day + 7, dmax + 1))) AS window_day
+        |  FROM ud CROSS JOIN b)
+        |SELECT CAST(window_day AS BIGINT) AS window_day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_prefix_join" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 250 = 0),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM u),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |gd AS (SELECT DISTINCT doc_id, g FROM g),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+        |  FROM gd a JOIN gd b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id1, id2, n_inter, s1.sz AS sz1, s2.sz AS sz2
+        |  FROM pairs
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2)
+        |SELECT id1, id2, CAST(n_inter AS BIGINT) AS n_inter,
+        |  n_inter / CAST(sz1 + sz2 - n_inter AS DOUBLE) AS jaccard
+        |FROM j
+        |WHERE 10 * n_inter >= 7 * (sz1 + sz2 - n_inter)
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_table_diff" ->
       s"""WITH $sqlSnaps,

@@ -210,6 +210,30 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** D43 — EXACT trailing-window distinct count (distinct users in the
+    * last `windowDays` days, per day): distinct counts do NOT compose
+    * across window frames, so the window-function route is semantically
+    * unavailable. The scalable exact shape: contract to distinct
+    * (user, day) rows, explode each into the ≤`windowDays` window-ends
+    * it covers (bounded fan-out — a constant ×7, not data-dependent),
+    * and count distinct users per window end. Two keyed shuffles, both
+    * over the (user, day) contraction — orders below the event count. */
+  def slidingDistinctUsers(s: SparkSession, d: String,
+                           windowDays: Int = 7): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val bounds = ud.agg(max(col("day")).as("dmax"))
+    ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + (windowDays - 1), col("dmax"))))
+          .as("window_day"))
+      .groupBy(col("window_day"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+      .orderBy(col("window_day"))
+  }
+
   /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
   def etlRename(s: SparkSession, d: String): DataFrame =
     graft.etl.ColumnMapping.apply(

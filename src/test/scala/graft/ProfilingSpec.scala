@@ -103,6 +103,19 @@ class ProfilingSpec extends SparkSpec {
     assert(byBucket(4L).getLong(1) == byBucket(4L).getLong(2) + 1)
   }
 
+  test("prefix-filter jaccard join recalls every injected exact-dup pair at 1.0") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val out = graft.ops.PrefixJoin.jaccardJoin(docs).collect()
+    val injected = docs.filter(col("doc_id") % 250 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    injected.foreach { id =>
+      val hit = out.find(r => r.getLong(0) == id && r.getLong(1) == id + 10000000L)
+      assert(hit.isDefined && hit.get.getDouble(3) == 1.0,
+        s"exact-dup pair for $id missing or below 1.0")
+    }
+  }
+
   test("equi-depth histogram keeps tied values in one bucket") {
     import graft.relational.RelationalQueries
     // Direct-shape check on the real table: buckets are contiguous,
