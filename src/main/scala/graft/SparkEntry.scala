@@ -175,6 +175,22 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
+    // B14: incremental aggregate maintenance — history and delta fold
+    // to mergeable (n, sum, min, max) states; the oracle recomputes
+    // from scratch, proving incremental == full
+    "q_incr_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts_us div 86400000000").as("day"), cents(col("value")).as("v"))
+      val bounds = ev.agg(min(col("day")).as("dmin"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      etl.IncrementalAgg.merge(
+        etl.IncrementalAgg.state(
+          tagged.filter(col("day") < col("dmin") + 15), "user_id", col("v")),
+        etl.IncrementalAgg.state(
+          tagged.filter(col("day") >= col("dmin") + 15), "user_id", col("v")),
+        "user_id")
+        .orderBy(col("user_id"))
+    }),
     // B13: bucket-checksum reconciliation between the two SCD2 snapshot
     // days — O(buckets) exchange per side, differing buckets survive
     "q_table_diff" -> ((s, d) =>
@@ -389,6 +405,11 @@ object SparkEntry {
     // E28: corpus-conditional bigram frequency averaged per doc — the
     // deterministic stand-in for LM-perplexity quality filtering
     "q_coherence" -> ((s, d) => ops.TextAnalysis.bigramCoherence(Tables.documents(s, d))),
+    // D44: oriented-wedge triangle counting over the content-duplicate
+    // graph (two injected replicas per seed → deterministic 3-cliques)
+    "q_triangles" -> ((s, d) =>
+      ops.GraphStats.triangles(
+        ops.GraphStats.contentDupEdges(Tables.documents(s, d)))),
     // E41: EXACT Jaccard-threshold self-join via prefix filtering
     // (AllPairs/PPJoin) — oracle is the brute-force shared-gram join,
     // so the hash check proves no false negatives
@@ -2234,6 +2255,32 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM cum CROSS JOIN tot
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 125 = 0),
+        |u AS (
+        |  SELECT doc_id, md5(text) AS ch FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, md5(text) FROM sd
+        |  UNION ALL SELECT doc_id + 20000000, md5(text) FROM sd),
+        |e AS (
+        |  SELECT l.doc_id AS id1, r.doc_id AS id2
+        |  FROM u l JOIN u r ON l.ch = r.ch AND l.doc_id < r.doc_id),
+        |t AS (
+        |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.id2 = e2.id1
+        |  JOIN e e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM t)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q_window_distinct" ->
       """WITH ud AS (
