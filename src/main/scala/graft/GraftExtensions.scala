@@ -56,6 +56,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BigramsL(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("ngram_hashes_l"),
+      new ExpressionInfo(classOf[graft.functions.NgramHashesL].getName,
+        "ngram_hashes_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NgramHashesL(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_l"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigL].getName,
+        "minhash_sig_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinHashSigL(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("topk_min_l"),
       new ExpressionInfo(classOf[graft.functions.TopKMinL].getName, "topk_min_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -23,11 +23,18 @@ import org.apache.spark.sql.types.LongType
   * tDen·inter ≥ tNum·(szA + szB − inter); jaccard is emitted as one
   * IEEE division for the report only.
   *
-  * Scale: one (doc,gram) shuffle, one gram-df shuffle, a per-doc
-  * ordering window (doc-sized partitions), then the candidate join on
-  * rare grams and a verification join whose row count is Σ|A∩B| over
-  * candidates. No all-pairs anywhere; every stage is bounded by
-  * posting-list geometry, the same discipline as E38/E39.
+  * Scale: the gram work runs over DISTINCT CONTENTS, not docs — the
+  * I14 contraction. On a dup-heavy corpus (the norm for crawls, and
+  * the 10× replica corpus where every text sits in a 10-clique) the
+  * naive doc-level join measured a 240 s TIMEOUT at 10×: identical
+  * texts share every prefix gram, so candidates and verification rows
+  * grow with replication². Contracted, the gram/candidate/verify cost
+  * depends only on distinct contents; doc-level pairs come back via
+  * two group-membership joins (within-group pairs are jaccard 1 BY
+  * IDENTITY — no gram work), linear in output size. Remaining stages:
+  * one (content,gram) shuffle, one gram-df shuffle, a per-content
+  * ordering window, the prefix candidate join, and a verification
+  * join of Σ|A∩B| over candidate CONTENT pairs.
   */
 object PrefixJoin {
 
@@ -35,7 +42,17 @@ object PrefixJoin {
                   dupMod: Long = 250): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = Dedup.withSyntheticDups(docs, dupMod)
+    val withCh = Dedup.withSyntheticDups(docs, dupMod)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+      .localCheckpoint(true)
+    val reps = withCh.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+    // one representative text per distinct content (rep ids are unique
+    // doc ids, so a semi-join on doc_id picks exactly the rep rows)
+    val repDocs = withCh
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val grams = repDocs
       .repartition(par, col("doc_id"))
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
@@ -61,11 +78,36 @@ object PrefixJoin {
       .join(grams.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
       .filter(lit(tDen) * col("n_inter") >=
         lit(tNum) * (col("sz1") + col("sz2") - col("n_inter")))
+      .select(col("id1").as("r1"), col("id2").as("r2"),
+        col("n_inter"), col("sz1"), col("sz2"))
+
+    // Expand content-level pairs back to document pairs. Identical
+    // contents (same group) are jaccard 1 by identity — restricted to
+    // contents that HAVE a gram set (≥3 tokens), matching the
+    // brute-force oracle, which can only see gram-sharing pairs.
+    val members = withCh
+      .join(reps.select(col("ch"), col("rep")), Seq("ch"))
+      .select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("r1"), col("doc_id").as("d1")), Seq("r1"))
+      .join(members.select(col("rep").as("r2"), col("doc_id").as("d2")), Seq("r2"))
+      .select(least(col("d1"), col("d2")).as("id1"),
+        greatest(col("d1"), col("d2")).as("id2"),
+        col("n_inter"), col("sz1"), col("sz2"))
+    val within = members
+      .join(sizes.select(col("doc_id").as("rep"), col("sz")), Seq("rep"))
+      .select(col("rep"), col("doc_id"), col("sz"))
+    val withinPairs = within.select(col("rep"), col("doc_id").as("d1"), col("sz"))
+      .join(within.select(col("rep"), col("doc_id").as("d2")), Seq("rep"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1").as("id1"), col("d2").as("id2"),
+        col("sz").as("n_inter"), col("sz").as("sz1"), col("sz").as("sz2"))
+    cross.unionByName(withinPairs)
       .select(col("id1"), col("id2"), col("n_inter").cast(LongType).as("n_inter"),
         (col("n_inter") / (col("sz1") + col("sz2") - col("n_inter")))
           .as("jaccard"))

@@ -42,6 +42,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("second-leg r4 plan shapes: pure-map fingerprints, partial topk, bounded joins") {
+    // native simhash: the operator is scan → project → output sort;
+    // the ONLY exchange is the final presentation range sort
+    val sh = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sh.linesIterator.count(_.contains("Exchange")) <= 1 &&
+      !sh.contains("Generate"), s"simhash must be a pure map:\n$sh")
+    // TopKMinL must plan as partial + final ObjectHashAggregate —
+    // the exchange carries per-partition k-row buffers, not the corpus
+    val tk = SparkEntry.queries("q_topk_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tk.contains("partial_topk_min_l"),
+      s"topk aggregate must map-side combine:\n$tk")
+    assert(!tk.contains("Window"), s"topk must not fall back to a window:\n$tk")
+    // prefix join and triangle count: candidate joins only, no
+    // cartesian/nested-loop anywhere
+    for (q <- Seq("q_prefix_join", "q_triangles", "q_table_diff")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an unbounded join:\n$plan")
+    }
+  }
+
   test("stratified sample and chunking plan shapes hold at scale") {
     // top-N per stratum must push into WindowGroupLimit (no full sort of
     // a stratum's partition survives to the window)
