@@ -1532,17 +1532,25 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
-    // Sparse-cosine twin: same bigram vectors, same df cap computed
-    // against the corpus size, same exact-integer cosine sequence.
+    // Sparse-cosine twin: mirrors the CONTENT-contracted index (the
+    // I14 discipline — identical texts have identical tf vectors, and
+    // an impact-ordered index dedups postings): same bigram vectors
+    // over distinct contents, df cap against the CONTENT count,
+    // content-level impact truncation, doc pairs expanded through
+    // group membership, same exact-integer cosine sequence.
     "q_sparse_sim" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      """WITH m AS (SELECT doc_id, md5(text) AS ch, text FROM documents),
+        |reps AS (SELECT ch, min(doc_id) AS rep FROM m GROUP BY 1),
+        |members AS (SELECT r.rep, m.doc_id FROM m JOIN reps r USING (ch)),
+        |rd AS (SELECT m.doc_id, m.text FROM m JOIN reps r ON m.doc_id = r.rep),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM rd),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
         |    i -> ts[i] || ' ' || ts[i+1])) AS gram
         |  FROM toks WHERE len(ts) >= 2),
         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM rd),
         |keptg AS (
         |  SELECT gram FROM tf CROSS JOIN nd
         |  GROUP BY gram, n_docs HAVING count(*) <= n_docs * 0.4),
@@ -1553,22 +1561,33 @@ object SparkEntry {
         |      ORDER BY tf DESC, doc_id) AS pr FROM kept0)
         |  WHERE pr <= 1000),
         |norms AS (SELECT doc_id, SUM(tf*tf) AS norm2 FROM kept GROUP BY 1),
-        |q AS (SELECT doc_id AS q_id, gram, tf AS tfq FROM kept
-        |      WHERE doc_id % 50 = 0 AND doc_id < 5000),
+        |qdocs AS (
+        |  SELECT doc_id AS q_id, rep AS qrep FROM members
+        |  WHERE doc_id % 50 = 0 AND doc_id < 5000),
+        |qpost AS (
+        |  SELECT DISTINCT qd.qrep, k.gram, k.tf AS tfq
+        |  FROM (SELECT DISTINCT qrep FROM qdocs) qd
+        |  JOIN kept k ON k.doc_id = qd.qrep),
         |dots AS (
-        |  SELECT q.q_id, k.doc_id, SUM(q.tfq * k.tf) AS dot
-        |  FROM q JOIN kept k USING (gram)
-        |  WHERE k.doc_id <> q.q_id GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT d.q_id, d.doc_id,
+        |  SELECT q.qrep, k.doc_id AS crep, SUM(q.tfq * k.tf) AS dot
+        |  FROM qpost q JOIN kept k USING (gram)
+        |  GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT d.qrep, d.crep,
         |    CAST(d.dot AS DOUBLE) /
         |      (sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nd2.norm2 AS DOUBLE))) AS cos
         |  FROM dots d
-        |  JOIN norms nq ON nq.doc_id = d.q_id
-        |  JOIN norms nd2 ON nd2.doc_id = d.doc_id),
+        |  JOIN norms nq ON nq.doc_id = d.qrep
+        |  JOIN norms nd2 ON nd2.doc_id = d.crep),
+        |ex AS (
+        |  SELECT qd.q_id, mem.doc_id, c.cos
+        |  FROM qdocs qd
+        |  JOIN cc c ON c.qrep = qd.qrep
+        |  JOIN members mem ON mem.rep = c.crep
+        |  WHERE mem.doc_id <> qd.q_id),
         |rk AS (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc)
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM ex)
         |SELECT q_id, doc_id, cos, rnk FROM rk WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
 

@@ -35,14 +35,32 @@ object SparseSim {
            dfFrac: Double = 0.4, postMax: Int = 1000,
            qMax: Long = 5000): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = docs
+    // I14 contraction: identical texts have identical tf vectors, so
+    // the index and ALL dot products run over distinct CONTENTS; doc
+    // pairs come back through membership joins with the content's cos
+    // (one cheap row each — the gram-level accumulation, ~|A∩B| rows
+    // per pair, is paid once per content pair instead of once per
+    // replica pair). df/caps count contents — for an impact-ordered
+    // index that IS the right unit: duplicate postings carry no
+    // information. Same-content neighbors ride the (c, c) self-dot;
+    // the true self-pair drops after expansion.
+    val withCh = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+      .localCheckpoint(true)
+    val reps = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
+    val members = withCh.join(reps, Seq("ch"))
+      .select(col("rep"), col("doc_id"))
+    val repDocs = withCh
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val grams = repDocs
       .repartition(par, col("doc_id"))
       // native one-pass bigram array (I17)
       .select(col("doc_id"),
         explode(graft.functions.TextNative.bigramsL(col("text"))).as("gram"))
     val tf = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = repDocs.agg(count(lit(1)).as("n_docs"))
     val keptGrams = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("n_docs").cast("double") * dfFrac)
@@ -56,20 +74,29 @@ object SparseSim {
     val norms = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
 
-    val q = kept.filter(col("doc_id") % qMod === 0 && col("doc_id") < qMax)
-      .select(col("doc_id").as("q_id"), col("gram"), col("tf").as("tfq"))
-    val dots = q.join(kept, Seq("gram"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("doc_id"))
+    val qDocs = members
+      .filter(col("doc_id") % qMod === 0 && col("doc_id") < qMax)
+      .select(col("doc_id").as("q_id"), col("rep").as("qrep"))
+    val qPost = qDocs.select(col("qrep")).distinct()
+      .join(kept.withColumnRenamed("doc_id", "qrep"), Seq("qrep"))
+      .select(col("qrep"), col("gram"), col("tf").as("tfq"))
+    val dots = qPost.join(kept, Seq("gram"))
+      .groupBy(col("qrep"), col("doc_id"))
       .agg(sum(col("tfq") * col("tf")).as("dot"))
-    val qNorms = norms.select(col("doc_id").as("q_id"), col("norm2").as("qn2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
-    dots
-      .join(broadcast(qNorms), Seq("q_id"))
+    val qNorms = norms.select(col("doc_id").as("qrep"), col("norm2").as("qn2"))
+    val contentCos = dots
+      .join(broadcast(qNorms), Seq("qrep"))
       .join(norms, Seq("doc_id"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("norm2").cast("double"))))
+      .select(col("qrep"), col("doc_id").as("crep"), col("cos"))
+    val expanded = qDocs.join(contentCos, Seq("qrep"))
+      .join(members.select(col("rep").as("crep"), col("doc_id")), Seq("crep"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"), col("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
+    expanded
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("doc_id"), col("cos"), col("rnk"))
