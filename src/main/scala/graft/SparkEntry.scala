@@ -2403,8 +2403,17 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // BM25 twin — mirrors the content-contracted index: postings and
+    // truncation per distinct content, corpus stats (df/N/S) at DOC
+    // level through group sizes, doc pairs expanded via membership.
     "q_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      """WITH m AS (SELECT doc_id, md5(text) AS ch, text FROM documents),
+        |reps AS (SELECT ch, min(doc_id) AS rep, count(*) AS gsz
+        |  FROM m GROUP BY 1),
+        |members AS (SELECT r.rep, m.doc_id FROM m JOIN reps r USING (ch)),
+        |rd AS (SELECT m.doc_id, m.text FROM m JOIN reps r ON m.doc_id = r.rep),
+        |gs AS (SELECT rep AS doc_id, gsz FROM reps),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM rd),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
         |    i -> toks[i] || ' ' || toks[i+1])) AS tok
         |  FROM t WHERE len(toks) >= 2),
@@ -2413,9 +2422,11 @@ object SparkEntry {
         |    CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
         |      AS BIGINT) AS dl
         |  FROM t),
-        |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s
-        |  FROM dl),
-        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT CAST(sum(gs.gsz) AS BIGINT) AS n,
+        |             CAST(sum(gs.gsz * dl.dl) AS BIGINT) AS s
+        |  FROM dl JOIN gs USING (doc_id)),
+        |dft AS (SELECT tok, CAST(sum(gs.gsz) AS BIGINT) AS df
+        |  FROM tf JOIN gs USING (doc_id) GROUP BY 1),
         |kept0 AS (
         |  SELECT tf.doc_id, tf.tok, tf.tf, dft.df
         |  FROM tf JOIN dft USING (tok) CROSS JOIN c
@@ -2426,24 +2437,46 @@ object SparkEntry {
         |      ORDER BY tf DESC, doc_id) AS pr
         |    FROM kept0 k)
         |  WHERE pr <= 1000),
-        |q AS (SELECT doc_id AS q_id, tok FROM kept WHERE doc_id % 50 = 0),
+        |qdocs AS (SELECT doc_id AS q_id, rep AS qrep FROM members
+        |  WHERE doc_id % 50 = 0),
+        |qpost AS (
+        |  SELECT DISTINCT qd.qrep, k.tok
+        |  FROM (SELECT DISTINCT qrep FROM qdocs) qd
+        |  JOIN kept k ON k.doc_id = qd.qrep),
         |terms AS (
-        |  SELECT q.q_id, k.doc_id,
+        |  SELECT q.qrep, k.doc_id AS crep,
         |    CAST(c.s AS DOUBLE) AS sd, CAST(k.tf AS DOUBLE) AS tfd,
         |    CAST(c.n AS DOUBLE) AS nd, CAST(k.df AS DOUBLE) AS dfd,
         |    CAST(d.dl AS DOUBLE) AS dld
-        |  FROM q JOIN kept k USING (tok)
+        |  FROM qpost q JOIN kept k USING (tok)
         |  JOIN dl d ON d.doc_id = k.doc_id
-        |  CROSS JOIN c
-        |  WHERE k.doc_id <> q.q_id),
-        |scored AS (
-        |  SELECT q_id, doc_id,
+        |  CROSS JOIN c),
+        |scoredc AS (
+        |  SELECT qrep, crep,
         |    CAST(SUM(CAST(ROUND((22.0 * sd * tfd * (2.0*nd - 2.0*dfd + 1.0) * 1000000.0) / ((10.0*sd*tfd + 3.0*sd + 9.0*dld*nd) * (2.0*dfd + 1.0))) AS BIGINT)) AS BIGINT) AS score_u
-        |  FROM terms GROUP BY 1, 2)
+        |  FROM terms GROUP BY 1, 2),
+        |bys AS (
+        |  SELECT sc.qrep, sc.score_u, CAST(sum(g.gsz) AS BIGINT) AS msz
+        |  FROM scoredc sc JOIN gs g ON g.doc_id = sc.crep
+        |  GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT qrep, score_u FROM (
+        |    SELECT qrep, score_u,
+        |      COALESCE(SUM(msz) OVER (PARTITION BY qrep ORDER BY score_u DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher
+        |    FROM bys)
+        |  WHERE higher < 6),
+        |ex AS (
+        |  SELECT qd.q_id, mem.doc_id, sc.score_u
+        |  FROM qdocs qd
+        |  JOIN scoredc sc ON sc.qrep = qd.qrep
+        |  JOIN cut ON cut.qrep = sc.qrep AND cut.score_u = sc.score_u
+        |  JOIN members mem ON mem.rep = sc.crep
+        |  WHERE mem.doc_id <> qd.q_id)
         |SELECT q_id, doc_id, score_u, rnk FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rnk
-        |  FROM scored)
+        |  FROM ex)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "q_charset" ->

@@ -47,17 +47,39 @@ object Bm25 {
   def topK(docs: DataFrame, qMod: Long = 50, k: Int = 5,
            dfFrac: Double = 0.4, postMax: Int = 1000): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = docs
+    // I14 contraction: the index holds one posting per distinct
+    // CONTENT (identical texts have identical term vectors), while the
+    // BM25 corpus statistics stay DOC-level — df, N, and S are summed
+    // through group sizes, because document frequency and average
+    // length are statements about the corpus, not the index. Scoring
+    // then runs once per (query-content, candidate-content) pair and
+    // doc pairs expand through membership joins. Impact truncation is
+    // content-level (the correct unit: duplicate postings carry no
+    // information and would otherwise crowd the impact window).
+    val withCh = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+      .localCheckpoint(true)
+    val reps = withCh.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+    val members = withCh.join(reps.select(col("ch"), col("rep")), Seq("ch"))
+      .select(col("rep"), col("doc_id"))
+    val repDocs = withCh
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val grpSz = reps.select(col("rep").as("doc_id"), col("gsz"))
+    val toks = repDocs
       .repartition(par, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.TextNative.bigramsL(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col("doc_id"),
+    val dl = repDocs.select(col("doc_id"),
       size(graft.functions.TextNative.bigramsL(col("text")))
         .cast(LongType).as("dl"))
-    val consts = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val consts = dl.join(grpSz, Seq("doc_id"))
+      .agg(sum(col("gsz")).as("n"), sum(col("gsz") * col("dl")).as("s"))
+    val df = tf.join(grpSz, Seq("doc_id"))
+      .groupBy(col("tok")).agg(sum(col("gsz")).as("df"))
     val kept0 = tf.join(df, Seq("tok"))
       .crossJoin(broadcast(consts))
       .filter(col("df") <= col("n").cast("double") * dfFrac)
@@ -66,21 +88,45 @@ object Bm25 {
     val kept = kept0.withColumn("pr", row_number().over(wPost))
       .filter(col("pr") <= postMax)
       .drop("pr")
-    val q = kept.filter(col("doc_id") % qMod === 0)
-      .select(col("doc_id").as("q_id"), col("tok"))
-    val scored = q.join(kept, Seq("tok"))
-      .filter(col("doc_id") =!= col("q_id"))
+    val qDocs = members.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("rep").as("qrep"))
+    val qPost = qDocs.select(col("qrep")).distinct()
+      .join(kept.select(col("doc_id").as("qrep"), col("tok")), Seq("qrep"))
+    val scoredC = qPost.join(kept, Seq("tok"))
       .join(dl, Seq("doc_id"))
-      .select(col("q_id"), col("doc_id"),
+      .select(col("qrep"), col("doc_id").as("crep"),
         col("s").cast("double").as("sd"), col("tf").cast("double").as("tfd"),
         col("n").cast("double").as("nd"), col("df").cast("double").as("dfd"),
         col("dl").cast("double").as("dld"))
       .withColumn("u", expr(TermMicros))
-      .groupBy(col("q_id"), col("doc_id"))
+      .groupBy(col("qrep"), col("crep"))
       .agg(sum(col("u")).as("score_u"))
+    // Content-level top cut BEFORE expansion (exact): a doc whose
+    // content has ≥ k+1 member-docs at STRICTLY higher scores can never
+    // reach the top k — even if the excluded self doc is one of them.
+    // Group content scores per (query, score), running-sum the member
+    // mass over strictly higher scores, and keep only contents with
+    // higher-mass ≤ k. Ties at the boundary all survive and the final
+    // doc-level (score, doc_id) window settles them — so the expansion
+    // is O(k + tie mass) rows per query instead of every candidate.
+    val grpScore = scoredC
+      .join(grpSz.select(col("doc_id").as("crep"), col("gsz")), Seq("crep"))
+    val byScore = grpScore.groupBy(col("qrep"), col("score_u"))
+      .agg(sum(col("gsz")).as("msz"))
+    val wScore = Window.partitionBy(col("qrep")).orderBy(col("score_u").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = byScore
+      .withColumn("higher", coalesce(sum(col("msz")).over(wScore), lit(0L)))
+      .filter(col("higher") < k + 1)
+      .select(col("qrep"), col("score_u"))
+    val expanded = qDocs
+      .join(scoredC.join(cut, Seq("qrep", "score_u")), Seq("qrep"))
+      .join(members.select(col("rep").as("crep"), col("doc_id")), Seq("crep"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"), col("score_u"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("score_u").desc, col("doc_id"))
-    scored
+    expanded
       .withColumn("rnk", row_number().over(wRank).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("doc_id"), col("score_u"), col("rnk"))
