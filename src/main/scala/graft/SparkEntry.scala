@@ -2680,22 +2680,45 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
+    // Fuzzy twin — mirrors the name-level contraction: Levenshtein per
+    // distinct name pair, distance-level cut, membership expansion.
     "q_fuzzy" ->
-      """WITH p AS (
-        |  SELECT p_partkey AS rid, p_name AS name,
-        |    string_split(p_name,' ')[1] || '|' ||
-        |      substr(string_split(p_name,' ')[2],1,1) AS blk
-        |  FROM part),
-        |cand AS (
-        |  SELECT q.rid AS q_id, r.rid AS match_id,
-        |    CAST(levenshtein(q.name, r.name) AS BIGINT) AS dist
-        |  FROM p q JOIN p r ON q.blk = r.blk AND q.rid <> r.rid
-        |  WHERE q.rid % 199 = 0 AND levenshtein(q.name, r.name) <= 2),
+      """WITH p AS (SELECT p_partkey AS rid, p_name AS name FROM part),
+        |nmb AS (
+        |  SELECT name, count(*) AS gsz,
+        |    string_split(name,' ')[1] || '|' ||
+        |      substr(string_split(name,' ')[2],1,1) AS blk
+        |  FROM p GROUP BY name),
+        |qi AS (SELECT rid AS q_id, name AS q_name FROM p WHERE rid % 199 = 0),
+        |qn AS (
+        |  SELECT DISTINCT q.q_name, b.blk
+        |  FROM qi q JOIN nmb b ON b.name = q.q_name),
+        |pd AS (
+        |  SELECT q.q_name, n.name,
+        |    CAST(levenshtein(q.q_name, n.name) AS BIGINT) AS dist, n.gsz
+        |  FROM qn q JOIN nmb n USING (blk)
+        |  WHERE levenshtein(q.q_name, n.name) <= 2),
+        |bd AS (SELECT q_name, dist, CAST(sum(gsz) AS BIGINT) AS msz
+        |  FROM pd GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT q_name, dist FROM (
+        |    SELECT q_name, dist,
+        |      COALESCE(SUM(msz) OVER (PARTITION BY q_name ORDER BY dist
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lower
+        |    FROM bd)
+        |  WHERE lower < 6),
+        |ex AS (
+        |  SELECT qi.q_id, m.rid AS match_id, kp.dist
+        |  FROM qi
+        |  JOIN (SELECT pd.* FROM pd JOIN cut USING (q_name, dist)) kp
+        |    ON kp.q_name = qi.q_name
+        |  JOIN p m ON m.name = kp.name
+        |  WHERE m.rid <> qi.q_id),
         |ranked AS (
         |  SELECT q_id, match_id, dist,
         |    CAST(row_number() OVER (PARTITION BY q_id
         |      ORDER BY dist, match_id) AS BIGINT) AS rn
-        |  FROM cand)
+        |  FROM ex)
         |SELECT q_id, match_id, dist, rn FROM ranked
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 

@@ -31,20 +31,45 @@ object FuzzyMatch {
   }
 
   /** Top-`k` fuzzy matches (edit distance ≤ `maxDist`, self excluded)
-    * for every record whose id ≡ 0 (mod `queryMod`). */
+    * for every record whose id ≡ 0 (mod `queryMod`).
+    *
+    * I14 contraction: edit distance is a function of the NAME PAIR, so
+    * Levenshtein runs once per distinct (query-name, candidate-name)
+    * pair — on a corpus whose names repeat (this vocabulary, every
+    * replica corpus, any real customer table) the verify cost drops by
+    * the duplication factor squared. Record pairs expand through
+    * name-membership joins AFTER an exact distance-level cut: a record
+    * whose name has ≥ k+1 records at strictly smaller distances can
+    * never reach the top k (self-exclusion removes at most one), so
+    * only O(k + tie mass) rows per query reach the rank window. */
   def fuzzyLookup(records: DataFrame, idCol: String, nameCol: String,
                   queryMod: Long = 199, maxDist: Int = 2, k: Int = 5)
       : DataFrame = {
-    val recs = withBlock(records.select(col(idCol).as("rid"),
-      col(nameCol).as("name")), "name")
-    val qs = recs.filter(col("rid") % queryMod === 0)
-      .select(col("rid").as("q_id"), col("name").as("q_name"), col("blk"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("rid"))
-    qs.join(recs, Seq("blk"))
-      .filter(col("q_id") =!= col("rid"))
+    val recs = records.select(col(idCol).as("rid"), col(nameCol).as("name"))
+    val names = withBlock(
+      recs.groupBy(col("name")).agg(count(lit(1)).as("gsz")), "name")
+    val qIds = recs.filter(col("rid") % queryMod === 0)
+      .select(col("rid").as("q_id"), col("name").as("q_name"))
+    val qNames = qIds.select(col("q_name")).distinct()
+      .join(names.select(col("name").as("q_name"), col("blk")), Seq("q_name"))
+    val pairDist = qNames.join(names, Seq("blk"))
       .withColumn("dist",
         levenshtein(col("q_name"), col("name"), maxDist).cast(LongType))
       .filter(col("dist") >= 0)
+      .select(col("q_name"), col("name"), col("dist"), col("gsz"))
+    val byDist = pairDist.groupBy(col("q_name"), col("dist"))
+      .agg(sum(col("gsz")).as("msz"))
+    val wD = Window.partitionBy(col("q_name")).orderBy(col("dist"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = byDist
+      .withColumn("lower", coalesce(sum(col("msz")).over(wD), lit(0L)))
+      .filter(col("lower") < k + 1)
+      .select(col("q_name"), col("dist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("rid"))
+    qIds
+      .join(pairDist.join(cut, Seq("q_name", "dist")), Seq("q_name"))
+      .join(recs, Seq("name"))
+      .filter(col("q_id") =!= col("rid"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rid").as("match_id"), col("dist"), col("rn"))
