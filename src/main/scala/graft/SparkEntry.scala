@@ -507,6 +507,29 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- D45: collection-function surface (the array-HOF sibling of
+    // D14/D15): per-user sorted value array, then codegen'd/interpreted
+    // HOFs — aggregate fold, filter, zip_with+reverse, slice, exists.
+    // Group arrays are bounded by per-user activity, never the corpus.
+    "q_collection_funcs" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), cents(col("value")).as("v"))
+      ev.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("v"))).as("arr"))
+        .select(
+          col("user_id"),
+          size(col("arr")).cast(LongType).as("n"),
+          aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total_cents"),
+          array_min(col("arr")).as("min_cents"),
+          array_max(col("arr")).as("max_cents"),
+          size(filter(col("arr"), x => x % 2 === 0)).cast(LongType).as("n_even"),
+          slice(col("arr"), 1, 3).as("first3"),
+          element_at(col("arr"), 1).as("elem1"),
+          aggregate(zip_with(col("arr"), reverse(col("arr")), (a, b) => a + b),
+            lit(0L), (acc, x) => acc + x).as("zip_sum"),
+          exists(col("arr"), x => x > lit(90000L)).cast(LongType).as("has_big"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- D17: gap-based sessionization (30-min inactivity boundary)
     "q_sessionize" -> ((s, d) => {
       ops.Sessionize.sessions(
@@ -2274,6 +2297,25 @@ object SparkEntry {
         |  min(v) AS lo_cents, max(v) AS hi_cents
         |FROM cum CROSS JOIN tot
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Collection twin: the zip_with(arr, reverse(arr)) fold equals
+    // 2·Σarr by symmetry, and exists(x > t) equals max > t — the twin
+    // states the identities, which checks the HOFs against closed forms.
+    "q_collection_funcs" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |a AS (SELECT user_id, list(v ORDER BY v) AS arr FROM ev GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(arr) AS BIGINT) AS n,
+        |  CAST(list_sum(arr) AS BIGINT) AS total_cents,
+        |  list_min(arr) AS min_cents,
+        |  list_max(arr) AS max_cents,
+        |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  arr[1:3] AS first3,
+        |  arr[1] AS elem1,
+        |  CAST(2 * list_sum(arr) AS BIGINT) AS zip_sum,
+        |  CAST(list_max(arr) > 90000 AS BIGINT) AS has_big
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_incr_agg" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,

@@ -58,7 +58,6 @@ object Bm25 {
     // information and would otherwise crowd the impact window).
     val withCh = docs
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
-      .localCheckpoint(true)
     val reps = withCh.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
     val members = withCh.join(reps.select(col("ch"), col("rep")), Seq("ch"))

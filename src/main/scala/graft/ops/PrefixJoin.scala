@@ -44,7 +44,6 @@ object PrefixJoin {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withCh = Dedup.withSyntheticDups(docs, dupMod)
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
-      .localCheckpoint(true)
     val reps = withCh.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
     // one representative text per distinct content (rep ids are unique

@@ -46,7 +46,6 @@ object SparseSim {
     // the true self-pair drops after expansion.
     val withCh = docs
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
-      .localCheckpoint(true)
     val reps = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
     val members = withCh.join(reps, Seq("ch"))
       .select(col("rep"), col("doc_id"))
