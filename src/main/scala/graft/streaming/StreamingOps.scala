@@ -255,6 +255,19 @@ object StreamingOps {
   def enrichStream(txns: DataFrame, clients: DataFrame): DataFrame =
     txns.join(broadcast(clients), Seq("user_id"), "left")
 
+  /** F13 — continuous aggregate maintenance: the streaming form of B14
+    * ([[graft.etl.IncrementalAgg]]). An unwindowed grouped aggregation
+    * in complete/update mode IS mergeable-state maintenance — Spark's
+    * state store holds exactly the (n, sum, min, max) algebra B14
+    * merges at the table level, updated per micro-batch with no history
+    * rescan. ParitySpec pins stream == incremental merge == full
+    * recompute on identical rows. */
+  def aggMaintenanceStream(rows: DataFrame, key: String = "user_id",
+                           value: String = "v"): DataFrame =
+    rows.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col(value)).as("sum_cents"),
+        min(col(value)).as("min_cents"), max(col(value)).as("max_cents"))
+
   /** F10 — native session windows: per-user sessions closed by `gap` of
     * inactivity, the streaming twin of the batch sessionizer (D17).
     * `session_window` merges its keyed state as events arrive and emits

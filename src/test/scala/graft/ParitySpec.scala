@@ -360,6 +360,30 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F13 streaming aggregate maintenance equals incremental merge and full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.IncrementalAgg
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingOps.aggMaintenanceStream(in.toDS().toDF("user_id", "v"))
+      .writeStream.format("memory").queryName("aggmaint")
+      .outputMode("complete").start()
+    val b1 = Seq((1L, 10L), (1L, 5L), (2L, 7L))
+    val b2 = Seq((1L, 20L), (3L, 1L), (2L, 3L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("aggmaint")
+    val full = (b1 ++ b2).toDF("user_id", "v").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+    val incr = IncrementalAgg.merge(
+      IncrementalAgg.state(b1.toDF("user_id", "v"), "user_id", col("v")),
+      IncrementalAgg.state(b2.toDF("user_id", "v"), "user_id", col("v")),
+      "user_id")
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
   test("F12 streaming SCD2 maintenance equals the batch merge chain") {
     import graft.etl.{Scd2, Scd2Snapshots}
     import graft.streaming.StreamingIngest
