@@ -456,6 +456,9 @@ object SparkEntry {
     }),
     "q_emb_stats" -> ((s, d) => ops.Ann.labelStats(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) => ops.Ann.embedCosineDups(Tables.embeddings(s, d))),
+    // E42: diversity coreset — one representative per occupied SRP
+    // angular cell (deterministic distributed stand-in for k-center)
+    "q_coreset" -> ((s, d) => ops.Ann.srpCoreset(Tables.embeddings(s, d))),
     // The multiprobe KNOB at its other setting: exact-signature buckets
     // only (oneBitProbes=false) — 1/17th the probe fan-out of
     // q_dedup_embed, loses exactly the pairs straddling one hyperplane.
@@ -2071,6 +2074,31 @@ object SparkEntry {
          |FROM cur c LEFT JOIN assign a ON c.doc_id = a.doc_id
          |WHERE a.cluster_id IS NULL OR a.cluster_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // Coreset twin: the same exact-integer SRP signature pipeline as
+    // q_dedup_embed (no dup injection), then one group per bucket.
+    "q_coreset" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |signs AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN CAST(('0x'||substr(md5(CAST(j.j AS VARCHAR)||'_'||CAST(i.i AS VARCHAR)),1,8)) AS BIGINT) & 1 = 1
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM range(0,16) j(j), range(0,64) i(i)),
+        |ex AS (SELECT vec_id, i.i AS i, svec[CAST(i.i AS INTEGER)+1] AS x
+        |  FROM v, range(0,64) i(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, SUM(e.x * s.w) AS p
+        |  FROM ex e JOIN signs s ON e.i = s.i GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id)
+        |SELECT sig, min(vec_id) AS rep_id,
+        |  CAST(count(*) AS BIGINT) AS bucket_size
+        |FROM sig GROUP BY sig ORDER BY rep_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH base AS (

@@ -144,6 +144,23 @@ object Ann {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** E42 — diversity-preserving coreset selection: one representative
+    * vector per occupied SRP bucket (min vec_id) plus the bucket's
+    * population. The SRP signature partitions the sphere into 2^bits
+    * angular cells, so keeping one member per cell prunes redundant
+    * dense regions while every occupied direction keeps a witness — a
+    * deterministic, embarrassingly-parallel stand-in for greedy
+    * k-center selection (whose sequential greedy does not distribute).
+    * One signature map + one bucket-keyed aggregation; bucket count is
+    * capped at 2^bits regardless of corpus size, and `bits` is the
+    * budget knob. */
+  def srpCoreset(emb: DataFrame, bits: Int = 16): DataFrame =
+    withScaledVec(emb.select(col("vec_id"), col("embedding")))
+      .withColumn("sig", graft.functions.SrpSig.sigL(col("svec"), bits))
+      .groupBy(col("sig"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("bucket_size"))
+      .orderBy(col("rep_id"))
+
   /** E-section (embedding-cosine near-dup) — near-duplicate vector pairs
     * by exact cosine ≥ `minCos`, with candidate generation via a
     * `bits`-bit SRP signature: two vectors land in the same bucket iff

@@ -116,6 +116,27 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("TopKMinL heap equals sorted-take-k on randomized multisets, incl. merges") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val xs = Seq.fill(n)(rnd.nextLong() % 100)
+      val h = new graft.functions.TopKMinL.MaxHeap(k)
+      xs.foreach(h.offer)
+      // split-and-merge must agree with the single-buffer fold
+      val (a, b) = xs.splitAt(rnd.nextInt(n + 1))
+      val h1 = new graft.functions.TopKMinL.MaxHeap(k)
+      val h2 = new graft.functions.TopKMinL.MaxHeap(k)
+      a.foreach(h1.offer)
+      b.foreach(h2.offer)
+      (0 until h2.size).foreach(i => h1.offer(h2.values(i)))
+      val expect = xs.sorted.take(k)
+      assert(h.sortedAsc.toSeq == expect, s"update path: n=$n k=$k")
+      assert(h1.sortedAsc.toSeq == expect, s"merge path: n=$n k=$k")
+    }
+  }
+
   test("equi-depth histogram keeps tied values in one bucket") {
     import graft.relational.RelationalQueries
     // Direct-shape check on the real table: buckets are contiguous,
