@@ -81,6 +81,22 @@ class IngestSpec extends SparkSpec {
     assert(df.count() > 150)
   }
 
+  test("A8: DSv2 xlsx format agrees with XlsxSource.read, one partition per workbook") {
+    val glob = "/root/reference/sql_project-master/data/terminals_0[12]032021.xlsx"
+    assume(Files.exists(Paths.get(
+      "/root/reference/sql_project-master/data/terminals_02032021.xlsx")))
+    val v2 = spark.read.format("graft.sources.XlsxV2").load(glob)
+    val v1 = XlsxSource.read(spark, glob)
+    assert(v2.schema == v1.schema)
+    assert(v2.exceptAll(v1).isEmpty && v1.exceptAll(v2).isEmpty)
+    // daily drops parallelize file-by-file (zip archives don't split)
+    assert(v2.rdd.getNumPartitions == 2)
+    // pruned projection round-trips through SupportsPushDownRequiredColumns
+    val pruned = v2.select("terminal_id", "_source_file").collect()
+    assert(pruned.length == v1.count() &&
+      pruned.forall(_.getString(1).endsWith(".xlsx")))
+  }
+
   test("A6: xlsx parser handles inline strings, sparse cells, rich text") {
     // A synthetic workbook exercising the cell shapes the reference's
     // files don't: inlineStr cells, skipped columns, rich-text runs in
