@@ -12,6 +12,24 @@ object ReportMart {
   def append(mart: DataFrame, path: String): Unit =
     mart.write.mode("append").partitionBy("rule").parquet(path)
 
+  /** B15 — IDEMPOTENT daily publish: dynamic partition overwrite
+    * replaces exactly the (rule, batch_date) partitions present in
+    * this batch and leaves every other partition untouched, so a
+    * re-run of a failed day converges instead of double-appending —
+    * the retry semantics a daily mart needs. (Static overwrite mode
+    * would truncate the whole table; the conf scope is per-write.) */
+  def publishDay(mart: DataFrame, path: String): Unit = {
+    val spark = mart.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try mart.write.mode("overwrite")
+      .partitionBy("rule", "batch_date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -166,4 +166,21 @@ class IngestSpec extends SparkSpec {
     // partition pruning: rule dirs exist on disk
     assert(Files.list(Paths.get(out)).iterator().hasNext)
   }
+
+  test("B15: publishDay is idempotent and leaves other days untouched") {
+    import org.apache.spark.sql.functions.lit
+    val out = Files.createTempDirectory("graft_mart2").resolve("mart").toString
+    val base = FraudRules.mart(FraudRules.allRules(spark, sf))
+    val day1 = base.withColumn("batch_date", lit("2024-03-01"))
+    val day2 = base.limit(50).withColumn("batch_date", lit("2024-03-02"))
+    ReportMart.publishDay(day1, out)
+    ReportMart.publishDay(day2, out)
+    val n1 = ReportMart.read(spark, out).count()
+    // re-running day2 (the retry case) must converge, not double-append
+    ReportMart.publishDay(day2, out)
+    val back = ReportMart.read(spark, out)
+    assert(back.count() == n1)
+    assert(back.filter(org.apache.spark.sql.functions.col("batch_date") ===
+      "2024-03-01").count() == day1.count())
+  }
 }
