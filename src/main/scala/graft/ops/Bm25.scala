@@ -58,8 +58,11 @@ object Bm25 {
     // information and would otherwise crowd the impact window).
     val withCh = docs
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+    // content-count-sized (hash, id, count) frame, reused 4× —
+    // materialize once; the text-bearing scan stays lazy
     val reps = withCh.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
     val members = withCh.join(reps.select(col("ch"), col("rep")), Seq("ch"))
       .select(col("rep"), col("doc_id"))
     val repDocs = withCh

@@ -44,8 +44,14 @@ object PrefixJoin {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withCh = Dedup.withSyntheticDups(docs, dupMod)
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+    // reps is reused by repDocs, members, and (via members) both
+    // expansion joins — eagerly materialized ONCE. It is content-count
+    // sized and carries only (hash, id, count): tiny relative to the
+    // corpus, unlike the text-bearing frame (which stays lazy — its
+    // re-scan is parquet-scan-bound).
     val reps = withCh.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
     // one representative text per distinct content (rep ids are unique
     // doc ids, so a semi-join on doc_id picks exactly the rep rows)
     val repDocs = withCh

@@ -46,7 +46,10 @@ object SparseSim {
     // the true self-pair drops after expansion.
     val withCh = docs
       .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+    // content-count-sized (hash, id) frame, reused 3× — materialize
+    // once; the text-bearing scan stays lazy
     val reps = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true)
     val members = withCh.join(reps, Seq("ch"))
       .select(col("rep"), col("doc_id"))
     val repDocs = withCh
