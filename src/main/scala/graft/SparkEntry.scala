@@ -175,6 +175,18 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
+    // B16: distribution-drift monitor — rational chi-square between the
+    // first/second halves of the event window, per event_type
+    "q_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("ts_us div 86400000000").as("day"), cents(col("value")).as("v"))
+      val bounds = ev.agg(min(col("day")).as("dmin"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      etl.DataQuality.driftChi2(
+        tagged.filter(col("day") < col("dmin") + 15).select(col("event_type"), col("v")),
+        tagged.filter(col("day") >= col("dmin") + 15).select(col("event_type"), col("v")),
+        "event_type", "v")
+    }),
     // B14: incremental aggregate maintenance — history and delta fold
     // to mergeable (n, sum, min, max) states; the oracle recomputes
     // from scratch, proving incremental == full
@@ -2344,6 +2356,37 @@ object SparkEntry {
         |  CAST(2 * list_sum(arr) AS BIGINT) AS zip_sum,
         |  CAST(list_max(arr) > 90000 AS BIGINT) AS has_big
         |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |bdmin AS (SELECT min(day) AS dmin FROM ev),
+        |base AS (SELECT event_type, v FROM ev CROSS JOIN bdmin
+        |  WHERE day < dmin + 15),
+        |cur AS (SELECT event_type, v FROM ev CROSS JOIN bdmin
+        |  WHERE day >= dmin + 15),
+        |bounds AS (SELECT min(v) AS mn, max(v) AS mx FROM (
+        |  SELECT v FROM base UNION ALL SELECT v FROM cur)),
+        |b AS (SELECT event_type, ((v - mn) * 10) // (mx - mn + 1) AS bin,
+        |    count(*) AS n_b FROM base CROSS JOIN bounds GROUP BY 1, 2),
+        |c AS (SELECT event_type, ((v - mn) * 10) // (mx - mn + 1) AS bin,
+        |    count(*) AS n_c FROM cur CROSS JOIN bounds GROUP BY 1, 2),
+        |tb AS (SELECT event_type, CAST(sum(n_b) AS BIGINT) AS tb FROM b GROUP BY 1),
+        |tc AS (SELECT event_type, CAST(sum(n_c) AS BIGINT) AS tc FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT b.event_type, b.bin,
+        |    CAST(COALESCE(c.n_c, 0) AS DOUBLE) AS ncd,
+        |    CAST(tb.tb AS DOUBLE) AS tbd, CAST(tc.tc AS DOUBLE) AS tcd,
+        |    CAST(b.n_b AS DOUBLE) AS nbd
+        |  FROM b
+        |  LEFT JOIN c ON c.event_type = b.event_type AND c.bin = b.bin
+        |  JOIN tb ON tb.event_type = b.event_type
+        |  JOIN tc ON tc.event_type = b.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(CAST(ROUND(((ncd * tbd - tcd * nbd) * (ncd * tbd - tcd * nbd) * 1000000.0) / ((tbd * tcd) * nbd)) AS BIGINT)) AS BIGINT) AS chi2_u
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_incr_agg" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,

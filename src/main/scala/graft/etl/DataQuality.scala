@@ -54,6 +54,47 @@ object DataQuality {
     }.reduce(_ unionByName _)
       .orderBy(col("col_name"))
 
+  /** B16 — distribution-drift monitor: the χ² statistic between a
+    * baseline and a current window of a binned value distribution, per
+    * group — the production check behind "did this feed change shape?"
+    * (the PSI variant needs a log; χ² is rational, so it keeps the
+    * engine's no-transcendentals determinism discipline).
+    *
+    * χ² = Σ_bins (n_c·N_b − N_c·n_b)² / (N_b·N_c·n_b) over baseline-
+    * occupied bins — every term a ratio of exact counts, evaluated in
+    * ONE shared IEEE op order and rounded to integer micro-units, so
+    * the statistic is hash-exact cross-engine. Bins come from D40's
+    * integer equi-width binning with GLOBAL bounds (both windows bin
+    * identically). One (group, bin) shuffle with map-side partials per
+    * window + a bin-level join: nothing scales past the bin count.
+    */
+  def driftChi2(baseline: DataFrame, current: DataFrame, group: String,
+                valueCol: String, nBins: Int = 10): DataFrame = {
+    val all = baseline.select(col(group), col(valueCol).as("v"))
+      .unionByName(current.select(col(group), col(valueCol).as("v")))
+    val bounds = all.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def binned(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy(col(group), col("bin")).agg(count(lit(1)).as("n"))
+    val b = binned(baseline.select(col(group), col(valueCol).as("v")))
+      .withColumnRenamed("n", "n_b")
+    val c = binned(current.select(col(group), col(valueCol).as("v")))
+      .withColumnRenamed("n", "n_c")
+    val totals = b.groupBy(col(group)).agg(sum(col("n_b")).as("tb"))
+      .join(c.groupBy(col(group)).agg(sum(col("n_c")).as("tc")), Seq(group))
+    b.join(c, Seq(group, "bin"), "left")
+      .na.fill(0L, Seq("n_c"))
+      .join(totals, Seq(group))
+      .select(col(group), col("bin"),
+        col("n_c").cast("double").as("ncd"), col("tb").cast("double").as("tbd"),
+        col("tc").cast("double").as("tcd"), col("n_b").cast("double").as("nbd"))
+      .withColumn("u", expr("CAST(ROUND(((ncd * tbd - tcd * nbd) * (ncd * tbd - tcd * nbd) * 1000000.0) / ((tbd * tcd) * nbd)) AS BIGINT)"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_bins"), sum(col("u")).as("chi2_u"))
+      .orderBy(col(group))
+  }
+
   /** B12 — key-skew profiler: the pre-flight diagnostic behind every
     * salting / skew-join decision (relational/Salting.scala) — is this
     * key safe to shuffle on, and how hot is the hottest key?
