@@ -125,6 +125,9 @@ object SparkEntry {
     // D41: equi-depth histogram — contracted value distribution, tie-
     // coherent integer bucket assignment (never ntile: it splits ties)
     "q_histogram_depth" -> ((s, d) => RelationalQueries.histogramDepth(s, d)),
+    // D46: exact winsorization — per-group discrete-percentile clipping
+    // via the count-of-counts contraction, broadcast thresholds
+    "q_winsorize" -> ((s, d) => RelationalQueries.winsorize(s, d)),
     // D43: exact trailing-7-day distinct users — distinct counts don't
     // compose across frames, so (user, day) rows explode into their
     // bounded ×7 window coverage instead
@@ -2413,6 +2416,38 @@ object SparkEntry {
         |SELECT CAST(node AS BIGINT) AS node,
         |  CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |cc AS (SELECT event_type, v, count(*) AS nv FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, v, nv,
+        |    sum(nv) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        |  FROM cc),
+        |tot AS (SELECT event_type, CAST(sum(nv) AS BIGINT) AS n
+        |  FROM cc GROUP BY 1),
+        |lo AS (
+        |  SELECT c.event_type, min(c.v) AS lo_cents
+        |  FROM cum c JOIN tot t ON t.event_type = c.event_type
+        |  WHERE c.cum >= (5 * t.n + 99) // 100 GROUP BY 1),
+        |hi AS (
+        |  SELECT c.event_type, min(c.v) AS hi_cents
+        |  FROM cum c JOIN tot t ON t.event_type = c.event_type
+        |  WHERE c.cum >= (95 * t.n + 99) // 100 GROUP BY 1),
+        |cl AS (
+        |  SELECT e.event_type, e.v, lo.lo_cents, hi.hi_cents,
+        |    least(greatest(e.v, lo.lo_cents), hi.hi_cents) AS wv
+        |  FROM ev e
+        |  JOIN lo ON lo.event_type = e.event_type
+        |  JOIN hi ON hi.event_type = e.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+        |  CAST(sum(CASE WHEN v < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN v > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(v) AS BIGINT) AS sum_raw_cents,
+        |  CAST(sum(wv) AS BIGINT) AS sum_wins_cents
+        |FROM cl GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_window_distinct" ->
       """WITH ud AS (

@@ -234,6 +234,42 @@ object RelationalQueries {
       .orderBy(col("window_day"))
   }
 
+  /** D46 — exact winsorization (percentile clipping), the standard
+    * feature-prep step before moment-based stats: per group, clip
+    * values to the discrete [p_lo, p_hi] quantiles. Thresholds come
+    * from the count-of-counts contraction (B12's trick, here per
+    * group): the quantile window runs over DISTINCT (group, value)
+    * rows, the tiny threshold table broadcasts, and the clip itself is
+    * a map — no global sort, no second corpus shuffle. Discrete
+    * quantile = smallest v with cum ≥ ⌈p·n⌉, pure integer ceilings. */
+  def winsorize(s: SparkSession, d: String,
+                loNum: Int = 5, hiNum: Int = 95, den: Int = 100): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val cc = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cc.withColumn("cum", sum(col("nv")).over(w))
+      .join(cc.groupBy(col("event_type")).agg(sum(col("nv")).as("n")),
+        Seq("event_type"))
+    def thresh(name: String, num: Int): DataFrame = cum
+      .filter(col("cum") >= expr(s"($num * n + ${den - 1}) div $den"))
+      .groupBy(col("event_type")).agg(min(col("v")).as(name))
+    ev
+      .join(broadcast(thresh("lo_cents", loNum)), Seq("event_type"))
+      .join(broadcast(thresh("hi_cents", hiNum)), Seq("event_type"))
+      .withColumn("wv", least(greatest(col("v"), col("lo_cents")), col("hi_cents")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"), min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("v") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("v")).as("sum_raw_cents"),
+        sum(col("wv")).as("sum_wins_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
   def etlRename(s: SparkSession, d: String): DataFrame =
     graft.etl.ColumnMapping.apply(
