@@ -156,6 +156,58 @@ class ScaleSpec extends SparkSpec {
       s"z-layout should prune most row groups: read $z of $naive")
   }
 
+  test("I21: parquet bloom filters prune row groups on point lookups") {
+    import spark.implicits._
+    // Pseudo-shuffled high-cardinality keys: every row group spans the
+    // full key range, so min/max stats prune NOTHING — and dictionary
+    // encoding is disabled to isolate the bloom filter's contribution.
+    val n = 200000
+    val df = (0 until n)
+      .map(i => ((i.toLong * 2654435761L) % 1000003L, i.toLong))
+      .toDF("k", "payload")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    def write(path: String, bloom: Boolean): Unit = {
+      var w = df.repartition(4).write
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.block.size", (128 * 1024).toString)
+      if (bloom) w = w
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", n.toString)
+      w.mode("overwrite").parquet(path)
+    }
+    write(s"$tmp/plain", bloom = false)
+    write(s"$tmp/bloom", bloom = true)
+    val key = (77L * 2654435761L) % 1000003L // present exactly once
+
+    def recordsRead(path: String): Long = {
+      @volatile var total = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            total += e.taskMetrics.inputMetrics.recordsRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val scan = spark.read.parquet(path).filter(col("k") === key)
+        assert(scan.count() == 1L)
+        var last = -1L
+        var spins = 0
+        while (total != last && spins < 100) {
+          last = total; Thread.sleep(100); spins += 1
+        }
+        total
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val plain = recordsRead(s"$tmp/plain")
+    val bloomed = recordsRead(s"$tmp/bloom")
+    assert(plain == n.toLong,
+      s"without bloom, stats prune nothing on shuffled keys: read $plain")
+    assert(bloomed * 2 <= plain && bloomed > 0,
+      s"bloom should skip most row groups: read $bloomed of $plain")
+  }
+
   test("bloom prefilter drops most non-matching rows and loses none") {
     import graft.relational.BloomPrune
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
