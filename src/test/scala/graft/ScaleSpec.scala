@@ -156,6 +156,35 @@ class ScaleSpec extends SparkSpec {
       s"z-layout should prune most row groups: read $z of $naive")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of rows share one key: one shuffle partition dwarfs the rest
+      val skewed = spark.range(300000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val oth = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = skewed.join(oth, Seq("k"))
+      // materialize through THIS QueryExecution so the adaptive plan
+      // finalizes in place (a .write would plan a fresh execution)
+      j.queryExecution.toRdd.foreach(_ => ())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("I21: parquet bloom filters prune row groups on point lookups") {
     import spark.implicits._
     // Pseudo-shuffled high-cardinality keys: every row group spans the
