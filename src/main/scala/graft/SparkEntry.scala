@@ -425,6 +425,10 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       ops.GraphStats.triangles(
         ops.GraphStats.contentDupEdges(Tables.documents(s, d)))),
+    // E45: MinHash estimator calibration — signature-agreement estimate
+    // (exact ppm) vs exact Jaccard on every LSH candidate pair
+    "q_minhash_calib" -> ((s, d) =>
+      ops.Dedup.minhashCalibration(Tables.documents(s, d))),
     // E41: EXACT Jaccard-threshold self-join via prefix filtering
     // (AllPairs/PPJoin) — oracle is the brute-force shared-gram join,
     // so the hash check proves no false negatives
@@ -1674,6 +1678,31 @@ object SparkEntry {
          |  n_sum - n_inter AS n_union,
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
+
+    "q_minhash_calib" -> {
+      val eqTerms = (0 until 8)
+        .map(i => s"(CASE WHEN s1.sig_$i = s2.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_inter,
+         |    CAST(len(a.shd) + len(b.shd) AS BIGINT) AS n_sum
+         |  FROM cand c
+         |  JOIN sd a ON c.id1 = a.doc_id
+         |  JOIN sd b ON c.id2 = b.doc_id),
+         |eqs AS (
+         |  SELECT c.id1, c.id2, CAST($eqTerms AS BIGINT) AS n_eq_sigs
+         |  FROM cand c
+         |  JOIN sig s1 ON c.id1 = s1.doc_id
+         |  JOIN sig s2 ON c.id2 = s2.doc_id)
+         |SELECT j.id1, j.id2, e.n_eq_sigs,
+         |  (e.n_eq_sigs * 1000000) // 8 AS est_ppm,
+         |  n_inter / (n_sum - n_inter) AS jaccard
+         |FROM j JOIN eqs e ON e.id1 = j.id1 AND e.id2 = j.id2
+         |ORDER BY j.id1, j.id2""".stripMargin
+    },
 
     "q_dedup_clusters" -> sqlClustersOracle,
 

@@ -282,6 +282,39 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** E45 — MinHash estimator CALIBRATION: per LSH candidate pair, the
+    * signature-agreement estimate (matching sigs / k — the unbiased
+    * MinHash estimator of Jaccard) side-by-side with the exact Jaccard
+    * from [[lshVerify]]. This is the evidence behind every "bands ×
+    * rows" tuning decision: how tight is k=8 on THIS corpus? Estimate
+    * in exact integer ppm; adds one signature map (native I19, pure
+    * map) and two id joins on the candidate-pair frame — nothing
+    * corpus-sized beyond what lshVerify already does. */
+  def minhashCalibration(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                         dupMod: Long = 250): DataFrame = {
+    val k = bands * rowsPerBand
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val verified = lshVerify(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sig = withSyntheticDups(docs, dupMod)
+      .repartition(par, col("doc_id"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sigarr",
+        graft.functions.TextNative.minHashSigL(col("text"), 3, k))
+      .select(col("doc_id"), col("sigarr"))
+    val eq = (0 until k).map(i =>
+      when(element_at(col("a1"), i + 1) === element_at(col("a2"), i + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    verified
+      .join(sig.select(col("doc_id").as("id1"), col("sigarr").as("a1")), Seq("id1"))
+      .join(sig.select(col("doc_id").as("id2"), col("sigarr").as("a2")), Seq("id2"))
+      .withColumn("n_eq_sigs", eq)
+      .withColumn("est_ppm", expr(s"(n_eq_sigs * 1000000) div $k"))
+      .select(col("id1"), col("id2"), col("n_eq_sigs"), col("est_ppm"),
+        col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Shared contraction pre-step for both closure operators: collapse
     * every exact-duplicate content group to its minimum doc id BEFORE
     * the iterative closure. Identical contents share every band, so
