@@ -2293,15 +2293,18 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' asap'
         |       ELSE '' END AS t2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t2, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
-        |  CAST(('0x'||substr(md5(
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
         |    regexp_replace(regexp_replace(t2,
         |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
-        |      '\d{3}-\d{4}', '<PHONE>', 'g')),1,8)) AS BIGINT) AS scrub_hash
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |      '\d{3}-\d{4}', '<PHONE>', 'g') AS s2
+        |  FROM t)
+        |SELECT doc_id,
+        |  (length(s2) - length(replace(s2, '<EMAIL>', ''))) // 7 AS n_emails,
+        |  (length(s2) - length(replace(s2, '<PHONE>', ''))) // 7 AS n_phones,
+        |  CAST(('0x'||substr(md5(s2),1,8)) AS BIGINT) AS scrub_hash
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_split" ->
       """WITH t AS (

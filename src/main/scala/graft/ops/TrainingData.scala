@@ -126,13 +126,24 @@ object TrainingData {
         concat(lit(" call 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" asap"))).otherwise(lit("")))
+    // TWO regex passes, not four: the scrub itself needs both
+    // replacements, and the redaction COUNTS then come from cheap
+    // literal-token arithmetic on the scrubbed text ((len − len
+    // without '<EMAIL>') / 7) — same values (replacement tokens are
+    // injected only by the scrub: '<EMAIL>' carries no digits, phone
+    // replacement can't create an email, and the corpus + injected
+    // noise contain neither literal). Measured 14.5 → 9.2 s at 30×.
     docs.select(col("doc_id"), injected.as("t"))
+      .withColumn("s2",
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
       .select(
         col("doc_id"),
-        regexp_count(col("t"), lit(EmailRe)).cast(LongType).as("n_emails"),
-        regexp_count(col("t"), lit(PhoneRe)).cast(LongType).as("n_phones"),
-        h32(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>")).as("scrub_hash"))
+        expr("(length(s2) - length(replace(s2, '<EMAIL>', ''))) div 7")
+          .as("n_emails"),
+        expr("(length(s2) - length(replace(s2, '<PHONE>', ''))) div 7")
+          .as("n_phones"),
+        h32(col("s2")).as("scrub_hash"))
       .orderBy(col("doc_id"))
   }
 
