@@ -871,7 +871,14 @@ object SparkEntry {
           element_at(qtiles, 1).as("p50_approx"),
           element_at(qtiles, 2).as("p95_approx"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // D47: fixed-iteration PageRank over the customer↔supplier trade
+    // graph — exact integer ppm, so the iterative ranks hash-match an
+    // independent engine bit-for-bit
+    "q_pagerank" -> ((s, d) =>
+      ops.GraphStats.pageRank(
+        ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d))))
   )
 
   // ---------------------------------------------------------------------
@@ -1077,8 +1084,41 @@ object SparkEntry {
        |  '2024-03-02', '2999-12-31', CAST(1 AS BIGINT)
        |FROM scd_deleted)""".stripMargin
 
+  /** D47 PageRank twin: the five damped-update iterations unrolled as
+    * chained CTEs (standard SQL forbids aggregating over the recursive
+    * term, so a recursive CTE can't express the per-round SUM —
+    * unrolling keeps the oracle a single deterministic statement).
+    * Integer ppm + floor division (`//`) mirrors Spark's `div`. */
+  private val sqlPageRank: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    150000 + (COALESCE(s.c, 0) * 85) // 100 AS rank_ppm
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(r.rank_ppm // od.outdeg) AS BIGINT) AS c
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |           JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM p
+       |      UNION ALL SELECT supp AS src, cust AS dst FROM p),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |       FROM e GROUP BY 1),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(rank_ppm AS BIGINT) AS rank_ppm
+       |FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> sqlPageRank,
     "q_scd2_new" ->
       s"""WITH $sqlSnaps
          |SELECT * FROM scd_new ORDER BY terminal_id""".stripMargin,

@@ -34,6 +34,67 @@ object GraphStats {
       .orderBy(col("node"))
   }
 
+  /** D47 — fixed-iteration PageRank in EXACT integer ppm arithmetic.
+    *
+    * The web-corpus curation use: rank crawl URLs by link authority and
+    * keep/weight documents by rank (the Common-Crawl-style quality
+    * prior). All arithmetic is BIGINT parts-per-million with floor
+    * division, so Spark and any ANSI engine produce bit-identical
+    * ranks — no transcendentals, no float accumulation order to drift
+    * (the §5 oracle-parity discipline).
+    *
+    * Per iteration: rank'(v) = 150000 + 85% · Σ_{u→v} rank(u) div
+    * outdeg(u) — the standard damped update, unnormalized (baseline 1.0
+    * ppm per node). Scale posture: `edges`/`outdeg`/`nodes` are
+    * graph-sized and materialized ONCE (eager localCheckpoint — the
+    * I10 lineage discipline); each round is one edge-keyed shuffle +
+    * one node-keyed aggregate, the same per-round cost PageRank has on
+    * any vertex-centric system. Dangling nodes are legal inputs: their
+    * rank decays to the baseline and their mass is dropped, matching
+    * the common "no dangling redistribution" simplification.
+    */
+  def pageRank(rawEdges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = rawEdges.select(col("src"), col("dst")).localCheckpoint(true)
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+
+    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_ppm div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      // Eager per-round cut: the next round's plan references THIS
+      // round's 2k-node result, not the whole unrolled join tree.
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (coalesce(c, 0L) * 85) div 100").as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    rank.orderBy(col("node"))
+  }
+
+  /** The customer↔supplier trade graph (who transacts with whom),
+    * symmetrized so every node has out-edges: the reference's fraud
+    * domain re-read as link analysis (rank accounts by counterparty
+    * authority). Suppliers are offset by 10^9 to share one id space.
+    * One join + distinct — edge-list-sized from there on. */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000000L).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
   /** The exact-content duplicate graph with TWO synthetic replicas per
     * seeded doc (so every seeded content forms a 3-clique): clique
     * edges within each md5 content group, stored low-to-high. The

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphStats
+import graft.sources.Tables
+
+/** D47 PageRank semantics, pinned on hand-computable graphs (the
+  * oracle twin proves Spark↔DuckDB agreement; these pin the MATH). */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphStats.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle is the fixed point: ranks stay at 1.0 ppm") {
+    // rank' = 150000 + 85% of 1000000 = exactly 1000000 every round
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("dangling sink accumulates, source decays toward the baseline") {
+    // 1 → 2 only: node 2 gets all of 1's mass, node 1 gets none.
+    // r1: n1 = 150000, n2 = 150000 + 850000 = 1000000
+    // r2: n1 = 150000, n2 = 150000 + (150000*85)//100 = 277500
+    val r = ranks(Seq((1L, 2L)), iters = 2)
+    assert(r == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("out-degree splits mass: hub pointing at two sinks halves each") {
+    // 1 → {2,3}; after one round each sink gets 1000000 div 2 damped.
+    val r = ranks(Seq((1L, 2L), (1L, 3L)), iters = 1)
+    assert(r(2L) == 150000L + (500000L * 85) / 100)
+    assert(r(2L) == r(3L))
+    assert(r(1L) == 150000L)
+  }
+
+  test("trade-graph ranks: mass conserved within damping bounds, suppliers outrank") {
+    val pr = GraphStats.pageRank(
+      GraphStats.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    val n = pr.count()
+    // Symmetrized graph has no dangling nodes, so total mass stays in
+    // [0.15·n, 1.0·n] ppm and every rank is at least the baseline.
+    val total = pr.agg(sum("rank_ppm")).as[Long].head()
+    assert(total >= 150000L * n && total <= 1000000L * n)
+    assert(pr.agg(min("rank_ppm")).as[Long].head() >= 150000L)
+    // Suppliers (few, high in-degree) average above customers (many).
+    val bySide = pr.withColumn("supp", col("node") >= 1000000000L)
+      .groupBy("supp").agg(avg("rank_ppm").as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySide(true) > bySide(false),
+      s"supplier avg ${bySide(true)} should exceed customer avg ${bySide(false)}")
+  }
+}
