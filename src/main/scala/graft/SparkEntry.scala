@@ -486,6 +486,10 @@ object SparkEntry {
     "q_dedup_embed_exactsig" -> ((s, d) =>
       ops.Ann.embedCosineDups(Tables.embeddings(s, d), oneBitProbes = false)),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
+    // E43: per-source cap (domain capping) — k longest docs per source
+    // via the count-of-counts threshold contraction, never a
+    // whole-domain sort
+    "q_source_cap" -> ((s, d) => ops.Curation.sourceCap(Tables.documents(s, d))),
     "q_curate_full" -> ((s, d) => ops.Curation.curateFull(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
@@ -2123,6 +2127,17 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM keepers k
         |  WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_curate_full" ->
       s"""WITH RECURSIVE $sqlLshCtes,

@@ -71,6 +71,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E43 — per-source (domain) document cap: keep the k longest docs
+    * per source, ties broken by smallest doc_id. The web-corpus
+    * "cap documents per domain" curation step (a handful of giant
+    * domains otherwise dominate the training mixture).
+    *
+    * Scale posture (the D46 count-of-counts discipline): NO
+    * row_number over whole sources — a per-domain window sorts every
+    * row of the biggest domain through one reducer, exactly the skew
+    * hotspot domain capping exists to fight. Instead: (1) contract to
+    * per-(source, n_chars) counts, (2) a window over DISTINCT lengths
+    * only finds each source's boundary length + how many boundary
+    * docs to take, (3) broadcast that domain-count-sized threshold
+    * table and keep strictly-longer docs map-side, (4) row_number
+    * only over the boundary slice (rows tied at exactly the threshold
+    * length — tie-width-sized, not domain-sized). */
+  def sourceCap(docs: DataFrame, k: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val cc = base.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("nv"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+    val thr = cc
+      .withColumn("cum", sum(col("nv")).over(wCum))
+      .withColumn("above", col("cum") - col("nv"))
+      .filter(col("cum") >= k && col("above") < k)
+      .select(col("source"), col("n_chars").as("thr_chars"),
+        (lit(k) - col("above")).as("boundary_take"))
+    val joined = base.join(broadcast(thr), Seq("source"), "left")
+    // Sources with < k docs have no threshold row: keep everything.
+    val keepLong = joined
+      .filter(col("thr_chars").isNull || col("n_chars") > col("thr_chars"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val wBoundary = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val keepBoundary = joined
+      .filter(col("n_chars") === col("thr_chars"))
+      .withColumn("rn", row_number().over(wBoundary))
+      .filter(col("rn") <= col("boundary_take"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    keepLong.unionByName(keepBoundary)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Int8-style embedding quantization summary: per-vector symmetric
     * scale 127/max|x|, quantized values summarized as exact ints
     * (deterministic: float→double promotion, two IEEE ops, round).

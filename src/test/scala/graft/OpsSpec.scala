@@ -259,4 +259,17 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not converged"))
   }
+
+  test("sourceCap: under-full sources kept whole, boundary ties by doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      // source "a": 3 docs < k=2? use k=2 → capped; "b": 1 doc → whole
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 50L),
+      (9L, "b", 7L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = graft.ops.Curation.sourceCap(docs, k = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // all of "a" ties at 100: the two smallest doc_ids win; "b" (<k) whole
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 9L)))
+  }
 }
