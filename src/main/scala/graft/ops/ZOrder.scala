@@ -29,6 +29,23 @@ object ZOrder {
       .drop("_z")
   }
 
+  /** I22 — total-order layout on ONE key: the degenerate-but-common
+    * sibling of [[layout]]. `repartitionByRange` samples the key to
+    * build quantile cut points (one pass + one range exchange — never
+    * a global sort through one reducer) and the in-partition sort
+    * makes every written file carry a NON-OVERLAPPING min/max range,
+    * so a key-range scan prunes to the few files that intersect it.
+    * Equal keys hash to one partition, so ranges may touch at the
+    * boundaries but never interleave. This is the layout for the
+    * "always filtered by time" fact table; z-order when TWO dimensions
+    * matter. */
+  def rangeLayout(df: DataFrame, key: String,
+                  numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, col(key)).sortWithinPartitions(col(key))
+  }
+
   /** Per-z-range clustering statistics over the events grid (the
     * oracle-checked shape): bucket the z-curve and report each bucket's
     * row count and dimension spans — tight spans on both dimensions are

@@ -293,4 +293,80 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
+
+  test("B17 compaction: FFD bins rewrite small files with no shuffle, content intact") {
+    import spark.implicits._
+    import graft.sources.Compaction
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragment: 64 tiny files + leave nothing at target size
+    spark.range(20000).select(col("id"), (col("id") * 7 % 100).as("v"))
+      .repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    val sizes = new java.io.File(s"$tmp/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    assert(sizes.length == 64)
+    val target = sizes.sum / 4 // expect ~5 bins (FFD leaves headroom)
+    val plan = Compaction.plan(spark, s"$tmp/frag", target)
+    assert(plan.skipped.isEmpty)
+    assert(plan.bins.map(_.files.size).sum == 64, "every small file binned once")
+    assert(plan.bins.forall(_.bytes <= target), "no bin over target")
+    assert(plan.bins.length >= 4 && plan.bins.length <= 8,
+      s"FFD should pack ~5 bins, got ${plan.bins.length}")
+    // the per-bin rewrite plan is narrow: multi-file scan + coalesce(1)
+    val binPlan = spark.read.parquet(plan.bins.head.files: _*).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!binPlan.contains("Exchange"), s"bin rewrite must not shuffle:\n$binPlan")
+
+    val outs = Compaction.compact(spark, plan, s"$tmp/out")
+    assert(outs.length == plan.bins.length)
+    outs.foreach { dir =>
+      val pfs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(pfs.length == 1, s"$dir should hold exactly one output file")
+    }
+    val back = spark.read.parquet(outs: _*)
+    assert(back.count() == 20000L)
+    assert(back.agg(sum("id"), sum("v")).as[(Long, Long)].head() ==
+      spark.read.parquet(s"$tmp/frag").agg(sum("id"), sum("v")).as[(Long, Long)].head())
+    // already-compact files are skipped, not rewritten
+    val plan2 = Compaction.plan(spark, s"$tmp/frag", sizes.min)
+    assert(plan2.bins.isEmpty && plan2.skipped.length == 64)
+  }
+
+  test("I22 range layout: non-overlapping per-file key ranges, key scans prune") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val n = 65536L
+    graft.ops.ZOrder.rangeLayout(
+        spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v")),
+        "k", numPartitions = 16)
+      .write.mode("overwrite").parquet(s"$tmp/sorted")
+    // per-file min/max must form disjoint intervals (total order on disk)
+    val ranges = spark.read.parquet(s"$tmp/sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 4, s"expected many files, got ${ranges.length}")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges interleave: hi $hi1 > next lo $lo2")
+    }
+    // a thin key-range scan reads only the intersecting files' rows
+    @volatile var total = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          total += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val scan = spark.read.parquet(s"$tmp/sorted")
+        .filter(col("k") >= 1000L && col("k") <= 1999L)
+      assert(scan.queryExecution.executedPlan.toString.contains("PushedFilters"))
+      assert(scan.count() == 1000L)
+      var last = -1L; var spins = 0
+      while (total != last && spins < 100) { last = total; Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(total > 0 && total <= n / 8,
+      s"sorted layout should prune most row groups: read $total of $n")
+  }
 }
