@@ -75,11 +75,15 @@ object Bm25 {
         explode(graft.functions.TextNative.bigramsL(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dl = repDocs.select(col("doc_id"),
-      size(graft.functions.TextNative.bigramsL(col("text")))
-        .cast(LongType).as("dl"))
-    val consts = dl.join(grpSz, Seq("doc_id"))
-      .agg(sum(col("gsz")).as("n"), sum(col("gsz") * col("dl")).as("s"))
+    // dl = Σ tf — a contracted-frame aggregation instead of a SECOND
+    // corpus text scan + bigram pass. Contents with zero bigrams drop
+    // out of `dl`, which is exact: they have no postings (never
+    // scored) and contribute 0 to S; their group mass still reaches N
+    // because n is summed from `reps`, not from dl rows.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val consts = broadcast(reps.agg(sum(col("gsz")).as("n")))
+      .crossJoin(dl.join(grpSz, Seq("doc_id"))
+        .agg(sum(col("gsz") * col("dl")).as("s")))
     val df = tf.join(grpSz, Seq("doc_id"))
       .groupBy(col("tok")).agg(sum(col("gsz")).as("df"))
     val kept0 = tf.join(df, Seq("tok"))

@@ -63,29 +63,32 @@ object PrefixJoin {
       .select(col("doc_id"),
         explode(graft.functions.TextNative.ngramsL(col("text"), 3)).as("g"))
       .distinct()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfTab = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("g"))
+    // sz rides the SAME doc_id window exchange as the prefix ordering
+    // (empty frame spec → no extra sort) instead of a separate
+    // aggregation + join, and then travels WITH the candidate pairs —
+    // the old plan re-joined a sizes table twice after verification.
+    val wSz = Window.partitionBy(col("doc_id"))
     val prefix = grams.join(dfTab, Seq("g"))
       .withColumn("pos", row_number().over(wDoc))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("g"), col("doc_id"))
-    val cand = prefix.select(col("g"), col("doc_id").as("id1"))
-      .join(prefix.select(col("g"), col("doc_id").as("id2")), Seq("g"))
+      .select(col("g"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("g"), col("doc_id").as("id1"), col("sz").as("sz1"))
+      .join(prefix.select(col("g"), col("doc_id").as("id2"), col("sz").as("sz2")),
+        Seq("g"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .distinct()
     val inter = cand
       .join(grams.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
       .join(grams.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
-      .groupBy(col("id1"), col("id2"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .agg(count(lit(1)).as("n_inter"))
     val repPairs = inter
-      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
       .filter(lit(tDen) * col("n_inter") >=
         lit(tNum) * (col("sz1") + col("sz2") - col("n_inter")))
       .select(col("id1").as("r1"), col("id2").as("r2"),
@@ -104,8 +107,12 @@ object PrefixJoin {
       .select(least(col("d1"), col("d2")).as("id1"),
         greatest(col("d1"), col("d2")).as("id2"),
         col("n_inter"), col("sz1"), col("sz2"))
+    // every ≥3-token content has ≥1 prefix row (prefix length ≥ 1), so
+    // per-content sizes fall out of `prefix` partition-locally (the
+    // window already hashed by doc_id — no new exchange)
+    val sizes = prefix.select(col("doc_id"), col("sz")).dropDuplicates("doc_id")
     val within = members
-      .join(sizes.select(col("doc_id").as("rep"), col("sz")), Seq("rep"))
+      .join(broadcast(sizes.select(col("doc_id").as("rep"), col("sz"))), Seq("rep"))
       .select(col("rep"), col("doc_id"), col("sz"))
     val withinPairs = within.select(col("rep"), col("doc_id").as("d1"), col("sz"))
       .join(within.select(col("rep"), col("doc_id").as("d2")), Seq("rep"))

@@ -149,4 +149,5 @@ class ProfilingSpec extends SparkSpec {
       case _ =>
     }
   }
+
 }
