@@ -128,6 +128,9 @@ object SparkEntry {
     // D46: exact winsorization — per-group discrete-percentile clipping
     // via the count-of-counts contraction, broadcast thresholds
     "q_winsorize" -> ((s, d) => RelationalQueries.winsorize(s, d)),
+    // D48: exact 2-D skyline — divide-&-conquer frontier; oracle is the
+    // quadratic NOT-EXISTS dominance join, so the hash proves exactness
+    "q_skyline" -> ((s, d) => RelationalQueries.skyline(s, d)),
     // D43: exact trailing-7-day distinct users — distinct counts don't
     // compose across frames, so (user, day) rows explode into their
     // bounded ×7 window coverage instead
@@ -1123,6 +1126,24 @@ object SparkEntry {
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> sqlPageRank,
+
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT o.o_custkey, c.c_nationkey,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT p.c_nationkey, p.o_custkey, p.spend_cents, p.n_orders
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.c_nationkey = p.c_nationkey
+        |    AND q.spend_cents >= p.spend_cents
+        |    AND q.n_orders >= p.n_orders
+        |    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders))
+        |ORDER BY p.c_nationkey, p.o_custkey""".stripMargin,
     "q_scd2_new" ->
       s"""WITH $sqlSnaps
          |SELECT * FROM scd_new ORDER BY terminal_id""".stripMargin,

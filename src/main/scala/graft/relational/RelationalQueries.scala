@@ -270,6 +270,58 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** D48 — exact 2-D skyline (Pareto frontier): customers not
+    * dominated on (total spend, order count) — dominated = another
+    * point ≥ on both dimensions and > on at least one. The
+    * multi-objective "best customers" query (and the operator family
+    * behind Pareto-optimal model/data selection).
+    *
+    * The naive form is a quadratic dominance self-join (the DuckDB
+    * oracle IS that form, so the hash check proves exactness). In 2-D
+    * the frontier admits a sort contraction: scan by spend DESC and a
+    * point survives iff no strictly-higher-spend point has count ≥ it
+    * (a running max — one RANGE window) and no equal-spend point beats
+    * its count (a per-spend max). But a single global window is a
+    * one-reducer sort — the hazard, not the design. So: divide &
+    * conquer (the standard distributed skyline): pass 1 runs the
+    * window logic WITHIN each partition (hash-parallel, drops
+    * everything locally dominated — random 2-D data keeps ~log n of n
+    * per partition), pass 2 runs the same logic globally over the
+    * tiny union of local frontiers. Local dominance implies global
+    * dominance, so pass 1 never drops a frontier point. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+
+    def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+      val wGt = Window.partitionBy(part.map(col): _*)
+        .orderBy(col("spend_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1) // strictly greater spend
+      val wEq = Window.partitionBy((part :+ "spend_cents").map(col): _*)
+      df.withColumn("max_gt", max(col("n_orders")).over(wGt))
+        .withColumn("max_eq", max(col("n_orders")).over(wEq))
+        .filter((col("max_gt").isNull || col("max_gt") < col("n_orders")) &&
+          col("n_orders") === col("max_eq"))
+        .drop("max_gt", "max_eq")
+    }
+
+    // Frontier PER NATION (grouped skylines — "best customers per
+    // market"); the local pass is further split by physical partition,
+    // the global pass only by the group key, over local survivors.
+    val local = frontier(
+      pts.withColumn("pid", spark_partition_id()),
+      Seq("pid", "c_nationkey")).drop("pid")
+    frontier(local, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("o_custkey"),
+        col("spend_cents"), col("n_orders"))
+      .orderBy(col("c_nationkey"), col("o_custkey"))
+  }
+
   /** B1 — staging→DWH projection/rename (data_to_db.py:31-83 shape). */
   def etlRename(s: SparkSession, d: String): DataFrame =
     graft.etl.ColumnMapping.apply(

