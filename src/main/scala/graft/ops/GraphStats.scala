@@ -55,17 +55,21 @@ object GraphStats {
     */
   def pageRank(rawEdges: DataFrame, iters: Int = 5): DataFrame = {
     val e = rawEdges.select(col("src"), col("dst")).localCheckpoint(true)
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    // out-degree is static across iterations — join it into the edge
+    // list ONCE (and pre-partition by src, the per-round join key) so
+    // each round pays one join + one aggregate, not two joins
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val par = rawEdges.sparkSession.sparkContext.defaultParallelism
+    val eDeg = e.join(outdeg, Seq("src"))
+      .repartition(par, col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
 
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_ppm div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
