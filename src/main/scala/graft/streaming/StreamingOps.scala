@@ -268,6 +268,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(value)).as("sum_cents"),
         min(col(value)).as("min_cents"), max(col(value)).as("max_cents"))
 
+  /** F14 — streaming bounded top-k-smallest per group through the I20
+    * custom TypedImperativeAggregate (D42's engine). Streaming
+    * aggregation state IS the aggregate's buffer: each micro-batch
+    * folds new rows into the O(k) heap, and the state store round-trip
+    * exercises the aggregate's serialize/deserialize/merge path —
+    * the exact contract a custom aggregate must honor for incremental
+    * maintenance. State per key is k longs, never an event buffer. */
+  def topKStream(rows: DataFrame, key: String = "event_type",
+                 value: String = "v", k: Int = 5): DataFrame =
+    rows.groupBy(col(key))
+      .agg(graft.functions.TopKMinL(col(value), k).as("tk"))
+
   /** F10 — native session windows: per-user sessions closed by `gap` of
     * inactivity, the streaming twin of the batch sessionizer (D17).
     * `session_window` merges its keyed state as events arrive and emits

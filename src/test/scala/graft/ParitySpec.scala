@@ -384,6 +384,28 @@ class ParitySpec extends SparkSpec {
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
   }
 
+  test("F14 streaming top-k agg equals the batch window top-k across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.topKStream(in.toDS().toDF("event_type", "v"), k = 3)
+      .writeStream.format("memory").queryName("topkstream")
+      .outputMode("complete").start()
+    // ties, duplicates, and a key that only appears in batch 2 —
+    // the state-store merge must handle all three
+    val b1 = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 2L))
+    val b2 = Seq(("a", 1L), ("a", 3L), ("b", 8L), ("c", 4L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("topkstream")
+      .select(col("event_type"), explode(col("tk")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = (b1 ++ b2).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.take(3)).toMap
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+  }
+
   test("F12 streaming SCD2 maintenance equals the batch merge chain") {
     import graft.etl.{Scd2, Scd2Snapshots}
     import graft.streaming.StreamingIngest
