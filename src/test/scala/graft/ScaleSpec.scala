@@ -294,6 +294,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("I23 hive-partitioned layout: partition filters prune directories at planning time") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    // 8 date partitions × 1000 rows; the classic dt= lake layout
+    spark.range(8000)
+      .select(col("id"), concat(lit("2024-03-0"), (col("id") % 8) + 1).as("dt"))
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    val scan = spark.read.parquet(tmp).filter(col("dt") === "2024-03-03")
+    // pruning is PLANNING-time (directory listing), not row-group stats:
+    // the scan node must carry the partition filter and see 1 partition
+    val exec = scan.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(exec.partitionFilters.nonEmpty, "partition filter not pushed to scan")
+    assert(exec.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 8 partitions, planned ${exec.selectedPartitions.partitionCount}")
+    assert(scan.count() == 1000L)
+  }
+
+  test("B18 schema evolution: mergeSchema unions column sets, old files read as null") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$tmp/w=1")
+    Seq((2L, "b", 42L)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(s"$tmp/w=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "w"))
+    val rows = merged.select("id", "v2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> Some(42L)),
+      "pre-evolution files must surface the new column as null")
+    // a predicate on the evolved column still drops pre-evolution rows
+    assert(merged.filter(col("v2") === 42L).count() == 1L)
+  }
+
   test("B17 compaction: FFD bins rewrite small files with no shuffle, content intact") {
     import spark.implicits._
     import graft.sources.Compaction
