@@ -1317,7 +1317,8 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      CAST(l_quantity AS BIGINT)
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,

@@ -29,8 +29,15 @@ object RelationalQueries {
 
   /** D5 — running sum per partition (ROWS UNBOUNDED PRECEDING). */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
+    // qty is the last tie-break because (l_orderkey, l_linenumber) is
+    // NOT unique in the generated data (sf0.1 carries duplicate rows):
+    // without it the frame order over tied rows is engine-arbitrary
+    // and the PREFIX sums swap even though the totals agree. With it,
+    // the order is total up to rows identical in every column, whose
+    // prefix sums are permutation-invariant.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("qty"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
