@@ -131,6 +131,12 @@ object SparkEntry {
     // D48: exact 2-D skyline — divide-&-conquer frontier; oracle is the
     // quadratic NOT-EXISTS dominance join, so the hash proves exactness
     "q_skyline" -> ((s, d) => RelationalQueries.skyline(s, d)),
+    // D49: exact per-group mode, ties to the smallest value —
+    // count-of-counts contraction, no per-group raw sort
+    "q_mode" -> ((s, d) => RelationalQueries.modePerGroup(s, d)),
+    // B19: GDPR erasure propagation — distributed anti-join against a
+    // data-derived erase set, survivor/erased accounting per type
+    "q_erasure" -> ((s, d) => RelationalQueries.erasure(s, d)),
     // D43: exact trailing-7-day distinct users — distinct counts don't
     // compose across frames, so (user, day) rows explode into their
     // bounded ×7 window coverage instead
@@ -2149,6 +2155,34 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM keepers k
         |  WHERE k.content_hash = g.content_hash AND k.doc_id = g.doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_mode" ->
+      """WITH cc AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, v, nv,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY nv DESC, v) AS rn
+        |  FROM cc)
+        |SELECT event_type, v AS mode_cents, nv AS n_occurrences
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_erasure" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events),
+        |surv AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_surviving,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_surviving
+        |  FROM ev WHERE user_id % 97 <> 0 GROUP BY 1),
+        |gone AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_erased
+        |  FROM ev WHERE user_id % 97 = 0 GROUP BY 1)
+        |SELECT s.event_type, s.n_surviving, s.n_users_surviving,
+        |  COALESCE(g.n_erased, 0) AS n_erased
+        |FROM surv s LEFT JOIN gone g ON g.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
 
     "q_source_cap" ->
       """SELECT source, CAST(doc_id AS BIGINT) AS doc_id,

@@ -277,6 +277,49 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** D49 — exact MODE per group (most frequent value, ties to the
+    * smallest): the SQL MODE() aggregate, done scale-first. The
+    * count-of-counts contraction again: one (group, value) aggregation
+    * (map-side combined), then a frontier pick over DISTINCT values
+    * only — never a per-group sort of raw rows, and the tie rule makes
+    * the answer engine-independent (MODE() itself is tie-arbitrary,
+    * which is why the twin spells out the same window). */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val cc = Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("nv").desc, col("v"))
+    cc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("v").as("mode_cents"),
+        col("nv").as("n_occurrences"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B19 — erasure propagation (the GDPR right-to-be-forgotten
+    * pass): drop every row belonging to an erase-set of users and
+    * report the per-type survivor/erased accounting. The erase set is
+    * DATA-DERIVED and must never collect to the driver: a left_anti
+    * join against its distinct keys (broadcast when small, shuffle
+    * otherwise — Catalyst's call), the same plan at 10^3 or 10^9
+    * keys. Deterministic demo predicate: user_id % 97 = 0. */
+  def erasure(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val eraseKeys = ev.filter(col("user_id") % 97 === 0)
+      .select(col("user_id")).distinct()
+    val surviving = ev.join(eraseKeys, Seq("user_id"), "left_anti")
+    surviving.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_surviving"),
+        countDistinct(col("user_id")).as("n_users_surviving"))
+      .join(ev.filter(col("user_id") % 97 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_erased")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_surviving"),
+        col("n_users_surviving"), coalesce(col("n_erased"), lit(0L)).as("n_erased"))
+      .orderBy(col("event_type"))
+  }
+
   /** D48 — exact 2-D skyline (Pareto frontier): customers not
     * dominated on (total spend, order count) — dominated = another
     * point ≥ on both dimensions and > on at least one. The

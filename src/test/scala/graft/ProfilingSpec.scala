@@ -137,6 +137,40 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("erasure accounting closes: surviving + erased = total, per type") {
+    import graft.relational.RelationalQueries
+    import graft.sources.Tables
+    val out = RelationalQueries.erasure(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val totals = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == totals.keySet)
+    out.foreach { case (t, (surv, erased)) =>
+      assert(surv + erased == totals(t), s"$t: $surv + $erased != ${totals(t)}")
+    }
+    // and no erased user survives
+    val survUsers = Tables.events(spark, sf)
+      .filter(col("user_id") % 97 =!= 0).select("user_id")
+    assert(survUsers.filter(col("user_id") % 97 === 0).count() == 0)
+  }
+
+  test("mode per group is the true argmax of the value histogram") {
+    import graft.relational.RelationalQueries
+    import graft.sources.Tables
+    import graft.functions.GraftFunctions.cents
+    val modes = RelationalQueries.modePerGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hist = Tables.events(spark, sf)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy("event_type", "v").count().collect()
+      .groupBy(_.getString(0))
+    hist.foreach { case (t, rows) =>
+      val best = rows.map(r => (r.getLong(2), r.getLong(1)))
+        .maxBy { case (n, v) => (n, -v) }
+      assert(modes(t) == ((best._2, best._1)), s"$t: ${modes(t)} != $best")
+    }
+  }
+
   test("equi-depth histogram keeps tied values in one bucket") {
     import graft.relational.RelationalQueries
     // Direct-shape check on the real table: buckets are contiguous,
