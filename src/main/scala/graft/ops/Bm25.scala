@@ -99,7 +99,7 @@ object Bm25 {
     val qPost = qDocs.select(col("qrep")).distinct()
       .join(kept.select(col("doc_id").as("qrep"), col("tok")), Seq("qrep"))
     val scoredC = qPost.join(kept, Seq("tok"))
-      .join(dl, Seq("doc_id"))
+      .join(broadcast(dl), Seq("doc_id")) // content-count-sized
       .select(col("qrep"), col("doc_id").as("crep"),
         col("s").cast("double").as("sd"), col("tf").cast("double").as("tfd"),
         col("n").cast("double").as("nd"), col("df").cast("double").as("dfd"),

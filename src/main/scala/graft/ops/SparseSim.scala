@@ -88,7 +88,8 @@ object SparseSim {
     val qNorms = norms.select(col("doc_id").as("qrep"), col("norm2").as("qn2"))
     val contentCos = dots
       .join(broadcast(qNorms), Seq("qrep"))
-      .join(norms, Seq("doc_id"))
+      // norms is content-count-sized — broadcast, never shuffle `dots`
+      .join(broadcast(norms), Seq("doc_id"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("norm2").cast("double"))))
       .select(col("qrep"), col("doc_id").as("crep"), col("cos"))
