@@ -82,5 +82,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashL(children.head,
           children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sig_l"),
+      new ExpressionInfo(classOf[graft.functions.SrpSigL].getName, "srp_sig_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SrpSigL(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("z_value_l"),
+      new ExpressionInfo(classOf[graft.functions.ZValueL].getName, "z_value_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZValueL(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("lexicon_hits_l"),
+      new ExpressionInfo(classOf[graft.functions.LexiconHitsL].getName,
+        "lexicon_hits_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LexiconHitsL(children.head,
+          children(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString.split(",").toSeq)))
   }
 }

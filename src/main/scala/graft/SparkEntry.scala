@@ -1115,7 +1115,7 @@ object SparkEntry {
          |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH p AS (
-       |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 500000000 AS supp
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |e AS (SELECT cust AS src, supp AS dst FROM p
        |      UNION ALL SELECT supp AS src, cust AS dst FROM p),

@@ -86,14 +86,17 @@ object GraphStats {
   /** The customer↔supplier trade graph (who transacts with whom),
     * symmetrized so every node has out-edges: the reference's fraud
     * domain re-read as link analysis (rank accounts by counterparty
-    * authority). Suppliers are offset by 10^9 to share one id space.
-    * One join + distinct — edge-list-sized from there on. */
+    * authority). Suppliers are offset by 5·10^8 to share one id space
+    * — deliberately NOT a multiple of 10^9, so the offset stays
+    * collision-free under the replica generator's +r·10^9 key shifts
+    * (customer residues sit near 0 mod 10^9, supplier residues near
+    * 5·10^8). One join + distinct — edge-list-sized from there on. */
   def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
         Seq("o_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 1000000000L).as("supp"))
+        (col("l_suppkey") + 500000000L).as("supp"))
       .distinct()
     pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))

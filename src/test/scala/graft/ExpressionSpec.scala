@@ -214,4 +214,44 @@ class ExpressionSpec extends SparkSpec {
     val r = spark2.sql("SELECT md5_prefix32('abc') AS h").collect()
     assert(r.head.getLong(0) == 0x90015098L)
   }
+
+  test("every native function answers from pure SQL on the extended session") {
+    // The SparkSpec session is built withExtensions(GraftExtensions),
+    // so this is the REAL user-facing SQL surface — one smoke call per
+    // registered name (incl. the r4 additions srp_sig_l / z_value_l /
+    // lexicon_hits_l), each checked against a hand value or invariant.
+    val rows = spark.sql("""
+      SELECT
+        md5_prefix32('abc')                           AS a,
+        dot_l(array(1L, 2L), array(3L, 4L))           AS b,
+        norm2_l(array(3L, 4L))                        AS c,
+        token_stats_l('x y x').n                      AS d,
+        token_stats_l('x y x').d                      AS e,
+        size(bigrams_l('a b c'))                      AS f,
+        size(ngram_hashes_l('a b c d', 3))            AS g,
+        size(minhash_sig_l('a b c d e', 3, 4))        AS h,
+        simhash_l('a b c d', 16)                      AS i,
+        z_value_l(3L, 5L, 4)                          AS j,
+        srp_sig_l(array(1000000L, -1000000L), 8)      AS k,
+        lexicon_hits_l('spam and ham', 'spam,eggs')   AS l,
+        quant_stats_l(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))).mx AS m,
+        scaled_norm2_l(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))    AS n
+    """).collect().head
+    assert(rows.getLong(0) == 0x90015098L)            // md5 prefix of 'abc'
+    assert(rows.getLong(1) == 11L)                    // 1·3 + 2·4
+    assert(rows.getLong(2) == 25L)                    // 3² + 4²
+    assert(rows.getLong(3) == 3L && rows.getLong(4) == 2L)
+    assert(rows.getInt(5) == 2 && rows.getInt(6) == 2)
+    assert(rows.getInt(7) == 4)                       // k signature slots
+    assert(rows.getLong(9) == 39L)                    // interleave(11,101)=100111
+    assert(rows.getLong(10) >= 0L && rows.getLong(10) < 256L) // 8-bit bucket
+    assert(rows.getLong(11) == 1L)                    // one lexicon hit
+    assert(rows.getLong(12) == 64L)   // int8 max: round(1.0 · 127/2)
+    assert(rows.getLong(13) > 0L)
+    // the aggregate goes through GROUP BY, not a scalar projection
+    val tk = spark.sql(
+      "SELECT topk_min_l(v, 2) AS tk FROM VALUES (5L),(1L),(3L) AS t(v)")
+      .collect().head.getSeq[Long](0)
+    assert(tk == Seq(1L, 3L))
+  }
 }

@@ -65,7 +65,7 @@ class GraphStatsSpec extends SparkSpec {
     assert(total >= 150000L * n && total <= 1000000L * n)
     assert(pr.agg(min("rank_ppm")).as[Long].head() >= 150000L)
     // Suppliers (few, high in-degree) average above customers (many).
-    val bySide = pr.withColumn("supp", col("node") >= 1000000000L)
+    val bySide = pr.withColumn("supp", col("node") >= 500000000L)
       .groupBy("supp").agg(avg("rank_ppm").as("a"))
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(bySide(true) > bySide(false),
