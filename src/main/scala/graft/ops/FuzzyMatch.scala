@@ -65,10 +65,26 @@ object FuzzyMatch {
       .withColumn("lower", coalesce(sum(col("msz")).over(wD), lit(0L)))
       .filter(col("lower") < k + 1)
       .select(col("q_name"), col("dist"))
+    val candPairs = pairDist.join(cut, Seq("q_name", "dist"))
+    // Second exact contraction, WITHIN each surviving name: the final
+    // rank orders by (dist, rid) and dist is a name-pair function, so
+    // of a candidate name's records only the k+1 smallest rids can
+    // reach ANY query's top k (self-exclusion removes at most one).
+    // Without this, a heavily-duplicated name expands to its whole
+    // record group per query — |queries|·|group| is replication-
+    // QUADRATIC (measured: 127 s at the 100× replica, where every
+    // name holds ~31k records). The rn ≤ k+1 filter plans as
+    // WindowGroupLimit, so the per-name top cut runs map-side.
+    val wName = Window.partitionBy(col("name")).orderBy(col("rid"))
+    val candRecs = recs
+      .join(candPairs.select(col("name")).distinct(), Seq("name"), "left_semi")
+      .withColumn("nrn", row_number().over(wName))
+      .filter(col("nrn") <= k + 1)
+      .drop("nrn")
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("rid"))
     qIds
-      .join(pairDist.join(cut, Seq("q_name", "dist")), Seq("q_name"))
-      .join(recs, Seq("name"))
+      .join(candPairs, Seq("q_name"))
+      .join(candRecs, Seq("name"))
       .filter(col("q_id") =!= col("rid"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
