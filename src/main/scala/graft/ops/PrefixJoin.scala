@@ -77,10 +77,17 @@ object PrefixJoin {
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col("g"), col("doc_id"), col("sz"))
+    // Length filter (AllPairs): J ≥ t ⟹ |A∩B| ≤ min(sz) and
+    // |A∩B| ≥ t·max(sz), so tDen·min ≥ tNum·max — pairs outside the
+    // size band are pruned BEFORE the distinct and the Σ|A∩B|
+    // verification joins. Output-identical by the same pigeonhole that
+    // justifies the prefix itself.
     val cand = prefix.select(col("g"), col("doc_id").as("id1"), col("sz").as("sz1"))
       .join(prefix.select(col("g"), col("doc_id").as("id2"), col("sz").as("sz2")),
         Seq("g"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") < col("id2") &&
+        lit(tDen) * least(col("sz1"), col("sz2")) >=
+          lit(tNum) * greatest(col("sz1"), col("sz2")))
       .select(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .distinct()
     val inter = cand
