@@ -891,7 +891,24 @@ object SparkEntry {
     // independent engine bit-for-bit
     "q_pagerank" -> ((s, d) =>
       ops.GraphStats.pageRank(
-        ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d))))
+        ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // D50: k-hop BFS from seeded sources over the trade graph — delta
+    // iteration (frontier-only joins), oracle is a depth-bounded
+    // recursive CTE
+    "q_bfs" -> ((s, d) =>
+      ops.GraphStats.khopDistances(
+        ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // D51: count-min sketch heavy hitters — md5-derived hash rows, so
+    // the d×w counter array (and the overestimate semantics) replay
+    // bit-for-bit in the oracle
+    "q_cms_heavy" -> ((s, d) =>
+      ops.Sketches.countMinHeavyHitters(Tables.documents(s, d))),
+
+    // E46: hashed-feature linear scorer (fasttext-style serving path)
+    "q_hashed_score" -> ((s, d) =>
+      ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -1132,6 +1149,62 @@ object SparkEntry {
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> sqlPageRank,
+
+    "q_bfs" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 500000000 AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM p
+        |      UNION ALL SELECT supp AS src, cust AS dst FROM p),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach(node, d) AS (
+        |  SELECT node, 0 FROM n
+        |  WHERE node % 1000000000 < 500000000 AND node % 211 = 0
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.d < 4)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_cms_heavy" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+        |tb AS (
+        |  SELECT tok, j,
+        |    CAST(('0x'||substr(md5('cm'||CAST(j AS VARCHAR)||':'||tok),1,8))
+        |      AS BIGINT) % 512 AS b
+        |  FROM toks, range(0,3) r(j)),
+        |sk AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tb GROUP BY 1, 2),
+        |dt AS (SELECT DISTINCT tok FROM toks),
+        |db AS (
+        |  SELECT tok, j,
+        |    CAST(('0x'||substr(md5('cm'||CAST(j AS VARCHAR)||':'||tok),1,8))
+        |      AS BIGINT) % 512 AS b
+        |  FROM dt, range(0,3) r(j)),
+        |est AS (
+        |  SELECT d.tok, CAST(MIN(sk.cnt) AS BIGINT) AS est_count
+        |  FROM db d JOIN sk ON sk.j = d.j AND sk.b = d.b
+        |  GROUP BY d.tok)
+        |SELECT tok, est_count FROM est, tot
+        |WHERE est_count * 200 >= n_total
+        |ORDER BY tok""".stripMargin,
+
+    "q_hashed_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin,
+        |  CAST(CASE WHEN SUM((b * 2654435761) % 2001 - 1000) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

@@ -83,6 +83,50 @@ object GraphStats {
     rank.orderBy(col("node"))
   }
 
+  /** D50 — k-hop BFS distances from a seeded source set: the graph
+    * companion to D47's global authority — LOCAL reachability ("how far
+    * is this account from a known-fraud seed"), the classic
+    * guilt-by-association feature a fraud pipeline derives from the
+    * trade graph (and, in crawl curation, link-distance-from-seed-set
+    * quality tiers).
+    *
+    * Delta iteration, NOT full relaxation: each round joins only the
+    * FRONTIER (nodes first reached last round) against the edge list,
+    * so total join work is Σ frontier-adjacent edges ≤ k·|E|, and on
+    * small-diameter graphs rounds after the diameter are free (empty
+    * frontier short-circuits via the anti-join). Per round: one
+    * edge-keyed join + node-keyed min + anti-join vs settled — all
+    * graph-sized, eager localCheckpoint per the I10 lineage discipline.
+    * BFS min-dist needs no tie-breaking (unlike weighted SSSP) so the
+    * result is engine-deterministic by construction; the oracle is a
+    * depth-bounded recursive CTE with MIN(d) folded after the fixpoint.
+    *
+    * Sources: customer-side nodes (residue < 5·10^8 mod 10^9, the
+    * replica-safe id-space test) with node ≡ 0 (mod srcMod). */
+  def khopDistances(edges: DataFrame, srcMod: Long = 211, k: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    var settled = nodes
+      .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
+        col("node") % srcMod === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled
+    for (_ <- 1 to k) {
+      val cand = frontier
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      frontier = cand
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier).localCheckpoint(true)
+    }
+    settled.orderBy(col("node"))
+  }
+
   /** The customer↔supplier trade graph (who transacts with whom),
     * symmetrized so every node has out-edges: the reference's fraud
     * domain re-read as link analysis (rank accounts by counterparty

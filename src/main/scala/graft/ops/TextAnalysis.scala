@@ -220,6 +220,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** E46 — hashed-feature linear scoring (the fasttext-style quality
+    * classifier's SERVING path): each token is feature-hashed into one
+    * of `buckets` slots (Weinberger et al. '09 — the vocabulary never
+    * needs to exist as a table) and the document's margin is the sum of
+    * the slot weights. Weights here are a deterministic surrogate
+    * (Knuth-multiplier permutation of the slot id into [-1000, 1000])
+    * standing in for a trained model's coefficient vector: what the
+    * operator demonstrates — and what the oracle verifies bit-for-bit —
+    * is the SCORING plan: map-side feature hash + one doc-keyed
+    * aggregation, no weight table to join (the weight is a pure
+    * function of the slot), no shuffle wider than (doc, margin). With a
+    * real model the only change is `w(b)` becoming
+    * `element_at(broadcast_weights, b)`.
+    *
+    * Everything is exact integer arithmetic (§5): margin in weight
+    * units, label = sign(margin). */
+  def hashedLinearScore(docs: DataFrame, buckets: Long = 1024L): DataFrame = {
+    val w = (col("b") * 2654435761L) % 2001L - 1000L
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(h32(concat(lit("qw:"), col("tok"))), lit(buckets)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(w).as("margin"))
+      .withColumn("label",
+        when(col("margin") > 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** E10 — document fingerprint: left fold of a polynomial rolling hash
     * over per-token 32-bit hashes, mod a Mersenne prime. Order-sensitive
     * (same bag, different order → different fingerprint), unlike a

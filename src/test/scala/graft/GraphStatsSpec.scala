@@ -55,6 +55,33 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  private def dists(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    GraphStats.khopDistances(edges.toDF("src", "dst"), srcMod = 211, k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("BFS: path graph — distances count hops, nodes past k absent") {
+    // Only node 0 satisfies the source predicate (< 5·10^8, ≡0 mod 211).
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(dists(path, k = 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("BFS: multi-source takes the min distance; unreachable absent") {
+    // Sources 0 and 211; node 10 is adjacent to both (dist 1), node 20
+    // only reachable from 211 via 10? no — keep 20 isolated-from-sources.
+    val es = Seq((0L, 10L), (211L, 10L), (10L, 11L), (20L, 21L))
+    val d = dists(es, k = 4)
+    assert(d(10L) == 1L && d(11L) == 2L)
+    assert(!d.contains(20L) && !d.contains(21L))
+    assert(d(0L) == 0L && d(211L) == 0L)
+  }
+
+  test("BFS: shortcut edge wins over the long way round") {
+    // 0→1→2→3 and 0→3 directly: dist(3) must be 1, not 3.
+    val d = dists(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)), k = 4)
+    assert(d(3L) == 1L && d(2L) == 2L)
+  }
+
   test("trade-graph ranks: mass conserved within damping bounds, suppliers outrank") {
     val pr = GraphStats.pageRank(
       GraphStats.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf)))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, TextAnalysis}
+import graft.sources.Tables
+
+/** D51 count-min semantics and E46 hashed-scoring algebra, pinned
+  * against exact recomputation (the oracle twins prove cross-engine
+  * agreement; these pin the SKETCH GUARANTEES). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CMS: estimates never undercount, and no true heavy hitter is missed") {
+    val docs = Tables.documents(spark, sf)
+    val est = Sketches.countMinHeavyHitters(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = truth.values.sum
+    // One-sided error: est ≥ true for every reported hitter.
+    est.foreach { case (tok, e) =>
+      assert(e >= truth(tok), s"CMS undercounted $tok: $e < ${truth(tok)}")
+    }
+    // Overestimation can only ADD hitters, never drop one → zero false
+    // negatives by construction.
+    val trueHitters = truth.filter { case (_, c) => c * 200 >= total }.keySet
+    assert(trueHitters.subsetOf(est.keySet),
+      s"missed true heavy hitters: ${trueHitters -- est.keySet}")
+  }
+
+  test("CMS: width large enough to kill collisions makes estimates exact") {
+    val docs = Seq("a a a b", "b c").toDF("text").withColumn("doc_id", lit(1L))
+    val r = Sketches.countMinHeavyHitters(docs, width = 1 << 20, phiDen = 100)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("hashed score: bag semantics — token order never changes the margin") {
+    val docs = Seq((1L, "alpha beta gamma beta"), (2L, "beta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.hashedLinearScore(docs)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r.size == 1, s"permuted bags scored differently: $r")
+  }
+
+  test("hashed score: margin is linear in token multiplicity") {
+    val docs = Seq((1L, "tok"), (2L, "tok tok tok")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedLinearScore(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 3L)
+    assert(rows(2L)._2 == 3L * rows(1L)._2)
+  }
+}
