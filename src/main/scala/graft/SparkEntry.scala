@@ -908,7 +908,31 @@ object SparkEntry {
 
     // E46: hashed-feature linear scorer (fasttext-style serving path)
     "q_hashed_score" -> ((s, d) =>
-      ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d)))
+      ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))),
+
+    // D52: KMV distinct-count estimate of parts ordered per customer
+    // nation — the estimate ITSELF is integer-exact cross-engine
+    "q_kmv_distinct" -> ((s, d) =>
+      ops.Sketches.kmvDistinct(
+        Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+          .join(Tables.lineitem(s, d).select(
+            col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+            Seq("o_orderkey")),
+        grp = "c_nationkey", v = "l_partkey")),
+
+    // D53: hop-limited weighted SSSP over trade-strength costs
+    "q_sssp" -> ((s, d) =>
+      ops.GraphStats.ssspCosts(
+        ops.GraphStats.weightedTradeEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // E47: inverted index — stats for every term, postings only under
+    // the df cap (the posting-skew guard)
+    "q_inverted" -> ((s, d) =>
+      ops.TextAnalysis.invertedIndex(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -1205,6 +1229,75 @@ object SparkEntry {
         |  CAST(CASE WHEN SUM((b * 2654435761) % 2001 - 1000) > 0
         |       THEN 1 ELSE 0 END AS BIGINT) AS label
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH pairs AS (
+        |  SELECT c_nationkey AS nat, l_partkey AS pk
+        |  FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey),
+        |h AS (
+        |  SELECT DISTINCT nat,
+        |    CAST(('0x'||substr(md5('kmv:'||CAST(pk AS VARCHAR)),1,8))
+        |      AS BIGINT) AS h
+        |  FROM pairs),
+        |r AS (SELECT nat, h,
+        |        row_number() OVER (PARTITION BY nat ORDER BY h) AS rn
+        |      FROM h),
+        |t AS (SELECT nat, CAST(max(h) AS BIGINT) AS kth,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM r WHERE rn <= 64 GROUP BY nat)
+        |SELECT CAST(nat AS BIGINT) AS c_nationkey,
+        |  CAST(CASE WHEN c < 64 THEN c
+        |       ELSE (63 * 4294967296) // greatest(kth, 1) END AS BIGINT)
+        |    AS est_distinct
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q_sssp" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS cust, l_suppkey + 500000000 AS supp,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT cust AS src, supp AS dst, 1000000 // cnt AS w FROM p
+        |      UNION ALL SELECT supp, cust, 1000000 // cnt FROM p),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM n
+        |       WHERE node % 1000000000 < 500000000 AND node % 211 = 0),
+        |r1 AS (SELECT e.dst AS node, MIN(d0.cost + e.w) AS cost
+        |       FROM d0 JOIN e ON e.src = d0.node GROUP BY 1),
+        |d1 AS (SELECT node, MIN(cost) AS cost FROM
+        |       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node, MIN(d1.cost + e.w) AS cost
+        |       FROM d1 JOIN e ON e.src = d1.node GROUP BY 1),
+        |d2 AS (SELECT node, MIN(cost) AS cost FROM
+        |       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node, MIN(d2.cost + e.w) AS cost
+        |       FROM d2 JOIN e ON e.src = d2.node GROUP BY 1),
+        |d3 AS (SELECT node, MIN(cost) AS cost FROM
+        |       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(cost AS BIGINT) AS cost
+        |FROM d3 ORDER BY node""".stripMargin,
+
+    "q_inverted" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM occ GROUP BY term),
+        |post AS (
+        |  SELECT term, list(doc_id ORDER BY doc_id) AS postings
+        |  FROM (SELECT DISTINCT term, doc_id FROM occ)
+        |  WHERE term IN (SELECT term FROM stats, nd
+        |                 WHERE df * 1000000 <= 780000 * n_docs)
+        |  GROUP BY term)
+        |SELECT s.term, s.df, s.cf,
+        |  COALESCE(p.postings, CAST([] AS BIGINT[])) AS postings
+        |FROM stats s LEFT JOIN post p USING (term)
+        |ORDER BY s.term""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

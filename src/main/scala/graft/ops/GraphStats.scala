@@ -146,6 +146,71 @@ object GraphStats {
       .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
+  /** D53 weighted edges: the trade graph with an integer tie-strength
+    * cost per edge — cost = 10^6 div (joint lineitem count), so heavily
+    * trading counterparties are "close" and one-off ones "far". Same
+    * replica-safe 5·10^8 supplier offset as [[tradeEdges]]; one join +
+    * one pair-keyed count, edge-list-sized from there on. */
+  def weightedTradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 500000000L).as("supp"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("cust"), col("supp"), expr("1000000L div cnt").as("w"))
+    pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst"),
+        col("w")))
+  }
+
+  /** D53 — hop-limited weighted SSSP (Bellman-Ford over ≤ k edges),
+    * the weighted sibling of D50's BFS: min total cost from the seed
+    * set, where cheap edges are strong trade ties — "how strongly
+    * connected is this account to a known-fraud seed", the weighted
+    * guilt-by-association feature.
+    *
+    * DELTA relaxation: each round relaxes only edges out of nodes whose
+    * best-known cost IMPROVED last round. Exactness of the hop-limited
+    * semantic is inductive: if a node's best ≤(i-1)-edge cost was found
+    * at round j < i-1, its out-edges were already relaxed with that
+    * cost at round j+1, so frontier-only relaxation reaches the same
+    * d_i as full relaxation — while per-round join work shrinks to the
+    * improving set (empty frontier → rounds are free). Min over integer
+    * path sums → engine-deterministic, no tie-break needed. Per round:
+    * one edge join + node-keyed min + one cost-compare join, all
+    * graph-sized, eager lineage cuts (I10). Oracle = the k rounds of
+    * FULL relaxation unrolled as chained CTEs (same d_k by the
+    * induction; standard SQL recursion cannot carry a min fixpoint). */
+  def ssspCosts(edges: DataFrame, srcMod: Long = 211, k: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    var dist = nodes
+      .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
+        col("node") % srcMod === 0)
+      .withColumn("cost", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to k) {
+      val cand = frontier
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("c"))
+        .groupBy(col("node")).agg(min(col("c")).as("c"))
+      val improved = cand
+        .join(dist, Seq("node"), "left")
+        .filter(col("cost").isNull || col("c") < col("cost"))
+        .select(col("node"), col("c").as("cost"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** The exact-content duplicate graph with TWO synthetic replicas per
     * seeded doc (so every seeded content forms a 3-clique): clique
     * edges within each md5 content group, stored low-to-high. The

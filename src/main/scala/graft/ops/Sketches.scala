@@ -29,6 +29,35 @@ import graft.functions.GraftFunctions.h32
   * vacuous. */
 object Sketches {
 
+  /** D52 — KMV (k-minimum-values) distinct-count estimator (Bar-Yossef
+    * et al. '02): hash the values, keep the k SMALLEST distinct hashes
+    * per group, estimate |distinct| = (k-1)·2^32 div h_(k) — if the k-th
+    * smallest hash sits at fraction f of the hash space, about k/f
+    * distinct values exist. Pure integer arithmetic end to end, so the
+    * estimate (not just the rows) is hash-verified cross-engine.
+    *
+    * The k-smallest multiset is exactly what the I20 TopKMinL aggregate
+    * maintains: a k-element heap per group, map-side partials, O(groups
+    * ·k) on the exchange — the sketch build never sorts or widens
+    * beyond the (group, hash) distinct. Below k distinct values the
+    * heap IS the value set and the estimate is exact by definition.
+    * Set semantics via distinct on (group, hash) — hash collisions
+    * merge identically in both engines. */
+  def kmvDistinct(pairs: DataFrame, grp: String, v: String,
+                  k: Int = 64): DataFrame = {
+    val est = s"(${(k - 1).toLong * 4294967296L}L) div greatest(element_at(mins, -1), 1L)"
+    pairs
+      .select(col(grp),
+        h32(concat(lit("kmv:"), col(v).cast("string"))).as("h"))
+      .distinct()
+      .groupBy(col(grp))
+      .agg(graft.functions.TopKMinL(col("h"), k).as("mins"))
+      .select(col(grp),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(expr(est)).as("est_distinct"))
+      .orderBy(col(grp))
+  }
+
   def countMinHeavyHitters(docs: DataFrame, depth: Int = 3, width: Int = 512,
                            phiDen: Long = 200): DataFrame = {
     val toks = docs

@@ -248,6 +248,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** E47 — inverted index build (term → sorted posting list + df/cf):
+    * the retrieval-side artifact a corpus pipeline materializes for
+    * BM25/contamination lookups. Posting arrays are the one place a
+    * per-term collect is legitimate — BUT stopword-grade terms would
+    * collect corpus-sized lists (the classic posting-skew hotspot), so
+    * the cap is structural: df is computed FIRST on the term-sized
+    * stats frame, and only terms under `maxDfPpm` (a fraction of the
+    * corpus, scale-portable) ever reach the collect — over-cap terms
+    * keep their stats and an empty list (real engines treat them as
+    * stop-postings too; a full-web index would delta-encode shards
+    * instead). Flow: one occurrence aggregation for (cf, df), one
+    * distinct + term-sized broadcast semi-join, one bounded collect. */
+  def invertedIndex(docs: DataFrame, maxDfPpm: Long = 780000L): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = occ.groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    val keep = stats.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n_docs"))
+      .select(col("term"))
+    val postings = occ.select(col("term"), col("doc_id")).distinct()
+      .join(broadcast(keep), Seq("term"))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"), col("cf"),
+        coalesce(col("postings"), array().cast("array<bigint>")).as("postings"))
+      .orderBy(col("term"))
+  }
+
   /** E10 — document fingerprint: left fold of a polynomial rolling hash
     * over per-token 32-bit hashes, mod a Mersenne prime. Order-sensitive
     * (same bag, different order → different fingerprint), unlike a

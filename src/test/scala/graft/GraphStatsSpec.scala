@@ -82,6 +82,32 @@ class GraphStatsSpec extends SparkSpec {
     assert(d(3L) == 1L && d(2L) == 2L)
   }
 
+  private def costs(edges: Seq[(Long, Long, Long)], k: Int): Map[Long, Long] =
+    GraphStats.ssspCosts(edges.toDF("src", "dst", "w"), srcMod = 211, k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("SSSP: cheap two-hop path beats the expensive direct edge") {
+    val c = costs(Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L)), k = 3)
+    assert(c == Map(0L -> 0L, 1L -> 10L, 2L -> 20L))
+  }
+
+  test("SSSP: hop limit k bounds the admissible paths") {
+    // chain 0 →10→ a →10→ b →10→ c →10→ d plus direct 0→d at 1000:
+    // with k=3 node d is only reachable via the direct edge.
+    val ch = Seq((0L, 1L, 10L), (1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L),
+      (0L, 4L, 1000L))
+    assert(costs(ch, k = 3)(4L) == 1000L)
+    assert(costs(ch, k = 4)(4L) == 40L)
+  }
+
+  test("SSSP: later round may improve an already-settled node") {
+    // d1(2) via direct edge = 100, but the 2-hop path costs 20: the
+    // delta frontier must re-relax node 2's entry at round 2.
+    val c = costs(Seq((0L, 2L, 100L), (0L, 1L, 10L), (1L, 2L, 10L),
+      (2L, 3L, 5L)), k = 3)
+    assert(c(2L) == 20L && c(3L) == 25L)
+  }
+
   test("trade-graph ranks: mass conserved within damping bounds, suppliers outrank") {
     val pr = GraphStats.pageRank(
       GraphStats.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf)))

@@ -45,6 +45,51 @@ class SketchesSpec extends SparkSpec {
     assert(r.size == 1, s"permuted bags scored differently: $r")
   }
 
+  test("KMV: below k distinct values the estimate is exact") {
+    val pairs = (1L to 10L).map(i => ("g", i)).toDF("grp", "v")
+    val r = Sketches.kmvDistinct(pairs, "grp", "v", k = 64).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 10L)
+  }
+
+  test("KMV: k=64 estimate lands within 2x of the true distinct count") {
+    val pairs = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+      .join(Tables.lineitem(spark, sf).select(
+        col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+    val est = Sketches.kmvDistinct(pairs, "c_nationkey", "l_partkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val exact = pairs.groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (g, d) =>
+      assert(est(g) * 2 >= d && est(g) <= d * 2,
+        s"nation $g: est ${est(g)} vs exact $d out of 2x band")
+    }
+  }
+
+  test("inverted index: capped postings are the sorted doc set; over-cap keep stats only") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.ops.TextAnalysis.invertedIndex(docs).collect()
+    val nDocs = docs.count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, cf) = (r.getLong(1), r.getLong(2))
+      val post = r.getSeq[Long](3)
+      assert(cf >= df && df >= 1)
+      if (df * 1000000L <= 780000L * nDocs) {
+        assert(post.length == df, s"term ${r.getString(0)}: |postings| != df")
+        assert(post == post.sorted && post.distinct == post)
+      } else assert(post.isEmpty, s"over-cap term ${r.getString(0)} collected")
+    }
+    // the generator's rare term gets a posting list; common terms don't
+    assert(rows.exists(_.getSeq[Long](3).nonEmpty))
+    assert(rows.exists(_.getSeq[Long](3).isEmpty))
+  }
+
   test("hashed score: margin is linear in token multiplicity") {
     val docs = Seq((1L, "tok"), (2L, "tok tok tok")).toDF("doc_id", "text")
     val rows = TextAnalysis.hashedLinearScore(docs)
