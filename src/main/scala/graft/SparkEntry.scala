@@ -932,7 +932,16 @@ object SparkEntry {
     // E47: inverted index — stats for every term, postings only under
     // the df cap (the posting-skew guard)
     "q_inverted" -> ((s, d) =>
-      ops.TextAnalysis.invertedIndex(Tables.documents(s, d)))
+      ops.TextAnalysis.invertedIndex(Tables.documents(s, d))),
+
+    // D54: KMV sketch set algebra — catalog drift between 1995 and
+    // 2001 part sets, estimated without materializing either set
+    "q_kmv_setops" -> ((s, d) =>
+      ops.Sketches.kmvSetOps(
+        Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")).isin(1995, 2001))
+          .select(when(year(col("l_shipdate")) === 1995, 0L).otherwise(1L)
+            .as("side"), col("l_partkey").as("v"))))
   )
 
   // ---------------------------------------------------------------------
@@ -1298,6 +1307,55 @@ object SparkEntry {
         |  COALESCE(p.postings, CAST([] AS BIGINT[])) AS postings
         |FROM stats s LEFT JOIN post p USING (term)
         |ORDER BY s.term""".stripMargin,
+
+    "q_kmv_setops" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN year(l_shipdate) = 1995 THEN 0 ELSE 1 END AS side,
+        |    l_partkey AS pk
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 2001)),
+        |h AS (
+        |  SELECT DISTINCT side,
+        |    CAST(('0x'||substr(md5('kmv:'||CAST(pk AS VARCHAR)),1,8))
+        |      AS BIGINT) AS h
+        |  FROM t),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |       FROM h WHERE side = 0),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |       FROM h WHERE side = 1),
+        |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |       FROM (SELECT DISTINCT h FROM h)),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(max(h) AS BIGINT) AS kth FROM ra WHERE rn <= 64),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(max(h) AS BIGINT) AS kth FROM rb WHERE rn <= 64),
+        |su AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(max(h) AS BIGINT) AS kth FROM ru WHERE rn <= 64),
+        |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho
+        |        FROM (SELECT h FROM ru WHERE rn <= 64) u
+        |        JOIN (SELECT h FROM ra WHERE rn <= 64) a USING (h)
+        |        JOIN (SELECT h FROM rb WHERE rn <= 64) b USING (h)),
+        |es AS (
+        |  SELECT
+        |    CAST(CASE WHEN sa.cnt < 64 THEN sa.cnt
+        |         ELSE (63 * 4294967296) // greatest(sa.kth, 1) END AS BIGINT)
+        |      AS est_a,
+        |    CAST(CASE WHEN sb.cnt < 64 THEN sb.cnt
+        |         ELSE (63 * 4294967296) // greatest(sb.kth, 1) END AS BIGINT)
+        |      AS est_b,
+        |    CAST(CASE WHEN su.cnt < 64 THEN su.cnt
+        |         ELSE (63 * 4294967296) // greatest(su.kth, 1) END AS BIGINT)
+        |      AS est_union,
+        |    su.cnt AS u_cnt, rho.rho
+        |  FROM sa, sb, su, rho),
+        |f AS (
+        |  SELECT est_a, est_b, est_union,
+        |    CAST(CASE WHEN u_cnt < 64 THEN rho
+        |         ELSE (rho * est_union) // 64 END AS BIGINT) AS est_inter,
+        |    est_union AS eu FROM es)
+        |SELECT est_a, est_b, est_union, est_inter,
+        |  CAST((est_inter * 1000000) // greatest(eu, 1) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM f""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

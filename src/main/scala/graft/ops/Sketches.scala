@@ -58,23 +58,76 @@ object Sketches {
       .orderBy(col(grp))
   }
 
-  def countMinHeavyHitters(docs: DataFrame, depth: Int = 3, width: Int = 512,
-                           phiDen: Long = 200): DataFrame = {
-    val toks = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    // (j, bucket) per occurrence: j is baked into the hashed string so
-    // the d rows use independent hash functions
-    def bucketed(df: DataFrame): DataFrame = df.select(
+  /** D54 — KMV sketch SET ALGEBRA (the theta-sketch capability, Apache
+    * DataSketches' headline use): distinct-count estimates for two
+    * sets, their union, their intersection, and a Jaccard estimate —
+    * WITHOUT ever materializing either set. Union sketch = k smallest
+    * of the combined distinct hashes (exactly mergeable — this is why
+    * KMV distributes); intersection via the ρ rule: of the union
+    * sketch's k entries, the fraction present in BOTH side sketches
+    * estimates |A∩B| / |A∪B|, so est_inter = ρ·est_union div k. When
+    * the union sketch holds fewer than k hashes it IS the full hash
+    * set and ρ is the exact intersection size. All sketch frames are
+    * ≤ k rows — the only corpus-sized work is one (side, hash)
+    * distinct; everything downstream is sketch-sized joins. Pure
+    * integer arithmetic → the estimates hash-verify cross-engine. */
+  def kmvSetOps(tagged: DataFrame, k: Int = 64): DataFrame = {
+    val kl = k.toLong
+    val est = expr(s"CASE WHEN cnt < $kl THEN cnt ELSE " +
+      s"(${(k - 1).toLong * 4294967296L}L div greatest(kth, 1L)) END")
+    val h = tagged
+      .select(col("side"),
+        h32(concat(lit("kmv:"), col("v").cast("string"))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // shared by side + union sketches: one scan
+    def sketch(df: DataFrame): DataFrame =
+      df.agg(graft.functions.TopKMinL(col("h"), k).as("mins"))
+        .select(col("mins"), size(col("mins")).cast("long").as("cnt"),
+          element_at(col("mins"), -1).as("kth"))
+    val a = sketch(h.filter(col("side") === 0L))
+    val b = sketch(h.filter(col("side") === 1L))
+    val u = sketch(h.select(col("h")).distinct())
+    val rho = u.select(explode(col("mins")).as("h"))
+      .join(a.select(explode(col("mins")).as("h")), Seq("h"))
+      .join(b.select(explode(col("mins")).as("h")), Seq("h"))
+      .agg(count(lit(1)).as("rho"))
+    a.select(est.as("est_a"))
+      .crossJoin(b.select(est.as("est_b")))
+      .crossJoin(u.select(est.as("est_union"), col("cnt").as("u_cnt")))
+      .crossJoin(rho)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        when(col("u_cnt") < kl, col("rho"))
+          .otherwise(expr(s"(rho * est_union) div $kl")).as("est_inter"))
+      .withColumn("jaccard_ppm",
+        expr("(est_inter * 1000000) div greatest(est_union, 1)"))
+  }
+
+  /** (j, bucket) per occurrence of column `tok`: j is baked into the
+    * hashed string so the d rows use independent hash functions. */
+  def cmsBucketed(df: DataFrame, depth: Int = 3, width: Int = 512): DataFrame =
+    df.select(
       col("tok"),
       explode(array((0 until depth).map(j =>
         struct(lit(j.toLong).as("j"),
           pmod(h32(concat(lit(s"cm$j:"), col("tok"))), lit(width.toLong))
             .as("b"))): _*)).as("jb"))
       .select(col("tok"), col("jb.j").as("j"), col("jb.b").as("b"))
-    val sketch = bucketed(toks)
+
+  /** The d×w counter table — ONE map-side-combinable aggregation, and
+    * (run on a stream in complete mode) the F15 incrementally-maintained
+    * state: counts are mergeable, so micro-batch folding lands on the
+    * same counters as a batch build over the union of the batches. */
+  def cmsCounters(toks: DataFrame, depth: Int = 3, width: Int = 512): DataFrame =
+    cmsBucketed(toks, depth, width)
       .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
-    val est = bucketed(toks.distinct())
+
+  def countMinHeavyHitters(docs: DataFrame, depth: Int = 3, width: Int = 512,
+                           phiDen: Long = 200): DataFrame = {
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val sketch = cmsCounters(toks, depth, width)
+    val est = cmsBucketed(toks.distinct(), depth, width)
       .join(broadcast(sketch), Seq("j", "b"))
       .groupBy(col("tok")).agg(min(col("cnt")).as("est_count"))
     est.crossJoin(broadcast(total))

@@ -268,6 +268,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(value)).as("sum_cents"),
         min(col(value)).as("min_cents"), max(col(value)).as("max_cents"))
 
+  /** F15 — streaming count-min sketch maintenance (D51's engine run
+    * continuously): the d×w counter table as an unwindowed grouped
+    * aggregation in complete mode. Counter state is bounded at d·w rows
+    * REGARDLESS of stream length — the sketch property — and counts
+    * merge associatively, so micro-batch folding provably lands on the
+    * same counters as one batch build over the union of the batches
+    * (ParitySpec). This is the approx layer a stream serves when the
+    * exact token groupBy would hold unbounded keys in state. */
+  def cmsMaintenanceStream(toks: DataFrame, depth: Int = 3,
+                           width: Int = 512): DataFrame =
+    graft.ops.Sketches.cmsCounters(toks, depth, width)
+
   /** F14 — streaming bounded top-k-smallest per group through the I20
     * custom TypedImperativeAggregate (D42's engine). Streaming
     * aggregation state IS the aggregate's buffer: each micro-batch

@@ -406,6 +406,31 @@ class ParitySpec extends SparkSpec {
     assert(streamed == expected, s"streamed=$streamed expected=$expected")
   }
 
+  test("F15 streaming count-min maintenance equals the batch sketch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingOps.cmsMaintenanceStream(in.toDS().toDF("tok"))
+      .writeStream.format("memory").queryName("cmsstream")
+      .outputMode("complete").start()
+    // real corpus tokens split across three micro-batches, plus a
+    // batch-2-only token: the counter merge must fold all of them
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .as[String].collect().toSeq
+    val (b1, rest) = toks.splitAt(toks.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2 :+ "only-in-batch-two": _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cmsstream")
+    val batch = graft.ops.Sketches.cmsCounters(
+      (toks :+ "only-in-batch-two").toDF("tok"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // state is bounded by the sketch dimensions, not the stream
+    assert(streamed.count() <= 3L * 512L)
+  }
+
   test("F12 streaming SCD2 maintenance equals the batch merge chain") {
     import graft.etl.{Scd2, Scd2Snapshots}
     import graft.streaming.StreamingIngest

@@ -71,6 +71,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV set algebra: identical sides give inter == union, jaccard 1.0") {
+    val vals = (1L to 40L).flatMap(i => Seq((0L, i), (1L, i)))
+      .toDF("side", "v")
+    val r = Sketches.kmvSetOps(vals, k = 64).collect().head
+    // below k everything is exact: 40 distinct per side and in union
+    assert(r.getLong(0) == 40L && r.getLong(1) == 40L)
+    assert(r.getLong(2) == 40L && r.getLong(3) == 40L)
+    assert(r.getLong(4) == 1000000L)
+  }
+
+  test("KMV set algebra: disjoint sides give inter 0, union = |A|+|B|") {
+    val vals = ((1L to 20L).map((0L, _)) ++ (101L to 130L).map((1L, _)))
+      .toDF("side", "v")
+    val r = Sketches.kmvSetOps(vals, k = 64).collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 30L)
+    assert(r.getLong(2) == 50L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+  }
+
+  test("KMV set algebra: real two-year part sets land within 2x of truth") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")).isin(1995, 2001))
+      .select(when(year(col("l_shipdate")) === 1995, 0L).otherwise(1L)
+        .as("side"), col("l_partkey").as("v"))
+    val r = Sketches.kmvSetOps(li).collect().head
+    val sets = li.collect().map(x => x.getLong(0) -> x.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (ta, tb) = (sets(0L), sets(1L))
+    def within2x(est: Long, t: Long) = est * 2 >= t && est <= t * 2
+    assert(within2x(r.getLong(0), ta.size.toLong))
+    assert(within2x(r.getLong(1), tb.size.toLong))
+    assert(within2x(r.getLong(2), (ta ++ tb).size.toLong))
+    assert(within2x(r.getLong(3), (ta & tb).size.toLong))
+  }
+
   test("inverted index: capped postings are the sorted doc set; over-cap keep stats only") {
     val docs = Tables.documents(spark, sf)
     val rows = graft.ops.TextAnalysis.invertedIndex(docs).collect()
