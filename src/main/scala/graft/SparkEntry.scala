@@ -941,7 +941,28 @@ object SparkEntry {
         Tables.lineitem(s, d)
           .filter(year(col("l_shipdate")).isin(1995, 2001))
           .select(when(year(col("l_shipdate")) === 1995, 0L).otherwise(1L)
-            .as("side"), col("l_partkey").as("v"))))
+            .as("side"), col("l_partkey").as("v")))),
+
+    // H4: exact rank-sum AUC of the E46 scorer's margin predicting
+    // English — ties by average rank, doubled into integer space
+    "q_auc" -> ((s, d) =>
+      ml.Evaluation.aucExact(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
+    // H5: calibration curve of the same scorer, fixed-width margin bins
+    "q_calibration" -> ((s, d) =>
+      ml.Evaluation.calibration(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en"))
   )
 
   // ---------------------------------------------------------------------
@@ -1307,6 +1328,61 @@ object SparkEntry {
         |  COALESCE(p.postings, CAST([] AS BIGINT[])) AS postings
         |FROM stats s LEFT JOIN post p USING (term)
         |ORDER BY s.term""".stripMargin,
+
+    "q_auc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(SUM(lab) AS BIGINT) AS np
+        |        FROM sc GROUP BY s),
+        |rk AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |       FROM bys),
+        |ag AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |         CAST(SUM(n - np) AS BIGINT) AS n_neg,
+        |         CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS sum_r2
+        |       FROM rk)
+        |SELECT n_pos, n_neg,
+        |  CAST((sum_r2 - n_pos * (n_pos + 1)) * 500000
+        |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM ag""".stripMargin,
+
+    "q_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id))
+        |SELECT
+        |  CAST(((margin + 1000000000) // 500) * 500 - 1000000000 AS BIGINT)
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(lab) AS BIGINT) AS n_pos,
+        |  CAST(SUM(margin) AS BIGINT) AS sum_score,
+        |  CAST((SUM(lab) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kmv_setops" ->
       """WITH t AS (

@@ -33,4 +33,45 @@ class MlSpec extends SparkSpec {
     assert(auc >= 0.5 && auc <= 1.0)
     assert(scored.select("prediction").distinct().count() >= 1)
   }
+
+  private def auc(rows: Seq[(Long, Long)]): Long = {
+    import spark.implicits._
+    graft.ml.Evaluation.aucExact(rows.toDF("score", "label"))
+      .collect().head.getLong(2)
+  }
+
+  test("H4: AUC is 1.0 for perfect separation, 0 for inverted, 0.5 for constant") {
+    assert(auc(Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))) == 1000000L)
+    assert(auc(Seq((10L, 0L), (9L, 0L), (2L, 1L), (1L, 1L))) == 0L)
+    assert(auc(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L))) == 500000L)
+  }
+
+  test("H4: rank-sum AUC equals the naive pairwise count with ties") {
+    val rows = Seq((3L, 1L), (3L, 0L), (7L, 1L), (1L, 0L), (7L, 0L),
+      (2L, 1L), (9L, 0L), (3L, 1L), (2L, 0L), (8L, 1L))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    // pairwise: win = 2, tie = 1, in half-units
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = u2 * 500000L / (pos.size.toLong * neg.size)
+    assert(auc(rows) == expected)
+  }
+
+  test("H5: calibration bins close the accounting and bound the rate") {
+    import spark.implicits._
+    val rows = Seq((-700L, 0L), (-700L, 1L), (-200L, 0L), (0L, 1L),
+      (499L, 1L), (500L, 0L), (1200L, 1L))
+    val out = graft.ml.Evaluation.calibration(rows.toDF("score", "label"))
+      .collect()
+    assert(out.map(_.getLong(1)).sum == rows.size.toLong)
+    assert(out.map(_.getLong(2)).sum == rows.map(_._2).sum)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      // bin edges: [bin, bin+500) — the -700s land together in [-1000,-500)
+    }
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(-1000L) == 2L && m(-500L) == 1L && m(0L) == 2L && m(500L) == 1L
+      && m(1000L) == 1L)
+  }
 }
