@@ -962,7 +962,12 @@ object SparkEntry {
           .join(Tables.documents(s, d).select(col("doc_id"),
             when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
             Seq("doc_id")),
-        score = "margin", label = "is_en"))
+        score = "margin", label = "is_en")),
+
+    // E48: containment verify on the LSH candidates — the asymmetric
+    // measure that catches quote-inclusion dups Jaccard misses
+    "q_containment" -> ((s, d) =>
+      ops.Dedup.lshContainment(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -2049,6 +2054,20 @@ object SparkEntry {
          |SELECT id1, id2, n_shared_bands, n_inter,
          |  n_sum - n_inter AS n_union,
          |  n_inter / (n_sum - n_inter) AS jaccard
+         |FROM j ORDER BY id1, id2""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_inter,
+         |    CAST(least(len(a.shd), len(b.shd)) AS BIGINT) AS n_min
+         |  FROM cand c
+         |  JOIN sd a ON c.id1 = a.doc_id
+         |  JOIN sd b ON c.id2 = b.doc_id)
+         |SELECT id1, id2, n_inter, n_min,
+         |  (n_inter * 1000000) // greatest(n_min, 1) AS containment_ppm
          |FROM j ORDER BY id1, id2""".stripMargin,
 
     "q_minhash_calib" -> {

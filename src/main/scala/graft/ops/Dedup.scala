@@ -211,7 +211,36 @@ object Dedup {
     * Jaccard itself is one IEEE division of exact intersection/union
     * counts (deterministic cross-engine). */
   def lshVerify(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                dupMod: Long = 250): DataFrame = {
+                dupMod: Long = 250): DataFrame =
+    verifyCore(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"), col("n_shared_bands"), col("n_inter"),
+        (col("n1") + col("n2") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** E48 — CONTAINMENT verify on the same LSH candidates (Broder '97's
+    * second resemblance measure): n_inter / min(|A|, |B|). Jaccard
+    * punishes length asymmetry — a short doc fully quoted inside a long
+    * one scores low Jaccard but containment 1.0 — so this is the
+    * measure that catches quote-inclusion and boilerplate-wrapping
+    * dups. Shares [[verifyCore]]'s entire candidate/contraction
+    * machinery; integer ppm (one div) instead of an IEEE division. */
+  def lshContainment(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                     dupMod: Long = 250): DataFrame =
+    verifyCore(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"), col("n_inter"),
+        least(col("n1"), col("n2")).as("n_min"))
+      .withColumn("containment_ppm",
+        expr("(n_inter * 1000000) div greatest(n_min, 1)"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** Shared verify machinery: LSH candidates routed to per-CONTENT
+    * distinct-shingle sets, exact intersection only for differing
+    * content pairs. Returns (id1, id2, n_shared_bands, n_inter, n1,
+    * n2) — consumers project Jaccard ([[lshVerify]]) or containment
+    * ([[lshContainment]]) from the same counts. */
+  private def verifyCore(docs: DataFrame, bands: Int, rowsPerBand: Int,
+                         dupMod: Long): DataFrame = {
     // pairs feeds several consumers; eager localCheckpoint materializes
     // the whole MinHash pipeline ONCE instead of re-running it per
     // consumer. The frame is candidate-pair-sized — orders of magnitude
@@ -275,11 +304,7 @@ object Dedup {
       .select(col("id1"), col("id2"), col("n_shared_bands"),
         when(col("c1") === col("c2"), col("n1"))
           .otherwise(coalesce(col("n_i"), lit(0L))).cast(LongType).as("n_inter"),
-        (col("n1") + col("n2")).cast(LongType).as("n_sum"))
-      .withColumn("n_union", col("n_sum") - col("n_inter"))
-      .withColumn("jaccard", col("n_inter") / col("n_union"))
-      .drop("n_sum")
-      .orderBy(col("id1"), col("id2"))
+        col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"))
   }
 
   /** E45 — MinHash estimator CALIBRATION: per LSH candidate pair, the

@@ -252,6 +252,26 @@ class OpsSpec extends SparkSpec {
     assert(out(0L)._2 == 0L) // target docs are never "selected"
   }
 
+  test("containment dominates Jaccard on every candidate pair; dups hit 1.0") {
+    val docs = Tables.documents(spark, sf)
+    val cont = Dedup.lshContainment(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val jac = Dedup.lshVerify(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(5))).toMap
+    assert(cont.keySet == jac.keySet && cont.nonEmpty)
+    cont.foreach { case (pair, (nInter, nMin, ppm)) =>
+      val (jInter, j) = jac(pair)
+      assert(nInter == jInter)
+      // min(|A|,|B|) ≤ |A∪B| ⇒ containment ≥ jaccard, always
+      assert(ppm.toDouble / 1e6 >= j - 1e-9, s"$pair: $ppm < $j")
+      assert(nInter <= nMin)
+    }
+    // the injected exact dups are full-containment pairs
+    assert(cont.exists { case (_, (_, _, ppm)) => ppm == 1000000L })
+  }
+
   test("lshClusters fails fast when label propagation cannot converge") {
     val docs = Tables.documents(spark, sf).limit(200)
     val ex = intercept[IllegalStateException] {
