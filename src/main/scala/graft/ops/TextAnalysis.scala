@@ -263,16 +263,22 @@ object TextAnalysis {
   def invertedIndex(docs: DataFrame, maxDfPpm: Long = 780000L): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val stats = occ.groupBy(col("term"))
-      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
-    val keep = stats.crossJoin(broadcast(nDocs))
+    // cf and df as two plain aggregations sharing the dtok frame —
+    // NOT count + countDistinct in one agg, which plans an Expand that
+    // doubles every occurrence row entering the shuffle
+    val cf = occ.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val dtok = occ.select(col("term"), col("doc_id")).distinct()
+      .localCheckpoint(true) // shared by df, the cap gate, and postings
+    val df = dtok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val keep = df.crossJoin(broadcast(nDocs))
       .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n_docs"))
       .select(col("term"))
-    val postings = occ.select(col("term"), col("doc_id")).distinct()
+    val postings = dtok
       .join(broadcast(keep), Seq("term"))
       .groupBy(col("term"))
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
-    stats.join(postings, Seq("term"), "left")
+    cf.join(df, Seq("term"))
+      .join(postings, Seq("term"), "left")
       .select(col("term"), col("df"), col("cf"),
         coalesce(col("postings"), array().cast("array<bigint>")).as("postings"))
       .orderBy(col("term"))
