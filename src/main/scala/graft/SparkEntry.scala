@@ -967,7 +967,61 @@ object SparkEntry {
     // E48: containment verify on the LSH candidates — the asymmetric
     // measure that catches quote-inclusion dups Jaccard misses
     "q_containment" -> ((s, d) =>
-      ops.Dedup.lshContainment(Tables.documents(s, d)))
+      ops.Dedup.lshContainment(Tables.documents(s, d))),
+
+    // D55: first-principles HLL over the SAME per-nation part sets as
+    // q_kmv_distinct — two estimator families, one task, both
+    // integer-exact cross-engine
+    "q_hll_distinct" -> ((s, d) =>
+      ops.Sketches.hllDistinct(
+        Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+          .join(Tables.lineitem(s, d).select(
+            col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+            Seq("o_orderkey")),
+        grp = "c_nationkey", v = "l_partkey")),
+
+    // H6: KS drift between the 1995 and 1996 order-price distributions
+    "q_ks_drift" -> ((s, d) =>
+      ml.Evaluation.ksDrift(
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .select(
+            when(year(col("o_orderdate")) === 1995, 0L).otherwise(1L)
+              .as("side"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")))),
+
+    // H7: precision/recall curve of the E46 scorer's margin predicting
+    // English — every operating point an exact integer
+    "q_pr_curve" -> ((s, d) =>
+      ml.Evaluation.prCurve(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
+    // B20: referential-integrity audit across the full star-schema FK
+    // graph — key domains and orphan blast radius per edge
+    "q_integrity" -> ((s, d) =>
+      etl.DataQuality.integrityAudit(Seq(
+        ("customer.nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("lineitem.orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem.part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem.supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("nation.region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        ("orders.customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("supplier.nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"))))
   )
 
   // ---------------------------------------------------------------------
@@ -3473,6 +3527,166 @@ object SparkEntry {
         |  CASE WHEN rm.vec_id IS NULL THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS kept
         |FROM n LEFT JOIN rm USING (vec_id)
-        |ORDER BY n.vec_id""".stripMargin
+        |ORDER BY n.vec_id""".stripMargin,
+
+    // HLL twin: identical md5 register routing; ρ = trailing-zeros
+    // position via (w & -w) — pure integer bit ops both engines; the
+    // numerator constant is 709000·64²·2^30.
+    "q_hll_distinct" ->
+      """WITH pairs AS (
+        |  SELECT c_nationkey AS nat, l_partkey AS pk
+        |  FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey),
+        |h AS (
+        |  SELECT nat,
+        |    CAST(('0x'||substr(md5('hll:'||CAST(pk AS VARCHAR)),1,8))
+        |      AS BIGINT) AS h
+        |  FROM pairs),
+        |r AS (
+        |  SELECT nat, h % 64 AS idx,
+        |    CASE WHEN h // 64 = 0 THEN 27
+        |         ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rho
+        |  FROM h),
+        |reg AS (SELECT nat, idx, MAX(rho) AS m FROM r GROUP BY 1, 2),
+        |a AS (SELECT nat, CAST(SUM(CAST(1 AS BIGINT) << (30 - m))
+        |        AS BIGINT) AS sp, CAST(COUNT(*) AS BIGINT) AS np
+        |      FROM reg GROUP BY 1)
+        |SELECT CAST(nat AS BIGINT) AS c_nationkey,
+        |  CAST(3118214976372736000
+        |    // (1000000 * (sp + (64 - np) * 1073741824)) AS BIGINT)
+        |    AS est_distinct,
+        |  CAST(64 - np AS BIGINT) AS v_zero
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 0 ELSE 1 END
+        |      AS side,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |b AS (
+        |  SELECT v AS x,
+        |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(SUM(CASE WHEN side <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS db
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT x, da, db,
+        |    CAST(SUM(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(SUM(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(da) AS BIGINT) AS n_a,
+        |        CAST(SUM(db) AS BIGINT) AS n_b FROM b)
+        |SELECT n_a, n_b,
+        |  CAST(MAX(abs(n_b * ca - n_a * cb)) AS BIGINT) AS d_num,
+        |  CAST(MAX(abs(n_b * ca - n_a * cb)) * 1000000
+        |    // greatest(n_a * n_b, 1) AS BIGINT) AS ks_ppm
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+
+    // PR-curve twin: the q_auc scored CTE, descending cumulative TP/FP
+    "q_pr_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(SUM(lab) AS BIGINT) AS np
+        |        FROM sc GROUP BY s),
+        |cum AS (SELECT s,
+        |          CAST(SUM(np) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |          CAST(SUM(n) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |        FROM bys),
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM bys)
+        |SELECT s AS threshold, tp, pp - tp AS fp,
+        |  CAST(tp * 1000000 // greatest(pp, 1) AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST(tp * 1000000 // greatest(n_pos, 1) AS BIGINT)
+        |    AS recall_ppm
+        |FROM cum, t ORDER BY threshold""".stripMargin,
+
+    // Integrity twin: parent PKs are unique in this schema, so a LEFT
+    // JOIN probe neither duplicates nor drops child rows
+    "q_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.nation' AS fk,
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_child_keys,
+        |    CAST(COUNT(DISTINCT CASE WHEN n_nationkey IS NULL
+        |      THEN c_nationkey END) AS BIGINT) AS orphan_keys,
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS orphan_rows
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_nationkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.orders',
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NULL
+        |      THEN l_orderkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.part',
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN p_partkey IS NULL
+        |      THEN l_partkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  WHERE l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.supplier',
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN s_suppkey IS NULL
+        |      THEN l_suppkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_suppkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'nation.region',
+        |    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN r_regionkey IS NULL
+        |      THEN n_regionkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_regionkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders.customer',
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NULL
+        |      THEN o_custkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'supplier.nation',
+        |    CAST(COUNT(DISTINCT s_nationkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN n_nationkey IS NULL
+        |      THEN s_nationkey END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE s_nationkey IS NOT NULL
+        |) ORDER BY fk""".stripMargin
   )
 }

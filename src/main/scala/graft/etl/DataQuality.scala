@@ -95,6 +95,39 @@ object DataQuality {
       .orderBy(col(group))
   }
 
+  /** B20 — referential-integrity audit over a schema's whole FK graph:
+    * one row per edge with the child key-domain size and the orphan
+    * damage (distinct dangling keys AND affected child rows) — the
+    * standing constraint check a lake runs after every load, and the
+    * blast-radius report when it fails.
+    *
+    * Scale shape: the child side contracts to (key, row_count) FIRST,
+    * so the anti join compares key domains, not fact tables — at
+    * 100 TB the join inputs are both key-domain-sized, shuffled on the
+    * key they join on (or broadcast when the parent domain is small;
+    * Catalyst's call by size). `orphan_rows` rides the contraction's
+    * counts; nothing re-touches the fact table. NULL child keys are
+    * excluded (SQL FK semantics: NULL references nothing). Edges run
+    * as independent union branches — one job, each branch pruning its
+    * scan to exactly one column per side. */
+  def integrityAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val ck = child.select(col(childKey).cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val dom = ck.agg(count(lit(1)).as("n_child_keys"))
+      val orphan = ck.join(
+          parent.select(col(parentKey).cast("long").as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_keys"),
+          coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
+      dom.crossJoin(orphan)
+        .select(lit(name).as("fk"), col("n_child_keys"),
+          col("orphan_keys"), col("orphan_rows"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("fk"))
+
   /** B12 — key-skew profiler: the pre-flight diagnostic behind every
     * salting / skew-join decision (relational/Salting.scala) — is this
     * key safe to shuffle on, and how hot is the hottest key?

@@ -43,6 +43,63 @@ object Evaluation {
           .as("auc_ppm"))
   }
 
+  /** H6 — exact two-sample Kolmogorov–Smirnov drift statistic:
+    * D = max_x |F_A(x) − F_B(x)|, the continuous-distribution
+    * complement to the B16 χ² categorical monitor (train/serve drift,
+    * corpus-vs-corpus shift). Scaled to integers by n_a·n_b:
+    * D_num = max over merged distinct values of |n_b·cum_a − n_a·cum_b|
+    * — no division until the final ppm, so the statistic itself is
+    * cross-engine exact.
+    *
+    * Scale shape: the corpus contracts to distinct values with per-side
+    * counts in one aggregation; the cumulative window runs over THAT
+    * frame only (value-domain-sized, not corpus-sized — quantize/bin
+    * first if the domain is unbounded). Exact while n_a·n_b·10^6 fits a
+    * long (same stratify-beyond-~3·10^9-rows caveat as H4). */
+  def ksDrift(samples: DataFrame, side: String = "side",
+              v: String = "v"): DataFrame = {
+    val byV = samples.groupBy(col(v).as("x"))
+      .agg(sum(when(col(side) === 0L, 1L).otherwise(0L)).as("da"),
+        sum(when(col(side) =!= 0L, 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byV
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+    val tot = cum.agg(sum(col("da")).as("n_a"), sum(col("db")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("n_b") * col("ca") - col("n_a") * col("cb")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("d_num * 1000000 div greatest(n_a * n_b, 1)").as("ks_ppm"))
+  }
+
+  /** H7 — exact precision/recall curve: one operating point per
+    * distinct score threshold t (predict positive when score ≥ t),
+    * TP/FP counts via a DESCENDING cumulative window over the
+    * distinct-score contraction — the corpus is touched by exactly one
+    * aggregation, the ordered work is score-cardinality-sized. The
+    * ppm ratios are integer divisions of exact counts, so every
+    * operating point hash-verifies cross-engine. */
+  def prCurve(scored: DataFrame, score: String = "score",
+              label: String = "label"): DataFrame = {
+    val byScore = scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byScore
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+    val tot = byScore.agg(sum(col("np")).as("n_pos"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        expr("tp * 1000000 div greatest(pp, 1)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(n_pos, 1)").as("recall_ppm"))
+      .orderBy(col("threshold"))
+  }
+
   /** H5 — calibration curve (reliability diagram): fixed-width score
     * bins with observed positive rate per bin. One map-side bin
     * assignment + one grouped aggregation — no window at all. Scores

@@ -102,6 +102,59 @@ object Sketches {
         expr("(est_inter * 1000000) div greatest(est_union, 1)"))
   }
 
+  /** D55 — first-principles HyperLogLog (Flajolet et al. '07),
+    * completing the cross-engine-exact sketch trio (D51 count-min for
+    * frequency, D52/D54 KMV for distinct/set algebra, D55 HLL for the
+    * fixed-size distinct register file). m = 2^p registers; each md5
+    * hash routes to register h mod m and contributes ρ(h div m) = the
+    * 1-based position of the LOWEST set bit of the remaining bits
+    * (P(ρ=k) = 2^-k — the trailing-zeros PCSA variant, computed with
+    * pure integer ops: bit_count((w & -w) - 1) + 1, so both engines
+    * replay it bit-for-bit; no leading-zeros intrinsic needed). The
+    * register file is ONE map-side-combinable max-aggregation — at
+    * 100 TB each task emits ≤ groups·m partial rows regardless of
+    * input size, which is the entire point of the sketch.
+    *
+    * The harmonic-mean estimate stays integral: Σ 2^-M[j] is scaled by
+    * 2^30 (ρ ≤ 33-p ≤ 29, so every term 2^(30-M) is a positive long and
+    * absent registers contribute exactly 2^30), and
+    * est = α_ppm·m²·2^30 div (10^6·S) — for p ≤ 6 the numerator fits a
+    * long, so the ESTIMATE (not just the rows) hash-verifies in DuckDB.
+    * Raw estimator only: the small-range linear-counting correction
+    * needs ln(m/V) (transcendental → not cross-engine exact), so
+    * `v_zero` (empty-register count) is emitted for the caller to
+    * judge the regime instead. Expected rel. error 1.04/√m ≈ 13% at
+    * p=6. */
+  def hllDistinct(pairs: DataFrame, grp: String, v: String,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 6,
+      "p>6 overflows the long-integer estimate numerator")
+    val m = 1L << p
+    // α_m from the HLL paper (m=16/32/64 have dedicated constants)
+    val alphaPpm = p match {
+      case 4 => 673000L; case 5 => 697000L; case 6 => 709000L
+    }
+    val maxRho = 33 - p // w = h div m has 32-p bits; w==0 gets max+1
+    val num = alphaPpm * m * m * (1L << 30)
+    pairs
+      .select(col(grp),
+        h32(concat(lit("hll:"), col(v).cast("string"))).as("h"))
+      .select(col(grp), expr(s"h % $m").as("idx"),
+        expr(s"CASE WHEN h div $m = 0 THEN $maxRho ELSE " +
+          s"bit_count(((h div $m) & -(h div $m)) - 1) + 1 END").as("rho"))
+      .groupBy(col(grp), col("idx"))
+      .agg(max(col("rho")).as("mreg"))
+      .groupBy(col(grp))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - mreg)"))
+        .as("s_present"), count(lit(1)).as("n_present"))
+      .select(col(grp),
+        expr(s"CAST($num AS BIGINT) div " +
+          s"(1000000 * (s_present + ($m - n_present) * ${1L << 30}))")
+          .as("est_distinct"),
+        (lit(m) - col("n_present")).cast("long").as("v_zero"))
+      .orderBy(col(grp))
+  }
+
   /** (j, bucket) per occurrence of column `tok`: j is baked into the
     * hashed string so the d rows use independent hash functions. */
   def cmsBucketed(df: DataFrame, depth: Int = 3, width: Int = 512): DataFrame =

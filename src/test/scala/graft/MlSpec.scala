@@ -74,4 +74,37 @@ class MlSpec extends SparkSpec {
     assert(m(-1000L) == 2L && m(-500L) == 1L && m(0L) == 2L && m(500L) == 1L
       && m(1000L) == 1L)
   }
+
+  test("H6: KS is 0 on identical samples, 10^6 on separated ones, exact on a hand case") {
+    import spark.implicits._
+    def ks(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val r = graft.ml.Evaluation.ksDrift(rows.toDF("side", "v"))
+        .collect().head
+      (r.getLong(2), r.getLong(3))
+    }
+    val same = (1L to 50L).flatMap(v => Seq((0L, v), (1L, v)))
+    assert(ks(same) == ((0L, 0L)))
+    val apart = (1L to 10L).map((0L, _)) ++ (11L to 20L).map((1L, _))
+    assert(ks(apart)._2 == 1000000L)
+    // A={1,2,3}, B={2,4}: sup|F_A−F_B| at x=3 is |1 − 1/2| → 3/6
+    val hand = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 4L))
+    assert(ks(hand) == ((3L, 500000L)))
+  }
+
+  test("H7: PR curve — exact points on a hand case, accounting closes at the tail") {
+    import spark.implicits._
+    // scores desc: 9(+), 7(−), 5(+), 5(+), 3(−)
+    val rows = Seq((9L, 1L), (7L, 0L), (5L, 1L), (5L, 1L), (3L, 0L))
+    val out = graft.ml.Evaluation.prCurve(rows.toDF("score", "label"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 4, "one operating point per DISTINCT score")
+    assert(out(9L) == ((1L, 0L, 1000000L, 333333L)))
+    assert(out(7L) == ((1L, 1L, 500000L, 333333L)))
+    assert(out(5L) == ((3L, 1L, 750000L, 1000000L)))    // tie group fused
+    assert(out(3L) == ((3L, 2L, 600000L, 1000000L)))    // tail: tp=n_pos
+    // monotone recall as the threshold drops
+    val byThresh = out.toSeq.sortBy(-_._1).map(_._2._4)
+    assert(byThresh == byThresh.sorted)
+  }
 }

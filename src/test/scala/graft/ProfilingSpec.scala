@@ -184,4 +184,25 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("B20: integrity audit counts orphan keys AND rows, skips NULL FKs") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(2L),
+      Some(3L), None).toDF("fk_col")
+    val parent = Seq(1L, 3L, 9L).toDF("pk_col")
+    val r = DataQuality.integrityAudit(Seq(
+      ("child.parent", child, "fk_col", parent, "pk_col"))).collect().head
+    assert(r.getString(0) == "child.parent")
+    assert(r.getLong(1) == 3L, "NULL is not a key-domain member")
+    assert(r.getLong(2) == 1L, "key 2 dangles")
+    assert(r.getLong(3) == 3L, "three rows reference the dangling key")
+  }
+
+  test("B20: clean edge reports zero damage without dropping the row") {
+    val child = Seq(1L, 1L, 2L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val r = DataQuality.integrityAudit(Seq(("a.b", child, "k", parent, "k")))
+      .collect()
+    assert(r.length == 1 &&
+      r.head.getLong(1) == 2L && r.head.getLong(2) == 0L &&
+      r.head.getLong(3) == 0L)
+  }
 }

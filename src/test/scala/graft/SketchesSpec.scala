@@ -131,4 +131,26 @@ class SketchesSpec extends SparkSpec {
     assert(rows(1L)._1 == 1L && rows(2L)._1 == 3L)
     assert(rows(2L)._2 == 3L * rows(1L)._2)
   }
+
+  test("HLL: multiplicity-blind — duplicating every row leaves the estimate fixed") {
+    val base = (1L to 3000L).map(i => (i % 3, i)).toDF("g", "v")
+    val once = Sketches.hllDistinct(base, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thrice = Sketches.hllDistinct(base.union(base).union(base), "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == thrice, "register max is idempotent — duplicates must not move it")
+  }
+
+  test("HLL: estimate lands inside the theoretical error band, v_zero empties out") {
+    // m=64 → σ = 1.04/√64 ≈ 13%; a fixed hash makes the draw
+    // deterministic, so a 2.5σ band is a stable assertion, not a flake
+    for (n <- Seq(2000L, 20000L)) {
+      val r = Sketches.hllDistinct((1L to n).map(i => (0L, i)).toDF("g", "v"),
+        "g", "v").collect().head
+      val est = r.getLong(1)
+      assert(math.abs(est - n).toDouble / n < 0.33,
+        s"HLL est $est too far from true $n")
+      assert(r.getLong(2) == 0L, s"v_zero should be 0 at n=$n >> m")
+    }
+  }
 }
