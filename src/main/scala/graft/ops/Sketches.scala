@@ -126,16 +126,19 @@ object Sketches {
     * judge the regime instead. Expected rel. error 1.04/√m ≈ 13% at
     * p=6. */
   def hllDistinct(pairs: DataFrame, grp: String, v: String,
-                  p: Int = 6): DataFrame = {
+                  p: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(pairs, grp, v, p), grp, p)
+
+  /** The (group, idx) → max-ρ register file. Split out because max is
+    * exactly mergeable: run under a complete-mode streaming aggregation
+    * this IS the F16 incrementally-maintained sketch state, bounded at
+    * groups·m rows regardless of stream length. */
+  def hllRegisters(pairs: DataFrame, grp: String, v: String,
+                   p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 6,
       "p>6 overflows the long-integer estimate numerator")
     val m = 1L << p
-    // α_m from the HLL paper (m=16/32/64 have dedicated constants)
-    val alphaPpm = p match {
-      case 4 => 673000L; case 5 => 697000L; case 6 => 709000L
-    }
     val maxRho = 33 - p // w = h div m has 32-p bits; w==0 gets max+1
-    val num = alphaPpm * m * m * (1L << 30)
     pairs
       .select(col(grp),
         h32(concat(lit("hll:"), col(v).cast("string"))).as("h"))
@@ -144,6 +147,18 @@ object Sketches {
           s"bit_count(((h div $m) & -(h div $m)) - 1) + 1 END").as("rho"))
       .groupBy(col(grp), col("idx"))
       .agg(max(col("rho")).as("mreg"))
+  }
+
+  /** Finish the register file into the integer harmonic-mean estimate
+    * (absent registers contribute exactly 2^30 to the scaled sum). */
+  def hllEstimate(regs: DataFrame, grp: String, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    // α_m from the HLL paper (m=16/32/64 have dedicated constants)
+    val alphaPpm = p match {
+      case 4 => 673000L; case 5 => 697000L; case 6 => 709000L
+    }
+    val num = alphaPpm * m * m * (1L << 30)
+    regs
       .groupBy(col(grp))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - mreg)"))
         .as("s_present"), count(lit(1)).as("n_present"))

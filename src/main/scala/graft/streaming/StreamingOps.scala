@@ -280,6 +280,19 @@ object StreamingOps {
                            width: Int = 512): DataFrame =
     graft.ops.Sketches.cmsCounters(toks, depth, width)
 
+  /** F16 — streaming HyperLogLog maintenance (D55's register file run
+    * continuously): (group, idx) → max-ρ as an unwindowed grouped
+    * aggregation in complete mode. max is exactly mergeable, so
+    * micro-batch folding provably lands on the same registers as one
+    * batch build over the union of the batches — and state is bounded
+    * at groups·2^p rows regardless of stream length (the sketch
+    * property; the exact streaming countDistinct would hold every key
+    * ever seen). Downstream, D55's hllEstimate finishes each emitted
+    * register snapshot into the integer estimate. */
+  def hllMaintenanceStream(pairs: DataFrame, grp: String = "g",
+                           v: String = "v", p: Int = 6): DataFrame =
+    graft.ops.Sketches.hllRegisters(pairs, grp, v, p)
+
   /** F14 — streaming bounded top-k-smallest per group through the I20
     * custom TypedImperativeAggregate (D42's engine). Streaming
     * aggregation state IS the aggregate's buffer: each micro-batch

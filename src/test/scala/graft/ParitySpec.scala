@@ -431,6 +431,33 @@ class ParitySpec extends SparkSpec {
     assert(streamed.count() <= 3L * 512L)
   }
 
+  test("F16 streaming HLL maintenance equals the batch registers and estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingOps.hllMaintenanceStream(in.toDS().toDF("g", "v"))
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("complete").start()
+    // three micro-batches over two groups, with cross-batch overlap:
+    // the register max must fold duplicates away across batches
+    val all = (1L to 4000L).map(i => (i % 2, i))
+    val (b1, rest) = all.splitAt(1500)
+    val (b2, b3) = rest.splitAt(1500)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2 ++ b1.take(500): _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllstream")
+    val batch = graft.ops.Sketches.hllRegisters(
+      all.toDF("g", "v"), "g", "v")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // state bounded by the register file, not the 4000 distinct values
+    assert(streamed.count() <= 2L * 64L)
+    // and the finished estimates agree with the batch op end to end
+    val se = graft.ops.Sketches.hllEstimate(streamed, "g")
+    val be = graft.ops.Sketches.hllDistinct(all.toDF("g", "v"), "g", "v")
+    assert(se.exceptAll(be).isEmpty && be.exceptAll(se).isEmpty)
+  }
+
   test("F12 streaming SCD2 maintenance equals the batch merge chain") {
     import graft.etl.{Scd2, Scd2Snapshots}
     import graft.streaming.StreamingIngest

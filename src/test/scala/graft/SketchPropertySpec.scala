@@ -61,6 +61,45 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("KS equals the naive sup-difference on random tied samples") {
+    for (_ <- 1 to 8) {
+      val na = 5 + rnd.nextInt(40)
+      val nb = 5 + rnd.nextInt(40)
+      val a = Seq.fill(na)(rnd.nextInt(12).toLong)
+      val b = Seq.fill(nb)(rnd.nextInt(12).toLong)
+      val naive = (a ++ b).distinct.map { x =>
+        math.abs(nb.toLong * a.count(_ <= x) - na.toLong * b.count(_ <= x))
+      }.max
+      val r = Evaluation.ksDrift(
+        (a.map((0L, _)) ++ b.map((1L, _))).toDF("side", "v"))
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((na.toLong, nb.toLong, naive)), s"a=$a b=$b")
+      assert(r.getLong(3) == naive * 1000000L / (na.toLong * nb))
+    }
+  }
+
+  test("PR curve equals naive threshold sweep on random tied score sets") {
+    for (_ <- 1 to 6) {
+      val n = 15 + rnd.nextInt(40)
+      val rows = Seq.fill(n)((rnd.nextInt(9).toLong, rnd.nextInt(2).toLong))
+      val nPos = rows.count(_._2 == 1L).toLong
+      whenever(nPos > 0) {
+        val got = Evaluation.prCurve(rows.toDF("score", "label"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        val thresholds = rows.map(_._1).distinct
+        assert(got.keySet == thresholds.toSet)
+        thresholds.foreach { t =>
+          val tp = rows.count(r => r._1 >= t && r._2 == 1L).toLong
+          val pp = rows.count(_._1 >= t).toLong
+          assert(got(t) == ((tp, pp - tp, tp * 1000000L / pp,
+            tp * 1000000L / nPos)), s"t=$t rows=$rows")
+        }
+      }
+    }
+  }
+
   test("KMV is exact below k and inside the analytic band above it") {
     for (trial <- 1 to 4) {
       val d = 30 + rnd.nextInt(3000)
