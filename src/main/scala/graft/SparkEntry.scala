@@ -1021,7 +1021,19 @@ object SparkEntry {
         ("orders.customer", Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey"),
         ("supplier.nation", Tables.supplier(s, d), "s_nationkey",
-          Tables.nation(s, d), "n_nationkey"))))
+          Tables.nation(s, d), "n_nationkey")))),
+
+    // E49: hybrid retrieval — RRF fusion of the E39 lexical ranking
+    // and the E5 semantic ranking over the aligned doc/vec id space
+    // (doc_id ≡ vec_id in the testdata); both feeders exclude self
+    "q_rrf_fusion" -> ((s, d) => {
+      val lex = ops.Bm25.topK(Tables.documents(s, d), qMod = 50, k = 10)
+        .select(col("q_id"), col("doc_id").as("item_id"), col("rnk"))
+      val sem = ops.Ann.bruteForceRank(Tables.embeddings(s, d),
+        pmod(col("vec_id"), lit(50L)) === 0L, k = 10)
+        .select(col("q_id"), col("vec_id").as("item_id"), col("rnk"))
+      ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3687,6 +3699,117 @@ object SparkEntry {
         |      AS BIGINT)
         |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
         |  WHERE s_nationkey IS NOT NULL
-        |) ORDER BY fk""".stripMargin
+        |) ORDER BY fk""".stripMargin,
+
+    // RRF twin: the q_bm25 pipeline at k=10 (cut < 11) + the
+    // q_ann_brute pipeline with %50-aligned queries at k=10, fused by
+    // rank only — 10^6 // (60 + rnk) summed per (query, item)
+    "q_rrf_fusion" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS ch, text FROM documents),
+        |reps AS (SELECT ch, min(doc_id) AS rep, count(*) AS gsz
+        |  FROM m GROUP BY 1),
+        |members AS (SELECT r.rep, m.doc_id FROM m JOIN reps r USING (ch)),
+        |rd AS (SELECT m.doc_id, m.text FROM m JOIN reps r ON m.doc_id = r.rep),
+        |gs AS (SELECT rep AS doc_id, gsz FROM reps),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM rd),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS tok
+        |  FROM t WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM g GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+        |      AS BIGINT) AS dl
+        |  FROM t),
+        |c AS (SELECT CAST(sum(gs.gsz) AS BIGINT) AS n,
+        |             CAST(sum(gs.gsz * dl.dl) AS BIGINT) AS s
+        |  FROM dl JOIN gs USING (doc_id)),
+        |dft AS (SELECT tok, CAST(sum(gs.gsz) AS BIGINT) AS df
+        |  FROM tf JOIN gs USING (doc_id) GROUP BY 1),
+        |kept0 AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dft.df
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN c
+        |  WHERE dft.df <= CAST(c.n AS DOUBLE) * 0.4),
+        |kept AS (
+        |  SELECT doc_id, tok, tf, df FROM (
+        |    SELECT k.*, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS pr
+        |    FROM kept0 k)
+        |  WHERE pr <= 1000),
+        |qdocs AS (SELECT doc_id AS q_id, rep AS qrep FROM members
+        |  WHERE doc_id % 50 = 0),
+        |qpost AS (
+        |  SELECT DISTINCT qd.qrep, k.tok
+        |  FROM (SELECT DISTINCT qrep FROM qdocs) qd
+        |  JOIN kept k ON k.doc_id = qd.qrep),
+        |terms AS (
+        |  SELECT q.qrep, k.doc_id AS crep,
+        |    CAST(c.s AS DOUBLE) AS sd, CAST(k.tf AS DOUBLE) AS tfd,
+        |    CAST(c.n AS DOUBLE) AS nd, CAST(k.df AS DOUBLE) AS dfd,
+        |    CAST(d.dl AS DOUBLE) AS dld
+        |  FROM qpost q JOIN kept k USING (tok)
+        |  JOIN dl d ON d.doc_id = k.doc_id
+        |  CROSS JOIN c),
+        |scoredc AS (
+        |  SELECT qrep, crep,
+        |    CAST(SUM(CAST(ROUND((22.0 * sd * tfd * (2.0*nd - 2.0*dfd + 1.0) * 1000000.0) / ((10.0*sd*tfd + 3.0*sd + 9.0*dld*nd) * (2.0*dfd + 1.0))) AS BIGINT)) AS BIGINT) AS score_u
+        |  FROM terms GROUP BY 1, 2),
+        |bys AS (
+        |  SELECT sc.qrep, sc.score_u, CAST(sum(g.gsz) AS BIGINT) AS msz
+        |  FROM scoredc sc JOIN gs g ON g.doc_id = sc.crep
+        |  GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT qrep, score_u FROM (
+        |    SELECT qrep, score_u,
+        |      COALESCE(SUM(msz) OVER (PARTITION BY qrep ORDER BY score_u DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher
+        |    FROM bys)
+        |  WHERE higher < 11),
+        |ex AS (
+        |  SELECT qd.q_id, mem.doc_id, sc.score_u
+        |  FROM qdocs qd
+        |  JOIN scoredc sc ON sc.qrep = qd.qrep
+        |  JOIN cut ON cut.qrep = sc.qrep AND cut.score_u = sc.score_u
+        |  JOIN members mem ON mem.rep = sc.crep
+        |  WHERE mem.doc_id <> qd.q_id),
+        |lex AS (
+        |  SELECT q_id, doc_id AS item_id, rnk FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_u DESC, doc_id) AS BIGINT) AS rnk
+        |    FROM ex)
+        |  WHERE rnk <= 10),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |qv AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2
+        |  FROM nv WHERE vec_id % 50 = 0),
+        |scv AS (
+        |  SELECT qv.q_id, nv.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> qv.q_svec[i]*nv.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(qv.q_norm2 AS DOUBLE)) * sqrt(CAST(nv.norm2 AS DOUBLE))) AS cos
+        |  FROM nv JOIN qv ON nv.vec_id <> qv.q_id),
+        |sem AS (
+        |  SELECT q_id, vec_id AS item_id, rnk FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |    FROM scv)
+        |  WHERE rnk <= 10),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+        |f AS (
+        |  SELECT q_id, item_id,
+        |    CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_u,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY 1, 2)
+        |SELECT q_id, item_id, rrf_u, n_lists, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
+        |  FROM f)
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -40,10 +40,15 @@ object Ann {
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
   /** E5 — brute-force cosine top-k: queries = vec_id < nQueries. */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteForceRank(emb, col("vec_id") < nQueries, k)
+
+  /** E5 with an arbitrary query-membership predicate (the E49 fusion
+    * path needs queries aligned with the lexical retriever's). */
+  def bruteForceRank(emb: DataFrame, qPred: Column, k: Int): DataFrame = {
     val v = withScaledVec(emb).select(
       col("vec_id"), col("svec"), col("norm2"))
-    val q = v.filter(col("vec_id") < nQueries).select(
+    val q = v.filter(qPred).select(
       col("vec_id").as("q_id"), col("svec").as("q_svec"), col("norm2").as("q_norm2"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos",

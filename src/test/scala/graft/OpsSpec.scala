@@ -292,4 +292,21 @@ class OpsSpec extends SparkSpec {
     // all of "a" ties at 100: the two smallest doc_ids win; "b" (<k) whole
     assert(out == Set(("a", 1L), ("a", 2L), ("b", 9L)))
   }
+
+  test("E49: RRF fuses by rank only — hand-computed scores, both-lists bonus") {
+    import spark.implicits._
+    // query 1: lexical ranks a,b,c ; semantic ranks b,d
+    val lex = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L))
+      .toDF("q_id", "item_id", "rnk")
+    val sem = Seq((1L, "b", 1L), (1L, "d", 2L))
+      .toDF("q_id", "item_id", "rnk")
+    val out = graft.ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val c61 = 1000000L / 61; val c62 = 1000000L / 62; val c63 = 1000000L / 63
+    assert(out("b") == ((c62 + c61, 2L, 1L)), "item in both lists fuses both ranks")
+    assert(out("a") == ((c61, 1L, 2L)))
+    assert(out("d") == ((c62, 1L, 3L)))
+    assert(out("c") == ((c63, 1L, 4L)))
+  }
 }
