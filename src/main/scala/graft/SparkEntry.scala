@@ -1033,6 +1033,30 @@ object SparkEntry {
         pmod(col("vec_id"), lit(50L)) === 0L, k = 10)
         .select(col("q_id"), col("vec_id").as("item_id"), col("rnk"))
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
+    }),
+
+    // B21: incremental join-view maintenance — the maintained view is
+    // built from the DELTA ALGEBRA (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) while the
+    // oracle recomputes the full join: a hash match proves the
+    // incremental path reproduced the view, cross-engine
+    "q_ivm_join" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("tp_cents"),
+        year(col("o_orderdate")).as("yr"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nat"))
+      val aOld = ords.filter(col("yr") < 2001)
+      val dA = ords.filter(col("yr") >= 2001)
+      val bOld = cust.filter(col("c_custkey") % 10 =!= 0)
+      val dB = cust.filter(col("c_custkey") % 10 === 0)
+      val view = aOld.join(bOld, Seq("c_custkey"))
+      etl.IncrementalJoin.maintain(view, aOld, dA, bOld, dB,
+          Seq("c_custkey"))
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("tp_cents")).as("sum_cents"))
+        .orderBy(col("nat"))
     })
   )
 
@@ -3810,6 +3834,16 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
-        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // IVM twin: the FULL join recompute — matching hashes prove the
+    // delta algebra, they don't replay it
+    "q_ivm_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -196,6 +196,27 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(3) == 3L, "three rows reference the dangling key")
   }
 
+  test("B21: delta-join algebra equals the full recompute on random splits") {
+    import graft.etl.IncrementalJoin
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 0 to 3) {
+      val as = Seq.fill(40)((rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+      val bs = Seq.fill(25)((rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+      // trial 0 pins the empty-ΔA edge; later trials split randomly
+      val (aOld, dA) =
+        if (trial == 0) (as, Seq.empty) else as.partition(_ => rnd.nextBoolean())
+      val (bOld, dB) = bs.partition(_ => rnd.nextBoolean())
+      def a(x: Seq[(Long, Long)]) = x.toDF("k", "va")
+      def b(x: Seq[(Long, Long)]) = x.toDF("k", "vb")
+      val full = a(as).join(b(bs), Seq("k"))
+      val inc = IncrementalJoin.maintain(
+        a(aOld).join(b(bOld), Seq("k")),
+        a(aOld), a(dA), b(bOld), b(dB), Seq("k"))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"trial $trial: incremental view diverged from full recompute")
+    }
+  }
+
   test("B20: clean edge reports zero damage without dropping the row") {
     val child = Seq(1L, 1L, 2L).toDF("k")
     val parent = Seq(1L, 2L, 3L).toDF("k")
