@@ -364,6 +364,14 @@ object SparkEntry {
         key = "user_id", timeCol = "ts_us", idCol = "event_id",
         typeCol = "event_type", queryType = "purchase", refType = "error")
         .orderBy(col("event_id"))),
+    // ---- D11 with a 1-day staleness bound: matches older than the
+    // tolerance are no-match, exactly as if the reference were absent
+    "q_asof_tol" -> ((s, d) =>
+      ops.AsOfJoin.lastPriorEventWithin(Tables.events(s, d),
+        key = "user_id", timeCol = "ts_us", idCol = "event_id",
+        typeCol = "event_type", queryType = "purchase", refType = "error",
+        maxGap = 86400000000L)
+        .orderBy(col("event_id"))),
     // ---- I12: same as-of contract through the native AsOfJoinExec
     // (custom LogicalPlan + Strategy + SparkPlan streaming merge)
     "q_asof_native" -> ((s, d) =>
@@ -2020,6 +2028,22 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us,
         |  COALESCE(e.ts_us, -1) AS asof_ts,
         |  COALESCE(p.ts_us - e.ts_us, -1) AS gap
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_tol" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - e.ts_us <= 86400000000 THEN e.ts_us
+        |       ELSE -1 END AS asof_ts,
+        |  CASE WHEN p.ts_us - e.ts_us <= 86400000000
+        |       THEN p.ts_us - e.ts_us ELSE -1 END AS gap
         |FROM p ASOF LEFT JOIN e
         |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
         |ORDER BY event_id""".stripMargin,

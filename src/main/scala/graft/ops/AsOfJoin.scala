@@ -40,6 +40,24 @@ object AsOfJoin {
         coalesce(col(timeCol) - col("asof_ts"), lit(-1L)).as("gap"))
   }
 
+  /** [[lastPriorEvent]] with a staleness bound — the guard every
+    * production point-in-time join needs (a reference row `maxGap`
+    * time units stale is usually worse than none): matches farther
+    * back than `maxGap` become no-match (-1/-1), exactly as if the
+    * reference row were absent. A projection over the tolerance-free
+    * result — the window pass, its one shuffle, and its plan are
+    * untouched. */
+  def lastPriorEventWithin(events: DataFrame, key: String, timeCol: String,
+                           idCol: String, typeCol: String,
+                           queryType: String, refType: String,
+                           maxGap: Long): DataFrame = {
+    val hit = col("gap").between(0L, maxGap)
+    lastPriorEvent(events, key, timeCol, idCol, typeCol, queryType, refType)
+      .select(col(idCol), col(key), col(timeCol),
+        when(hit, col("asof_ts")).otherwise(lit(-1L)).as("asof_ts"),
+        when(hit, col("gap")).otherwise(lit(-1L)).as("gap"))
+  }
+
   /** [[lastPriorEvent]] through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinExec]]) instead of the union+window
     * composition — same output contract, same DuckDB `ASOF LEFT JOIN`

@@ -39,4 +39,23 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 2L, 200L, "q")))
     assert(out(2L) == (-1L, -1L))
   }
+
+  test("tolerance: stale matches become no-match, fresh and boundary survive") {
+    val rows = Seq(
+      (1L, 1L, 100L, "r"),
+      (2L, 1L, 150L, "q"),  // gap 50  — inside
+      (3L, 1L, 200L, "q"),  // gap 100 — exactly at the bound: inclusive
+      (4L, 1L, 500L, "q"),  // gap 400 — stale
+      (5L, 2L, 300L, "q"))  // no ref at all
+    val out = AsOfJoin.lastPriorEventWithin(
+      rows.toDF("event_id", "user_id", "ts_us", "event_type"),
+      key = "user_id", timeCol = "ts_us", idCol = "event_id",
+      typeCol = "event_type", queryType = "q", refType = "r",
+      maxGap = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(2L) == (100L, 50L))
+    assert(out(3L) == (100L, 100L))
+    assert(out(4L) == (-1L, -1L), "stale match must look like no-match")
+    assert(out(5L) == (-1L, -1L))
+  }
 }
