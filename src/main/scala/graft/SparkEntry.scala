@@ -1043,6 +1043,17 @@ object SparkEntry {
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // H8: the deployed operating point — best-F1 threshold of the E46
+    // scorer, exact argmax in pico-units over the distinct-score frame
+    "q_best_f1" -> ((s, d) =>
+      ml.Evaluation.bestF1(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
     // B21: incremental join-view maintenance — the maintained view is
     // built from the DELTA ALGEBRA (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) while the
     // oracle recomputes the full join: a hash match proves the
@@ -3859,6 +3870,44 @@ object SparkEntry {
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // best-F1 twin: the q_pr_curve CTEs + exact pico argmax, highest
+    // threshold on ties
+    "q_best_f1" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(SUM(lab) AS BIGINT) AS np
+        |        FROM sc GROUP BY s),
+        |cum AS (SELECT s,
+        |          CAST(SUM(np) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |          CAST(SUM(n) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |        FROM bys),
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM bys),
+        |pts AS (
+        |  SELECT s AS threshold, tp, pp, n_pos,
+        |    CAST(2 * tp * 1000000000000 // (pp + n_pos) AS BIGINT)
+        |      AS f1_pico
+        |  FROM cum, t)
+        |SELECT threshold, tp, pp - tp AS fp, n_pos - tp AS fn, f1_pico
+        |FROM pts
+        |WHERE f1_pico = (SELECT MAX(f1_pico) FROM pts)
+        |ORDER BY threshold DESC LIMIT 1""".stripMargin,
 
     // IVM twin: the FULL join recompute — matching hashes prove the
     // delta algebra, they don't replay it

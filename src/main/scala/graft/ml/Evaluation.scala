@@ -100,6 +100,34 @@ object Evaluation {
       .orderBy(col("threshold"))
   }
 
+  /** H8 — best-F1 operating point: the threshold a deployed classifier
+    * actually ships with. F1(t) = 2·TP/(PP + nPos) (the identity
+    * 2TP+FP+FN = PP+nPos), compared across thresholds in pico-units
+    * (2·TP·10^12 div (PP+nPos)) — exact argmax whenever two true F1
+    * fractions differ by ≥ 10^-12 (they do until corpora reach ~10^6
+    * scored rows per the quantization bound; past that the pico tie
+    * falls to the deterministic threshold tie-break, so the answer is
+    * still cross-engine stable, within 10^-12 of optimal). Same
+    * distinct-score contraction as H7: the corpus is touched once. */
+  def bestF1(scored: DataFrame, score: String = "score",
+             label: String = "label"): DataFrame = {
+    val byScore = scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = byScore
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+      .crossJoin(broadcast(byScore.agg(sum(col("np")).as("n_pos"))))
+      .select(col("s").as("threshold"), col("tp"), col("pp"), col("n_pos"),
+        expr("2 * tp * 1000000000000 div (pp + n_pos)").as("f1_pico"))
+    pts.join(broadcast(pts.agg(max(col("f1_pico")).as("f1_pico"))),
+        Seq("f1_pico"))
+      .orderBy(col("threshold").desc).limit(1)
+      .select(col("threshold"), col("tp"), (col("pp") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"), col("f1_pico"))
+  }
+
   /** H5 — calibration curve (reliability diagram): fixed-width score
     * bins with observed positive rate per bin. One map-side bin
     * assignment + one grouped aggregation — no window at all. Scores

@@ -107,4 +107,17 @@ class MlSpec extends SparkSpec {
     val byThresh = out.toSeq.sortBy(-_._1).map(_._2._4)
     assert(byThresh == byThresh.sorted)
   }
+
+  test("H8: best-F1 point matches the hand-computed sweep") {
+    import spark.implicits._
+    // thresholds: 9 → F1 2/4; 7 → 2/5; 5 → 6/7 (best); 3 → 6/8
+    val rows = Seq((9L, 1L), (7L, 0L), (5L, 1L), (5L, 1L), (3L, 0L))
+    val r = graft.ml.Evaluation.bestF1(rows.toDF("score", "label"))
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 5L && row.getLong(1) == 3L &&
+      row.getLong(2) == 1L && row.getLong(3) == 0L)
+    assert(row.getLong(4) == 2L * 3L * 1000000000000L / 7L)
+  }
 }
