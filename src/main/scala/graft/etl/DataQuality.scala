@@ -81,6 +81,14 @@ object DataQuality {
       .withColumnRenamed("n", "n_b")
     val c = binned(current.select(col(group), col(valueCol).as("v")))
       .withColumnRenamed("n", "n_c")
+    chi2FromBins(b, c, group)
+  }
+
+  /** The χ² finisher over two already-binned (group, bin, count)
+    * frames — split out so F17's STREAMING bin state (bounded at
+    * groups·nBins, counts mergeable across micro-batches) finishes
+    * through the identical arithmetic as the batch monitor. */
+  def chi2FromBins(b: DataFrame, c: DataFrame, group: String): DataFrame = {
     val totals = b.groupBy(col(group)).agg(sum(col("n_b")).as("tb"))
       .join(c.groupBy(col(group)).agg(sum(col("n_c")).as("tc")), Seq(group))
     b.join(c, Seq(group, "bin"), "left")

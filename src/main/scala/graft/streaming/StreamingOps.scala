@@ -293,6 +293,21 @@ object StreamingOps {
                            v: String = "v", p: Int = 6): DataFrame =
     graft.ops.Sketches.hllRegisters(pairs, grp, v, p)
 
+  /** F17 — streaming drift-monitor state (B16 run live): the CURRENT
+    * window's binned counts as a complete-mode grouped aggregation
+    * with bin bounds FIXED from the deployed baseline (production
+    * drift monitors pin baseline bins at deploy time; recomputing
+    * bounds per batch would make bins non-comparable). State is
+    * bounded at groups·nBins rows regardless of stream length, counts
+    * merge associatively, and each emitted snapshot finishes through
+    * B16's chi2FromBins against the static baseline — parity-pinned
+    * to the batch monitor on identical rows. */
+  def driftBinsStream(rows: DataFrame, group: String, valueCol: String,
+                      mn: Long, mx: Long, nBins: Int = 10): DataFrame =
+    rows.select(col(group), col(valueCol).as("v"))
+      .withColumn("bin", expr(s"((v - $mn) * $nBins) div ($mx - $mn + 1)"))
+      .groupBy(col(group), col("bin")).agg(count(lit(1)).as("n"))
+
   /** F14 — streaming bounded top-k-smallest per group through the I20
     * custom TypedImperativeAggregate (D42's engine). Streaming
     * aggregation state IS the aggregate's buffer: each micro-batch

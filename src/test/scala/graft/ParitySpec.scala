@@ -458,6 +458,37 @@ class ParitySpec extends SparkSpec {
     assert(se.exceptAll(be).isEmpty && be.exceptAll(se).isEmpty)
   }
 
+  test("F17 streaming drift bins equal the batch monitor end to end") {
+    import graft.etl.DataQuality
+    implicit val sqlCtx = spark.sqlContext
+    // baseline spans [0, 99] so the batch monitor's union bounds equal
+    // the baseline bounds — the fixed-bin streaming form must then
+    // agree exactly, bins AND finished χ²
+    val baseline = (0L to 99L).flatMap(v => Seq(("a", v), ("b", v / 2)))
+    val current = (10L to 89L).flatMap(v => Seq(("a", v), ("b", 99L - v)))
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.driftBinsStream(in.toDS().toDF("g", "v"),
+        group = "g", valueCol = "v", mn = 0L, mx = 99L)
+      .writeStream.format("memory").queryName("driftstream")
+      .outputMode("complete").start()
+    val (c1, c2) = current.splitAt(current.length / 2)
+    in.addData(c1: _*); q.processAllAvailable()
+    in.addData(c2: _*); q.processAllAvailable()
+    q.stop()
+    val streamedBins = spark.table("driftstream")
+      .withColumnRenamed("n", "n_c")
+    val batch = DataQuality.driftChi2(
+      baseline.toDF("g", "v"), current.toDF("g", "v"), "g", "v")
+    // rebuild the baseline side with the same fixed bounds and finish
+    val bBins = baseline.toDF("g", "v")
+      .withColumn("bin", expr("((v - 0) * 10) div (99 - 0 + 1)"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n_b"))
+    val viaStream = DataQuality.chi2FromBins(bBins, streamedBins, "g")
+    assert(viaStream.exceptAll(batch).isEmpty &&
+      batch.exceptAll(viaStream).isEmpty)
+    assert(streamedBins.count() <= 2L * 10L)
+  }
+
   test("F12 streaming SCD2 maintenance equals the batch merge chain") {
     import graft.etl.{Scd2, Scd2Snapshots}
     import graft.streaming.StreamingIngest
