@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextNative {
 
-  private val Space = UTF8String.fromString(" ")
+  private[functions] val Space = UTF8String.fromString(" ")
 
   def tokenStatsL(text: Column): Column =
     Bridge.column(TokenStatsL(Bridge.expression(text)))
@@ -65,6 +65,12 @@ object TextNative {
 
   def ngramsL(text: Column, gram: Int): Column =
     Bridge.column(NgramsL(Bridge.expression(text), gram))
+
+  /** The I24 generator form of [[ngramHashesL]]+explode — see
+    * [[NgramHashExplode]]. Select it directly (Spark plans a Generate
+    * node); emits (pos, g) columns. */
+  def explodeNgramHashesL(text: Column, gram: Int): Column =
+    Bridge.column(NgramHashExplode(Bridge.expression(text), gram))
 
   def simHashL(text: Column, bits: Int): Column =
     Bridge.column(SimHashL(Bridge.expression(text), bits))
@@ -359,5 +365,58 @@ case class LexiconHitsL(child: Expression, lexicon: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): LexiconHitsL =
+    copy(child = newChild)
+}
+
+/** I24 — custom Catalyst GENERATOR (the last extension shape in the
+  * ladder after scalar expressions, TypedImperativeAggregate, and the
+  * plan/strategy/exec triple): streams one (pos, g) row per n-gram
+  * window through GenerateExec WITHOUT materializing the per-document
+  * hash array first. `explode(ngram_hashes_l(text, n))` allocates an
+  * 8·(tokens−n+1)-byte array per document before the Generate node
+  * unpacks it — on book-length documents that is the allocation the
+  * gopher-gate comment calls lethal; this generator tokenizes once and
+  * emits windows lazily, so per-row transient state is the token
+  * array alone. Hash identity with the array form is exact (same
+  * window string, same [[Md5Prefix32.hash]]) — pinned in
+  * ExpressionSpec, which is what lets it swap into E24's
+  * contamination path with the oracle hash unchanged. */
+case class NgramHashExplode(child: Expression, gram: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(gram >= 1, "gram must be >= 1")
+  override def prettyName: String = "explode_ngram_hashes"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("g", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val parts = v.asInstanceOf[UTF8String].split(TextNative.Space, -1)
+    val n = parts.length
+    if (n < gram) return Iterator.empty
+    new Iterator[InternalRow] {
+      private var i = 0
+      private val window = new Array[UTF8String](gram)
+      override def hasNext: Boolean = i <= n - gram
+      override def next(): InternalRow = {
+        var j = 0
+        while (j < gram) { window(j) = parts(i + j); j += 1 }
+        val h = Md5Prefix32.hash(UTF8String.concatWs(TextNative.Space, window: _*))
+        val r = InternalRow(i.toLong, h)
+        i += 1
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashExplode =
     copy(child = newChild)
 }

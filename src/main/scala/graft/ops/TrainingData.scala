@@ -231,13 +231,16 @@ object TrainingData {
   def contamination(docs: DataFrame, gram: Int = 2, evalMod: Long = 97)
       : DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // native one-pass n-gram hashes (I17) — hash-identical to the
-    // composed slice+join+h32 HOF (ExpressionSpec); short docs yield an
-    // empty array, which explode drops, so no length prefilter needed
+    // native one-pass n-gram hashes via the I24 GENERATOR — windows
+    // stream through GenerateExec without materializing the per-doc
+    // hash array first (on book-length docs that array is the
+    // allocation hazard); hash-identical to the array+explode form
+    // (ExpressionSpec), short docs emit nothing
     val grams = docs
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), explode(
-        graft.functions.TextNative.ngramHashesL(col("text"), gram)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.TextNative.explodeNgramHashesL(col("text"), gram))
+      .select(col("doc_id"), col("g"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % evalMod =!= 0)

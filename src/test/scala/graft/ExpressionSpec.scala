@@ -254,4 +254,26 @@ class ExpressionSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(tk == Seq(1L, 3L))
   }
+
+  test("I24 generator streams the same (pos, hash) rows as posexplode of the array") {
+    import graft.functions.TextNative
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    for (gram <- Seq(2, 3)) {
+      val gen = docs
+        .select(col("doc_id"), TextNative.explodeNgramHashesL(col("text"), gram))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val arr = docs
+        .select(col("doc_id"),
+          posexplode(TextNative.ngramHashesL(col("text"), gram)))
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+      assert(gen == arr, s"gram=$gram: generator diverged from array form")
+      assert(gen.nonEmpty)
+    }
+    // short/empty docs emit nothing, matching explode of the empty array
+    val none = Seq((1L, "one two"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextNative.explodeNgramHashesL(col("text"), 3))
+      .count()
+    assert(none == 0L)
+  }
 }
