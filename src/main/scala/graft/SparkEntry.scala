@@ -1043,6 +1043,21 @@ object SparkEntry {
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // D56: interval×interval overlap join (7-day order windows per
+    // nation) — bucket-blocked with canonical-bucket dedup; the oracle
+    // is the DIRECT quadratic overlap join, so a hash match proves the
+    // decomposition
+    "q_interval_overlap" -> ((s, d) =>
+      ops.IntervalJoin.overlapCounts(
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_nationkey").cast("long").as("key"))), Seq("o_custkey"))
+          .select(col("key"), col("o_orderkey").as("id"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("lo"),
+            (datediff(col("o_orderdate"), lit("1970-01-01")) + 7).as("hi")),
+        bucketW = 7L)),
+
     // H8: the deployed operating point — best-F1 threshold of the E46
     // scorer, exact argmax in pico-units over the distinct-score frame
     "q_best_f1" -> ((s, d) =>
@@ -3870,6 +3885,22 @@ object SparkEntry {
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // overlap twin: the direct quadratic join the blocked form must
+    // reproduce exactly
+    "q_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id, CAST(c_nationkey AS BIGINT) AS key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 7 AS hi
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT x.key, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM o x JOIN o y
+        |  ON x.key = y.key AND x.id < y.id
+        |  AND x.lo <= y.hi AND y.lo <= x.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // best-F1 twin: the q_pr_curve CTEs + exact pico argmax, highest
     // threshold on ties

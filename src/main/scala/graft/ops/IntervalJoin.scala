@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D56 — interval×interval overlap join via time-bucket blocking: the
+  * genuinely two-sided sibling of D18's point-in-band range join
+  * (sessions × maintenance windows, transit × promo periods, any
+  * "which intervals touch" workload).
+  *
+  * A naive overlap join is a per-key cartesian (Catalyst can only
+  * nested-loop a `lo <= hi2 AND lo2 <= hi` predicate). Blocking
+  * restores a hash join: each interval explodes into the fixed-width
+  * time buckets it spans, candidates pair inside (key, bucket), and
+  * the true overlap predicate filters. Double-counting across shared
+  * buckets is eliminated WITHOUT a distinct: a pair is kept only in
+  * its CANONICAL bucket — the one containing max(lo, lo2), i.e. the
+  * first bucket where both intervals are present (overlapping
+  * intervals always share it). At 100 TB the shuffle key is
+  * (key, bucket) — fan-out is interval span ÷ bucket width (pick the
+  * width near the median span), and no pair-sized frame is ever
+  * deduplicated.
+  *
+  * The oracle twin runs the direct quadratic overlap join — a hash
+  * match proves the blocked decomposition exact, not just replayed.
+  */
+object IntervalJoin {
+
+  /** Per-key count of overlapping interval pairs (inclusive
+    * endpoints). `itv` columns: (key, id, lo, hi) — integer time. */
+  def overlapCounts(itv: DataFrame, bucketW: Long): DataFrame = {
+    val base = itv.select(col("key"),
+      col("id").cast("long").as("id"),
+      col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"))
+    val bk = base.withColumn("bk",
+      explode(sequence(expr(s"lo div $bucketW"), expr(s"hi div $bucketW"))))
+    val right = bk.select(col("key"), col("bk"),
+      col("id").as("id2"), col("lo").as("lo2"), col("hi").as("hi2"))
+    bk.join(right, Seq("key", "bk"))
+      .filter(col("id") < col("id2") &&
+        col("lo") <= col("hi2") && col("lo2") <= col("hi") &&
+        col("bk") === expr(s"greatest(lo, lo2) div $bucketW"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("key"))
+  }
+}

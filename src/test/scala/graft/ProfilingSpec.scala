@@ -217,6 +217,37 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("D56: blocked interval overlap equals the quadratic count, pairs once") {
+    import graft.ops.IntervalJoin
+    // W=3 forces multi-bucket spans: shared buckets must not double-count
+    val itv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L), (1L, 3L, 20L, 25L),
+      (1L, 4L, 9L, 30L), (1L, 5L, 30L, 40L),
+      (2L, 9L, 0L, 100L)) // other key: alone → no pairs, no output row
+      .toDF("key", "id", "lo", "hi")
+    val out = IntervalJoin.overlapCounts(itv, bucketW = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs for key 1: A-B, A-D, B-D, C-D, D-E (inclusive endpoints)
+    assert(out == Map(1L -> 5L))
+
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(60) {
+        val lo = rnd.nextInt(200).toLong
+        (rnd.nextInt(3).toLong, rnd.nextLong(1000000L),
+          lo, lo + rnd.nextInt(30))
+      }
+      val naive = rows.groupBy(_._1).view.mapValues { g =>
+        (for (a <- g; b <- g
+              if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4) yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = IntervalJoin.overlapCounts(
+        rows.toDF("key", "id", "lo", "hi"), bucketW = 7L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"rows=$rows")
+    }
+  }
+
   test("B20: clean edge reports zero damage without dropping the row") {
     val child = Seq(1L, 1L, 2L).toDF("k")
     val parent = Seq(1L, 2L, 3L).toDF("k")
