@@ -1043,6 +1043,13 @@ object SparkEntry {
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // D57: per-user EWMA behavioral baseline (α = 1/2, identical
+    // integer left-fold both engines)
+    "q_ewma" -> ((s, d) =>
+      ops.Analytics.ewmaBaseline(
+        Tables.events(s, d).select(col("user_id"), col("ts_us"),
+          col("event_id"), cents(col("value")).as("amt_cents")))),
+
     // D56: interval×interval overlap join (7-day order windows per
     // nation) — bucket-blocked with canonical-bucket dedup; the oracle
     // is the DIRECT quadratic overlap join, so a hash match proves the
@@ -3885,6 +3892,17 @@ object SparkEntry {
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // EWMA twin: list(... ORDER BY ts, id) + list_reduce is the same
+    // totally-ordered integer fold as Spark's sort_array + aggregate
+    "q_ewma" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_txn,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list(CAST(round(value*100) AS BIGINT)
+        |         ORDER BY epoch_us(ts), event_id)),
+        |    (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // overlap twin: the direct quadratic join the blocked form must
     // reproduce exactly

@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** D57 — per-key integer EWMA (α = 1/2): the behavioral-baseline
+    * feature behind "is this amount unusual for THIS user" fraud
+    * checks — s ← (x + s) div 2 folded over the user's transactions in
+    * time order, warming from 0 (documented; after ~40 observations
+    * the init bit is fully decayed). The recurrence is inherently
+    * sequential, so it runs as a per-key LEFT FOLD over the collected
+    * value list: Spark's `aggregate` HOF and DuckDB's `list_reduce`
+    * execute the IDENTICAL floor-division fold over the IDENTICAL
+    * totally-ordered list ((ts, id) tie-break), making the smoothed
+    * value hash-exact — no recursive window needed in either engine.
+    *
+    * Scale: one user-keyed shuffle; per-key state is the user's own
+    * event list (bounded by per-user activity, same contract as D45's
+    * collection ops — cap or bucket hyperactive keys upstream).
+    * Values must be non-negative (shift first otherwise): on negatives
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * the H5 divergence, dodged the same way. */
+  def ewmaBaseline(events: DataFrame, key: String = "user_id",
+                   ts: String = "ts_us", id: String = "event_id",
+                   v: String = "amt_cents"): DataFrame =
+    events
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(col(ts), col(id), col(v).as("v")))).as("xs"))
+      .select(col(key), size(col("xs")).cast("long").as("n_txn"),
+        expr("aggregate(transform(xs, e -> e.v), CAST(0 AS BIGINT), " +
+          "(acc, x) -> (acc + x) div 2)").as("ewma_cents"))
+      .orderBy(col(key))
+
   /** D31 — per-user time-weighted average: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_max−t_min),
     * the step-function integral of a piecewise-constant metric. Weighted
     * products and span are exact BIGINT; the average is one IEEE

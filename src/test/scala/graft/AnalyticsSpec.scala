@@ -48,4 +48,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
       (1L, 0L) -> 1L))
   }
+
+  test("D57: EWMA folds in time order regardless of row order, exact halves") {
+    import spark.implicits._
+    // time order 100, 50, 30: s = 0 → 50 → 50 → 40
+    val rows = Seq(
+      (1L, 300L, 3L, 30L), (1L, 100L, 1L, 100L), (1L, 200L, 2L, 50L),
+      (2L, 100L, 9L, 7L)) // single txn: (0+7) div 2 = 3 (floor)
+    val out = Analytics.ewmaBaseline(
+      rows.toDF("user_id", "ts_us", "event_id", "amt_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((3L, 40L)), 2L -> ((1L, 3L))))
+    // tie on ts: event_id breaks it — (0+10)/2=5, (5+20)/2=12 vs
+    // reversed would be (0+20)/2=10, (10+10)/2=10
+    val tie = Seq((1L, 100L, 1L, 10L), (1L, 100L, 2L, 20L))
+    val r = Analytics.ewmaBaseline(
+      tie.toDF("user_id", "ts_us", "event_id", "amt_cents"))
+      .collect().head
+    assert(r.getLong(2) == 12L)
+  }
 }
