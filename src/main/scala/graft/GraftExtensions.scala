@@ -102,5 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.LexiconHitsL(children.head,
           children(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
             .toString.split(",").toSeq)))
+    // I24 generator — usable as a SQL table-generating function:
+    // SELECT doc_id, g FROM docs, LATERAL explode_ngram_hashes(text, 2)
+    ext.injectFunction((
+      FunctionIdentifier("explode_ngram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.NgramHashExplode].getName,
+        "explode_ngram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NgramHashExplode(children.head,
+          children(1).eval().asInstanceOf[Int])))
   }
 }

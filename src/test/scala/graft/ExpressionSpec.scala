@@ -253,6 +253,11 @@ class ExpressionSpec extends SparkSpec {
       "SELECT topk_min_l(v, 2) AS tk FROM VALUES (5L),(1L),(3L) AS t(v)")
       .collect().head.getSeq[Long](0)
     assert(tk == Seq(1L, 3L))
+    // the generator goes through a Generate node, from SQL
+    val gn = spark.sql(
+      "SELECT explode_ngram_hashes(t.s, 2) FROM VALUES ('a b c') AS t(s)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gn.length == 2 && gn.map(_._1).toSeq == Seq(0L, 1L))
   }
 
   test("I24 generator streams the same (pos, hash) rows as posexplode of the array") {
