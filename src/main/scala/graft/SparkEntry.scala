@@ -1043,6 +1043,14 @@ object SparkEntry {
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // D58: exact distinct users per event type via packed bitset
+    // words — the dense-domain exact alternative to D52/D55
+    "q_bitset_distinct" -> ((s, d) =>
+      ops.Sketches.bitsetDistinct(
+        Tables.events(s, d).select(col("event_type").as("et"),
+          col("user_id")),
+        grp = "et", id = "user_id")),
+
     // D57: per-user EWMA behavioral baseline (α = 1/2, identical
     // integer left-fold both engines)
     "q_ewma" -> ((s, d) =>
@@ -3892,6 +3900,17 @@ object SparkEntry {
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // bitset twin: identical word/bit packing, bit_or fold, popcount
+    "q_bitset_distinct" ->
+      """WITH b AS (
+        |  SELECT event_type AS et, user_id // 63 AS w,
+        |    CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS m
+        |  FROM events),
+        |mw AS (SELECT et, w, bit_or(m) AS mask FROM b GROUP BY 1, 2)
+        |SELECT et, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words
+        |FROM mw GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // EWMA twin: list(... ORDER BY ts, id) + list_reduce is the same
     // totally-ordered integer fold as Spark's sort_array + aggregate

@@ -132,6 +132,17 @@ class SketchesSpec extends SparkSpec {
     assert(rows(2L)._2 == 3L * rows(1L)._2)
   }
 
+  test("bitset distinct equals countDistinct exactly, duplicates collapse to bits") {
+    val rnd = new scala.util.Random(31L)
+    val rows = Seq.fill(3000)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "id")
+    val got = Sketches.bitsetDistinct(df.union(df), "g", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("HLL: multiplicity-blind — duplicating every row leaves the estimate fixed") {
     val base = (1L to 3000L).map(i => (i % 3, i)).toDF("g", "v")
     val once = Sketches.hllDistinct(base, "g", "v")
