@@ -1043,6 +1043,19 @@ object SparkEntry {
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // B22: dictionary-encode event_type (value-ordered dense ids) and
+    // aggregate on the encoded column — dictionary joined back for
+    // the readable report
+    "q_dict_encode" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"))
+      val dict = etl.Dictionary.build(ev, "event_type")
+      etl.Dictionary.encode(ev, "event_type", dict)
+        .groupBy(col("event_type_id")).agg(count(lit(1)).as("n"))
+        .join(dict.select(col("id").as("event_type_id"), col("value")),
+          Seq("event_type_id"))
+        .orderBy(col("event_type_id"))
+    }),
+
     // D58: exact distinct users per event type via packed bitset
     // words — the dense-domain exact alternative to D52/D55
     "q_bitset_distinct" -> ((s, d) =>
@@ -3900,6 +3913,22 @@ object SparkEntry {
         |    ORDER BY rrf_u DESC, item_id) AS BIGINT) AS rnk
         |  FROM f)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // dictionary twin: row_number over the sorted distinct domain
+    "q_dict_encode" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT event_type AS value FROM events
+        |  WHERE event_type IS NOT NULL),
+        |d AS (SELECT value,
+        |        CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT)
+        |          AS id
+        |      FROM dd),
+        |c AS (SELECT d.id AS event_type_id, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM events e JOIN d ON e.event_type = d.value
+        |      GROUP BY 1)
+        |SELECT c.event_type_id, c.n, d.value
+        |FROM c JOIN d ON d.id = c.event_type_id
+        |ORDER BY 1""".stripMargin,
 
     // bitset twin: identical word/bit packing, bit_or fold, popcount
     "q_bitset_distinct" ->

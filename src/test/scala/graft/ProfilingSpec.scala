@@ -217,6 +217,28 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("B22: dictionary ids are a pure function of the value SET; encode round-trips") {
+    import graft.etl.Dictionary
+    val a = Seq("pear", "apple", "pear", "fig").toDF("fruit")
+    val b = Seq("fig", "pear", "apple", "apple", "apple").toDF("fruit")
+    // different multiplicities and row orders, same value set → same dict
+    val da = Dictionary.build(a, "fruit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val db = Dictionary.build(b, "fruit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(da == db && da == Map("apple" -> 0L, "fig" -> 1L, "pear" -> 2L))
+    // encode → decode returns the original values; NULL stays NULL
+    val withNull = Seq(Some("fig"), None, Some("apple")).toDF("fruit")
+    val dict = Dictionary.build(withNull, "fruit")
+    val enc = Dictionary.encode(withNull, "fruit", dict)
+    val back = enc.join(dict.select(col("id").as("fruit_id"),
+        col("value")), Seq("fruit_id"), "left")
+      .select(col("value")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getString(0))).toSet
+    assert(back == Set(Some("fig"), Some("apple"), None))
+    assert(enc.filter(col("fruit_id").isNull).count() == 1L)
+  }
+
   test("D56: blocked interval overlap equals the quadratic count, pairs once") {
     import graft.ops.IntervalJoin
     // W=3 forces multi-bucket spans: shared buckets must not double-count
