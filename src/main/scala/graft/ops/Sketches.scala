@@ -185,6 +185,13 @@ object Sketches {
     * The final count is Σ bit_count(word) — pure integer ops both
     * engines, so the EXACT count hash-verifies the packing itself. */
   def bitsetDistinct(pairs: DataFrame, grp: String, id: String): DataFrame =
+    bitsetFinish(bitsetWords(pairs, grp, id), grp)
+
+  /** The (group, word) → mask frame. Split out because bit_or is
+    * exactly mergeable: under a complete-mode streaming aggregation
+    * this IS the F18 incrementally-maintained exact-distinct state,
+    * bounded at groups·⌈domain/63⌉ rows regardless of stream length. */
+  def bitsetWords(pairs: DataFrame, grp: String, id: String): DataFrame =
     pairs
       // 63 bits per word: bit 63 would make 1<<63 overflow a signed
       // BIGINT, which DuckDB rejects loudly (and Spark wraps silently)
@@ -192,6 +199,10 @@ object Sketches {
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($id % 63 AS INT))").as("m"))
       .groupBy(col(grp), col("w"))
       .agg(bit_or(col("m")).as("mask"))
+
+  /** Popcount finisher over the word frame (tiny). */
+  def bitsetFinish(words: DataFrame, grp: String): DataFrame =
+    words
       .groupBy(col(grp))
       .agg(sum(bit_count(col("mask"))).cast("long").as("n_distinct"),
         count(lit(1)).as("n_words"))

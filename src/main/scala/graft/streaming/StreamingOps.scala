@@ -293,6 +293,17 @@ object StreamingOps {
                            v: String = "v", p: Int = 6): DataFrame =
     graft.ops.Sketches.hllRegisters(pairs, grp, v, p)
 
+  /** F18 — streaming EXACT distinct maintenance (D58 run live): the
+    * (group, word) → mask bitset as a complete-mode grouped
+    * aggregation — bit_or merges associatively, so micro-batch folding
+    * lands on the batch words, and state is bounded at
+    * groups·⌈domain/63⌉ rows forever (an exact streaming countDistinct
+    * would buffer every id). The popcount finisher turns each snapshot
+    * into exact per-group distinct counts. */
+  def bitsetMaintenanceStream(pairs: DataFrame, grp: String = "g",
+                              id: String = "v"): DataFrame =
+    graft.ops.Sketches.bitsetWords(pairs, grp, id)
+
   /** F17 — streaming drift-monitor state (B16 run live): the CURRENT
     * window's binned counts as a complete-mode grouped aggregation
     * with bin bounds FIXED from the deployed baseline (production

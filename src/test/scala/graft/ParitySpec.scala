@@ -458,6 +458,31 @@ class ParitySpec extends SparkSpec {
     assert(se.exceptAll(be).isEmpty && be.exceptAll(se).isEmpty)
   }
 
+  test("F18 streaming bitset maintenance equals the batch exact distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingOps.bitsetMaintenanceStream(in.toDS().toDF("g", "v"))
+      .writeStream.format("memory").queryName("bitsetstream")
+      .outputMode("complete").start()
+    val all = (0L until 3000L).map(i => (i % 3, i % 700))
+    val (b1, rest) = all.splitAt(1000)
+    val (b2, b3) = rest.splitAt(1000)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2 ++ b1.take(200): _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bitsetstream")
+    val batch = graft.ops.Sketches.bitsetWords(all.toDF("g", "v"), "g", "v")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // state bounded by the word file: 3 groups × ⌈700/63⌉ words
+    assert(streamed.count() <= 3L * 12L)
+    val se = graft.ops.Sketches.bitsetFinish(streamed, "g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = all.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(se == want, "finished snapshot must be the exact distinct count")
+  }
+
   test("F17 streaming drift bins equal the batch monitor end to end") {
     import graft.etl.DataQuality
     implicit val sqlCtx = spark.sqlContext
