@@ -67,6 +67,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("eighth-leg plan shapes: map-side sketch partials, domain-sized dictionary sort") {
+    // D55 HLL registers and D58 bitset words must plan partial+final
+    // aggregates — the exchange carries register/word partials, never
+    // raw rows (that bound is the entire scale story of both sketches)
+    for ((q, agg) <- Seq("q_hll_distinct" -> "partial_max",
+                         "q_bitset_distinct" -> "partial_bit_or")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains(agg), s"$q must map-side combine ($agg):\n$plan")
+    }
+    // B22 dictionary: the global sort feeds from a DISTINCT aggregate
+    // (domain-sized), never from the raw column
+    val dict = graft.etl.Dictionary.build(
+      graft.sources.Tables.events(spark, sf).select(col("event_type")),
+      "event_type").queryExecution.executedPlan.toString
+    val sortLine = dict.linesIterator.indexWhere(_.contains("Sort"))
+    assert(sortLine >= 0 && dict.contains("HashAggregate"),
+      s"dictionary must sort the aggregated domain, not the corpus:\n$dict")
+    // D56 interval overlap: the candidate join must be a hash join on
+    // (key, bucket) — no nested loop from the inequality predicate
+    val io = SparkEntry.queries("q_interval_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!io.contains("CartesianProduct") &&
+      !io.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay a bucketed hash join:\n$io")
+  }
+
   test("stratified sample and chunking plan shapes hold at scale") {
     // top-N per stratum must push into WindowGroupLimit (no full sort of
     // a stratum's partition survives to the window)
