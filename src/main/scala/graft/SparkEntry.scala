@@ -877,6 +877,14 @@ object SparkEntry {
           cents(col("value")).as("v_cents")))),
     "q_funnel" -> ((s, d) => ops.Analytics.funnel(Tables.events(s, d))),
     "q_cohort" -> ((s, d) => ops.Analytics.cohortRetention(Tables.events(s, d))),
+    "q_seq_pattern" -> ((s, d) =>
+      ops.Analytics.patternEpisodes(Tables.events(s, d))),
+    "q_lm_quality" -> ((s, d) =>
+      ops.LmQuality.score(Tables.documents(s, d))),
+    "q_shuffle_shards" -> ((s, d) =>
+      ops.TrainingData.deterministicShuffle(Tables.documents(s, d))),
+    "q_copurchase" -> ((s, d) =>
+      ops.MarketBasket.coPurchase(Tables.lineitem(s, d))),
 
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
@@ -3568,6 +3576,107 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // D59 twin: identical code string (string_agg with the same total
+    // (ts, event_id) order), RE2 counting the same forced-extent
+    // episodes Java's regex counts (see Analytics.patternEpisodes).
+    "q_seq_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'e' END AS code
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    string_agg(code, '' ORDER BY ts_us, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, seq,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnel,
+        |  CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // E50 twin: same contraction, same doc-weighted model counts, and
+    // bl(x) as length(to_base(x,2)) — integer bit lengths, so the
+    // stupid-backoff code lengths replay bit-for-bit.
+    "q_lm_quality" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS ch, text FROM documents),
+        |reps AS (SELECT ch, min(doc_id) AS rep,
+        |    CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tcnt
+        |  FROM m GROUP BY 1),
+        |members AS (SELECT r.rep, m.doc_id FROM m JOIN reps r USING (ch)),
+        |rd AS (SELECT m.doc_id, string_split(m.text, ' ') AS t
+        |  FROM m JOIN reps r ON m.doc_id = r.rep),
+        |toks AS (SELECT doc_id, unnest(t) AS w FROM rd),
+        |p2 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM rd WHERE len(t) >= 2),
+        |tc AS (SELECT rep AS doc_id, tcnt FROM reps),
+        |uni AS (SELECT w, CAST(sum(tc.tcnt) AS BIGINT) AS c1
+        |  FROM toks JOIN tc USING (doc_id) WHERE tc.tcnt > 0 GROUP BY 1),
+        |big AS (SELECT w1, w2, CAST(sum(tc.tcnt) AS BIGINT) AS c2
+        |  FROM p2 JOIN tc USING (doc_id) WHERE tc.tcnt > 0 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS tot FROM uni),
+        |bits AS (SELECT p.doc_id,
+        |    CAST(CASE WHEN b.c2 IS NOT NULL
+        |      THEN length(to_base(u1.c1, 2)) - length(to_base(b.c2, 2))
+        |    WHEN u2.c1 IS NOT NULL
+        |      THEN length(to_base(t.tot, 2)) - length(to_base(u2.c1, 2)) + 4
+        |    ELSE length(to_base(t.tot, 2)) + 8 END AS BIGINT) AS bits
+        |  FROM p2 p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot t),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(bits) AS BIGINT) AS bits_sum FROM bits GROUP BY 1),
+        |f AS (SELECT r.rep, COALESCE(sc.n_pairs, 0) AS n_pairs,
+        |    COALESCE(sc.bits_sum, 0) AS bits_sum
+        |  FROM reps r LEFT JOIN sc ON sc.doc_id = r.rep)
+        |SELECT mem.doc_id, f.n_pairs, f.bits_sum,
+        |  CAST(CASE WHEN f.n_pairs > 0 THEN (1000 * f.bits_sum) // f.n_pairs
+        |    ELSE -1 END AS BIGINT) AS mbits_per_pair
+        |FROM f JOIN members mem ON mem.rep = f.rep
+        |ORDER BY mem.doc_id""".stripMargin,
+
+    // E51 twin: one md5 per row drives both the shard assignment
+    // (first-8-hex mod N, the E23 idiom — non-negative, so % == pmod)
+    // and the within-shard rank.
+    "q_shuffle_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |a AS (SELECT doc_id, rk,
+        |    CAST(('0x' || substr(rk, 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM r)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM a ORDER BY shard, pos""".stripMargin,
+
+    // D60 twin: identical Apriori prune, pair join, and exact ppm lift
+    // (integer floor-div on both sides, all operands non-negative).
+    "q_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS nf FROM items
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |kept AS (SELECT i.o, i.p FROM items i JOIN freq f USING (p)),
+        |tot AS (
+        |  SELECT CAST(count(DISTINCT o) AS BIGINT) AS tot FROM items),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.p1, p.p2, p.n_orders,
+        |  (p.n_orders * t.tot * 1000000) // (f1.nf * f2.nf) AS lift_ppm
+        |FROM pairs p
+        |JOIN freq f1 ON f1.p = p.p1
+        |JOIN freq f2 ON f2.p = p.p2
+        |CROSS JOIN tot t
+        |ORDER BY p.p1, p.p2""".stripMargin,
 
     "q_salted_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,

@@ -120,4 +120,49 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
+
+  /** D59 — sequence-pattern episode counting (MATCH_RECOGNIZE-lite,
+    * reference: the fraud rules' ordered-behavior shape generalized to
+    * arbitrary episode patterns, rep_fraud.py's guessing rule being the
+    * hand-rolled special case). Each user's event history becomes one
+    * code string in (ts, event_id) order — view→v, click→c,
+    * purchase→p, signup→s, error→e — and episodes are counted as
+    * NON-OVERLAPPING regex matches over that string. The default
+    * `vc*p` is "a view, any number of clicks, then a purchase, with
+    * nothing else in between" — the strict-adjacency funnel that D32's
+    * cascading-min funnel (which allows gaps) cannot express.
+    *
+    * Cross-engine determinism: for patterns of the `x y* z` family a
+    * match at a given start position has exactly one possible extent
+    * (the literal head, a maximal same-code run, a forced literal
+    * tail), so Java's backtracking scan and DuckDB RE2's
+    * leftmost-match scan count identical non-overlapping episodes —
+    * no dialect feature (lookaround, lazy quantifier, alternation
+    * precedence) is in play.
+    *
+    * Scale: one user-keyed shuffle; per-key state is the user's own
+    * coded history (bounded by per-user activity — the D45/D57
+    * contract; cap or window hyperactive keys upstream). The regex
+    * scan is linear per user and runs inside codegen. */
+  def patternEpisodes(events: DataFrame, funnelPat: String = "vc*p",
+                      directPat: String = "vp"): DataFrame = {
+    val code = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    events
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id"), code.as("code")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("long").as("n_events"),
+        array_join(expr("transform(xs, e -> e.code)"), "").as("seq"))
+      .withColumn("n_funnel",
+        regexp_count(col("seq"), lit(funnelPat)).cast("long"))
+      .withColumn("n_direct",
+        regexp_count(col("seq"), lit(directPat)).cast("long"))
+      .orderBy(col("user_id"))
+  }
 }

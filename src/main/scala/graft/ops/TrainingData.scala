@@ -511,4 +511,35 @@ object TrainingData {
       .filter(col("rn") <= perKey)
       .orderBy(col("lang"), col("rn"))
   }
+
+  /** E51 — deterministic global shuffle + shard layout: the
+    * training-data WRITER's final step. Every epoch-0 data-loading
+    * stack wants the corpus in a pseudorandom order that is (a) fully
+    * determined by a seed (reproducible runs, resumable jobs), (b)
+    * independent of cluster layout / partition count / input file
+    * order, and (c) split into N equal-ish shards whose WITHIN-shard
+    * order is also deterministic. One md5 per row provides all three:
+    * shard = first-8-hex-digits mod N (the E23 split idiom), position
+    * = rank of the full digest within the shard.
+    *
+    * Scale: NO global sort — the only exchange is the hash partition
+    * on `shard`, and each shard sorts its own ~corpus/N rows under the
+    * window. Shard count is the written-file parallelism; at 100 TB
+    * pick N in the thousands and each per-shard sort is executor-sized.
+    * Expected shard imbalance is √(n/N) rows (binomial), negligible at
+    * scale and asserted small in TrainingDataSpec. */
+  def deterministicShuffle(docs: DataFrame, nShards: Int = 8,
+                           seed: String = "shuf42"): DataFrame = {
+    val ranked = docs.select(col("doc_id"),
+      md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 8), 16, 10).cast(LongType),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("rk"), col("doc_id"))
+    ranked
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

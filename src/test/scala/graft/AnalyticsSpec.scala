@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Analytics
+import graft.ops.{Analytics, MarketBasket}
 
 /** Hand-computed semantics for the D31–D33 event-analytics operators. */
 class AnalyticsSpec extends SparkSpec {
@@ -47,6 +47,52 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
       (1L, 0L) -> 1L))
+  }
+
+  test("D59: pattern episodes count non-overlapping matches in time order") {
+    // user 1 in time order: v c c p v p x(error) v c  → seq "vccpvpev c"?
+    //   codes: v,c,c,p,v,p,e,v,c → "vccpvpevc"
+    //   vc*p episodes: "vccp" at 0, "vp" at 4 → 2; trailing "vc" unmatched
+    //   vp direct: only position 4 → 1
+    // user 2: p v (purchase before view) → no episodes
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "click"),
+      (1L, 40L, 4L, "purchase"), (1L, 50L, 5L, "view"),
+      (1L, 60L, 6L, "purchase"), (1L, 70L, 7L, "error"),
+      (1L, 80L, 8L, "view"), (1L, 90L, 9L, "click"),
+      (2L, 10L, 10L, "purchase"), (2L, 20L, 11L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Analytics.patternEpisodes(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("vccpvpevc", 2L, 1L)))
+    assert(out(2L) == (("pv", 0L, 0L)))
+  }
+
+  test("D59: ties on ts break on event_id and greedy runs absorb clicks") {
+    // same ts: event_id orders c(1) before v(2)? No — sorted by (ts,
+    // event_id): (10,1,v),(10,2,c),(20,3,p) → "vcp" → one episode.
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 10L, 2L, "click"), (1L, 20L, 3L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val r = Analytics.patternEpisodes(ev).collect()(0)
+    assert(r.getString(2) == "vcp" && r.getLong(3) == 1L)
+  }
+
+  test("D60: co-purchase counts distinct-basket pairs with exact ppm lift") {
+    // baskets: o1{1,2,3} o2{1,2} o3{1,2} o4{3,4} o5{4}; the duplicate
+    // (o2,1) line must not double-count. Only (1,2) reaches support 2:
+    // n=3, nf1=nf2=3, tot=5 → lift = 3·5·10⁶ div 9 = 1_666_666.
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L), (4L, 4L),
+      (5L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = MarketBasket.coPurchase(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 1666666L)))
   }
 
   test("D57: EWMA folds in time order regardless of row order, exact halves") {

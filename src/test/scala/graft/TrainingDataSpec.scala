@@ -148,4 +148,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(splits.map(_._2) == Set("train", "val", "test"))
     assert(run() == ((nKept, nChunks, nPacked, splits)), "pipeline must be deterministic")
   }
+
+  test("E51: deterministic shuffle is a layout-independent permutation") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = TrainingData.deterministicShuffle(docs, nShards = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every doc exactly once
+    assert(rows.map(_._1).toSet.size == n.toInt && rows.length == n.toInt)
+    // within each shard, positions are contiguous 0..count-1
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong))
+    }
+    // every shard populated, and no shard hogs the corpus (loose 3×
+    // bound on the binomial split — deterministic given the fixed seed)
+    val sizes = rows.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 4 && sizes.max < 3 * sizes.min)
+    // physical-layout independence: a different input partitioning and
+    // row order must produce the identical (doc, shard, pos) triples
+    val reshuffled = TrainingData.deterministicShuffle(
+      docs.repartition(13, col("n_chars")), nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reshuffled.toSet == rows.toSet)
+  }
 }
