@@ -885,6 +885,8 @@ object SparkEntry {
       ops.TrainingData.deterministicShuffle(Tables.documents(s, d))),
     "q_copurchase" -> ((s, d) =>
       ops.MarketBasket.coPurchase(Tables.lineitem(s, d))),
+    "q_lm_buckets" -> ((s, d) =>
+      ops.LmQuality.perplexityBuckets(Tables.documents(s, d))),
 
     // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
     // different sketches, so no SQL oracle — driver's rows-only check.
@@ -3639,6 +3641,62 @@ object SparkEntry {
         |    ELSE -1 END AS BIGINT) AS mbits_per_pair
         |FROM f JOIN members mem ON mem.rep = f.rep
         |ORDER BY mem.doc_id""".stripMargin,
+
+    // E52 twin: the E50 chain + the distinct-value tercile cuts
+    // (3·cum ≥ k·n — exact integer ceil), value-based bucket edges.
+    "q_lm_buckets" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS ch, text FROM documents),
+        |reps AS (SELECT ch, min(doc_id) AS rep,
+        |    CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tcnt
+        |  FROM m GROUP BY 1),
+        |members AS (SELECT r.rep, m.doc_id FROM m JOIN reps r USING (ch)),
+        |rd AS (SELECT m.doc_id, string_split(m.text, ' ') AS t
+        |  FROM m JOIN reps r ON m.doc_id = r.rep),
+        |toks AS (SELECT doc_id, unnest(t) AS w FROM rd),
+        |p2 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM rd WHERE len(t) >= 2),
+        |tc AS (SELECT rep AS doc_id, tcnt FROM reps),
+        |uni AS (SELECT w, CAST(sum(tc.tcnt) AS BIGINT) AS c1
+        |  FROM toks JOIN tc USING (doc_id) WHERE tc.tcnt > 0 GROUP BY 1),
+        |big AS (SELECT w1, w2, CAST(sum(tc.tcnt) AS BIGINT) AS c2
+        |  FROM p2 JOIN tc USING (doc_id) WHERE tc.tcnt > 0 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS tot FROM uni),
+        |bits AS (SELECT p.doc_id,
+        |    CAST(CASE WHEN b.c2 IS NOT NULL
+        |      THEN length(to_base(u1.c1, 2)) - length(to_base(b.c2, 2))
+        |    WHEN u2.c1 IS NOT NULL
+        |      THEN length(to_base(t.tot, 2)) - length(to_base(u2.c1, 2)) + 4
+        |    ELSE length(to_base(t.tot, 2)) + 8 END AS BIGINT) AS bits
+        |  FROM p2 p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot t),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(bits) AS BIGINT) AS bits_sum FROM bits GROUP BY 1),
+        |sd AS (SELECT mem.doc_id, doc.lang,
+        |    CAST((1000 * sc.bits_sum) // sc.n_pairs AS BIGINT)
+        |      AS mbits_per_pair
+        |  FROM sc JOIN members mem ON mem.rep = sc.doc_id
+        |  JOIN documents doc ON doc.doc_id = mem.doc_id),
+        |hist AS (SELECT lang, mbits_per_pair, CAST(count(*) AS BIGINT) AS c
+        |  FROM sd GROUP BY 1, 2),
+        |cum AS (SELECT lang, mbits_per_pair,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY mbits_per_pair) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cuts AS (SELECT lang,
+        |    min(CASE WHEN cum * 3 >= n THEN mbits_per_pair END) AS t1,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN mbits_per_pair END) AS t2
+        |  FROM cum GROUP BY 1)
+        |SELECT sd.doc_id, sd.lang, sd.mbits_per_pair,
+        |  CASE WHEN sd.mbits_per_pair <= c.t1 THEN 'head'
+        |    WHEN sd.mbits_per_pair <= c.t2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM sd JOIN cuts c USING (lang)
+        |ORDER BY sd.doc_id""".stripMargin,
 
     // E51 twin: one md5 per row drives both the shard assignment
     // (first-8-hex mod N, the E23 idiom — non-negative, so % == pmod)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E50 — n-gram language-model quality scoring (the CCNet/KenLM
@@ -94,6 +95,43 @@ object LmQuality {
         when(col("n_pairs") > 0,
           expr("(1000 * bits_sum) div n_pairs")).otherwise(-1L)
           .as("mbits_per_pair"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E52 — CCNet's head/middle/tail perplexity gate: per-language
+    * tercile buckets over the E50 score (Wenzek et al., LREC 2020 —
+    * CCNet keeps "head" and often "middle", drops "tail").
+    *
+    * The cutoffs come from a DISTINCT-VALUE contraction, not a
+    * per-language rank: score values are bucketed (lang, mbits) with
+    * counts, the cumulative window runs over that domain-sized frame,
+    * and t_k = min score whose cumulative mass covers k/3 of the
+    * language (3·cum ≥ k·n — exact integer form of cum ≥ ⌈k·n/3⌉).
+    * A per-language `ntile` would sort the whole corpus in one reducer
+    * per language (languages are few — the worst window skew); the
+    * contraction's window input is the score DOMAIN, thousands of rows
+    * at any corpus size, and bucket assignment is a broadcast-join
+    * comparison. Ties share a value and land in one bucket — the
+    * value-based semantics both engines replay exactly (the H4/H8
+    * distinct-score discipline). Unscoreable docs (< 2 tokens) are
+    * excluded, as in CCNet. */
+  def perplexityBuckets(docs: DataFrame, trainMod: Long = 5): DataFrame = {
+    val scored = score(docs, trainMod).filter(col("n_pairs") > 0)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hist = scored.groupBy(col("lang"), col("mbits_per_pair"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("lang")).orderBy(col("mbits_per_pair"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val cuts = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("n"), col("mbits_per_pair"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("mbits_per_pair"))).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mbits_per_pair"),
+        when(col("mbits_per_pair") <= col("t1"), "head")
+          .when(col("mbits_per_pair") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 }

@@ -347,4 +347,50 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_cents"))
+
+  /** One keyed input event for [[episodeStream]]. */
+  case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long,
+                      event_type: String)
+  case class SeqHistory(evs: List[(Long, Long, String)])
+  case class SeqCounts(user_id: Long, n_events: Long, seq: String,
+                       n_funnel: Long, n_direct: Long)
+
+  /** F19 — streaming episode maintenance (D59 live): each user's coded
+    * history is the keyed state, merged SORTED on every update so
+    * cross-batch and out-of-order arrivals land in the same total
+    * (ts, event_id) order the batch operator uses, then the episode
+    * regexes recount over the merged string. Per-key state is the
+    * user's own coded history — the same bounded-by-activity contract
+    * as batch D59 (cap or time-window hyperactive keys upstream); the
+    * counts themselves are NOT mergeable across arbitrary splits (an
+    * episode can straddle a batch boundary), which is exactly why the
+    * history, not the counts, is the state. Update mode: one refreshed
+    * row per touched user per trigger. */
+  def episodeStream(events: Dataset[SeqEvent], funnelPat: String = "vc*p",
+                    directPat: String = "vp"): Dataset[SeqCounts] = {
+    import events.sparkSession.implicits._
+    def code(t: String): String = t match {
+      case "view" => "v"; case "click" => "c"; case "purchase" => "p"
+      case "signup" => "s"; case _ => "e"
+    }
+    def count(p: String, s: String): Long = {
+      val m = java.util.regex.Pattern.compile(p).matcher(s)
+      var c = 0L
+      while (m.find()) c += 1
+      c
+    }
+    def step(u: Long, rows: Iterator[SeqEvent],
+             st: GroupState[SeqHistory]): SeqCounts = {
+      val merged =
+        (st.getOption.map(_.evs).getOrElse(Nil) ++
+          rows.map(e => (e.ts_us, e.event_id, code(e.event_type))))
+          .sortBy(x => (x._1, x._2))
+      st.update(SeqHistory(merged))
+      val seq = merged.map(_._3).mkString
+      SeqCounts(u, merged.size.toLong, seq,
+        count(funnelPat, seq), count(directPat, seq))
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
 }

@@ -43,6 +43,26 @@ class LmQualitySpec extends SparkSpec {
     assert(out(20L) == out(5L))
   }
 
+  test("E52: tercile buckets split each language at value boundaries") {
+    val out = LmQuality.perplexityBuckets(
+      graft.sources.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // buckets are value-disjoint and ordered head < middle < tail
+      for {
+        h <- by.get("head"); m <- by.get("middle")
+      } assert(h.max < m.min, s"$lang head/middle overlap")
+      for {
+        m <- by.get("middle"); t <- by.get("tail")
+      } assert(m.max < t.min, s"$lang middle/tail overlap")
+      // head mass reaches at least a third (ties can push it past)
+      assert(by("head").length * 3 >= rs.length,
+        s"$lang head covers < 1/3")
+    }
+  }
+
   test("E50: train-slice weighting — held-out text contributes no counts") {
     // If doc 5's z leaked into the model, (b,z) would not be OOV.
     // Re-score with z PRESENT in a train doc: backoff replaces OOV and

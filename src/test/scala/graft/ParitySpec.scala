@@ -559,4 +559,44 @@ class ParitySpec extends SparkSpec {
     // and the two-batch path really produced two history versions
     assert(new java.io.File(hist).list().count(_.startsWith("v=")) == 2)
   }
+
+  test("F19 streaming episode maintenance equals the batch pattern counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SeqCounts, SeqEvent}
+    // user 1's opening view ARRIVES in batch 2 (out of order across
+    // batches): the funnel episode v..c..p only exists after the state
+    // merge re-sorts history — counting per batch could never see it.
+    val b1 = Seq(
+      SeqEvent(1L, 20L, 2L, "click"), SeqEvent(1L, 30L, 3L, "purchase"),
+      SeqEvent(2L, 10L, 4L, "view"), SeqEvent(2L, 20L, 5L, "purchase"))
+    val b2 = Seq(
+      SeqEvent(1L, 10L, 1L, "view"),
+      SeqEvent(2L, 30L, 6L, "view"), SeqEvent(2L, 40L, 7L, "click"),
+      SeqEvent(3L, 10L, 8L, "error"))
+    val in = MemoryStream[SeqEvent]
+    val q = StreamingOps.episodeStream(in.toDS())
+      .writeStream.format("memory").queryName("episodes")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // update mode appends one refreshed row per touched user per
+      // trigger; n_events grows strictly, so max(n_events) per user IS
+      // the final state
+      val streamed = spark.table("episodes").as[SeqCounts].collect()
+        .groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.n_events)).values
+        .map(c => (c.user_id, c.n_events, c.seq, c.n_funnel, c.n_direct))
+        .toSet
+      val batch = graft.ops.Analytics.patternEpisodes(
+        (b1 ++ b2).map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+          .toDF("user_id", "ts_us", "event_id", "event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // and the cross-batch episode really materialized
+      assert(streamed.exists(t => t._1 == 1L && t._3 == "vcp" && t._4 == 1L))
+    } finally q.stop()
+  }
 }
