@@ -30,14 +30,16 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Events = the transaction-stream analog (reference
-    * DWH_FACT_TRANSACTIONS). `ts` is nanosecond-precision INT64 in the
-    * parquet, which Spark's parquet reader rejects as a timestamp; we
-    * read it as raw nanos (`nanosAsLong`) and expose:
-    *   - `ts_us`  epoch microseconds BIGINT (== DuckDB `epoch_us(ts)`,
-    *     both floor-truncate ns→µs) — the canonical event time for all
-    *     arithmetic; exact integers survive any engine's precision rules.
-    *   - `ts_t`   TimestampType reconstructed from `ts_us` for window /
-    *     date functions.
+    * DWH_FACT_TRANSACTIONS). The parquet's `ts` physical type has varied
+    * across testdata generations — ns-precision INT64 (readable only as a
+    * raw long under `nanosAsLong`) or µs-precision timestamp (surfacing as
+    * TIMESTAMP_NTZ). We normalize both flavors to:
+    *   - `ts_us`  epoch microseconds BIGINT (== DuckDB `epoch_us(ts)`;
+    *     the session timezone is UTC so NTZ wall-clock == UTC instant,
+    *     matching DuckDB's naive-timestamp convention) — the canonical
+    *     event time for all arithmetic; exact integers survive any
+    *     engine's precision rules.
+    *   - `ts_t`   TimestampType for window / date functions.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // GraftSession declares this at construction; guard for sessions
@@ -45,8 +47,14 @@ object Tables {
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .forall(_ != "true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType / TimestampNTZType (µs-precision parquet)
+        val t = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts_us", unix_micros(t)).withColumn("ts_t", t)
+    }
   }
 }
