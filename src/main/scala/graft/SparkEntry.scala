@@ -565,7 +565,11 @@ object SparkEntry {
           array_min(col("arr")).as("min_cents"),
           array_max(col("arr")).as("max_cents"),
           size(filter(col("arr"), x => x % 2 === 0)).cast(LongType).as("n_even"),
-          slice(col("arr"), 1, 3).as("first3"),
+          // serialized (not a raw ARRAY column): every query output must
+          // stay atomic so any downstream oracle/BI harness can
+          // canonicalize rows — see QueryContractSpec
+          array_join(slice(col("arr"), 1, 3).cast("array<string>"), ",")
+            .as("first3"),
           element_at(col("arr"), 1).as("elem1"),
           aggregate(zip_with(col("arr"), reverse(col("arr")), (a, b) => a + b),
             lit(0L), (acc, x) => acc + x).as("zip_sum"),
@@ -1492,7 +1496,7 @@ object SparkEntry {
         |                 WHERE df * 1000000 <= 780000 * n_docs)
         |  GROUP BY term)
         |SELECT s.term, s.df, s.cf,
-        |  COALESCE(p.postings, CAST([] AS BIGINT[])) AS postings
+        |  COALESCE(array_to_string(p.postings, ','), '') AS postings
         |FROM stats s LEFT JOIN post p USING (term)
         |ORDER BY s.term""".stripMargin,
 
@@ -2994,7 +2998,7 @@ object SparkEntry {
         |  list_min(arr) AS min_cents,
         |  list_max(arr) AS max_cents,
         |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
-        |  arr[1:3] AS first3,
+        |  array_to_string(arr[1:3], ',') AS first3,
         |  arr[1] AS elem1,
         |  CAST(2 * list_sum(arr) AS BIGINT) AS zip_sum,
         |  CAST(list_max(arr) > 90000 AS BIGINT) AS has_big

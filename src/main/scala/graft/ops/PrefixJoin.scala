@@ -118,8 +118,11 @@ object PrefixJoin {
     // per-content sizes fall out of `prefix` partition-locally (the
     // window already hashed by doc_id — no new exchange)
     val sizes = prefix.select(col("doc_id"), col("sz")).dropDuplicates("doc_id")
+    // sizes is content-count-sized: no forced broadcast hint — AQE picks
+    // the broadcast at small scale; at web scale this must be allowed to
+    // shuffle rather than OOM an executor
     val within = members
-      .join(broadcast(sizes.select(col("doc_id").as("rep"), col("sz"))), Seq("rep"))
+      .join(sizes.select(col("doc_id").as("rep"), col("sz")), Seq("rep"))
       .select(col("rep"), col("doc_id"), col("sz"))
     val withinPairs = within.select(col("rep"), col("doc_id").as("d1"), col("sz"))
       .join(within.select(col("rep"), col("doc_id").as("d2")), Seq("rep"))

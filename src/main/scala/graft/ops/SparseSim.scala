@@ -87,9 +87,13 @@ object SparseSim {
       .agg(sum(col("tfq") * col("tf")).as("dot"))
     val qNorms = norms.select(col("doc_id").as("qrep"), col("norm2").as("qn2"))
     val contentCos = dots
+      // qNorms is WORKLOAD-sized (≤ qMax/qMod rows) — always broadcastable
       .join(broadcast(qNorms), Seq("qrep"))
-      // norms is content-count-sized — broadcast, never shuffle `dots`
-      .join(broadcast(norms), Seq("doc_id"))
+      // norms is content-count-sized: NO forced hint — at small scale AQE
+      // broadcasts it anyway (it's under the threshold), at 100 TB a
+      // forced broadcast of a billions-row frame is an executor OOM, and
+      // the planner must be free to shuffle `dots` on doc_id instead
+      .join(norms, Seq("doc_id"))
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("norm2").cast("double"))))
       .select(col("qrep"), col("doc_id").as("crep"), col("cos"))

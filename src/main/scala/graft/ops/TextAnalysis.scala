@@ -142,8 +142,8 @@ object TextAnalysis {
     * (doc, term) count, and df falls out of tf for free (tf already has
     * exactly one row per (doc, term), so df = count of tf rows per
     * term) — no second explode, no distinct over the raw token stream.
-    * One explode → tf agg → tiny df agg + a broadcast of the
-    * (vocabulary-sized) document-frequency table.
+    * One explode → tf agg → tiny df agg joined back on term (AQE
+    * broadcasts the document-frequency table while it is small).
     */
   def tfidfTop(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -156,7 +156,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    // df is vocabulary-sized (grows with the corpus): no forced hint —
+    // AQE broadcasts while small, shuffles tf on term at web scale
+    tf.join(df, Seq("term"))
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -193,9 +195,10 @@ object TextAnalysis {
     * counts and materialized once (lazy local checkpoint — per-branch
     * column pruning defeats exchange reuse, see [[TrainingData.dsirScore]]);
     * the corpus bigram model, its prefix denominators, AND the per-doc
-    * scoring all derive from that one reduced frame. Model joins are
-    * broadcasts; the occurrence-weighted average is
-    * `sum(c·ppm) / sum(c)` over the reduced rows. */
+    * scoring all derive from that one reduced frame. Model joins carry
+    * no forced hints (AQE broadcasts them while small); the
+    * occurrence-weighted average is `sum(c·ppm) / sum(c)` over the
+    * reduced rows. */
   def bigramCoherence(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val docBigrams = docs
@@ -209,10 +212,12 @@ object TextAnalysis {
       .agg(sum(col("c")).as("bg_cnt"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val prefix = model.groupBy(col("w1")).agg(sum(col("bg_cnt")).as("w1_cnt"))
-    val scored = model.join(broadcast(prefix), Seq("w1"))
+    // model/prefix are bigram-vocabulary-sized (grow with the corpus):
+    // no forced hints — same rationale as invertedIndex's `keep`
+    val scored = model.join(prefix, Seq("w1"))
       .select(col("bg"), expr("bg_cnt * 1000000 div w1_cnt").as("ppm"))
     docBigrams
-      .join(broadcast(scored), Seq("bg"))
+      .join(scored, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("ppm")).as("sum_ppm"))
@@ -273,14 +278,22 @@ object TextAnalysis {
     val keep = df.crossJoin(broadcast(nDocs))
       .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n_docs"))
       .select(col("term"))
+    // `keep` is vocabulary-sized (under-cap terms): no forced broadcast —
+    // a web-scale bigram vocabulary is billions of terms; let AQE
+    // broadcast only when it measures small
     val postings = dtok
-      .join(broadcast(keep), Seq("term"))
+      .join(keep, Seq("term"))
       .groupBy(col("term"))
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
     cf.join(df, Seq("term"))
       .join(postings, Seq("term"), "left")
+      // postings serialized to a comma-joined string: query outputs stay
+      // atomic (QueryContractSpec) so external canonicalizers can hash
+      // rows; a real shard writer would consume `postings` upstream of
+      // this projection
       .select(col("term"), col("df"), col("cf"),
-        coalesce(col("postings"), array().cast("array<bigint>")).as("postings"))
+        coalesce(array_join(col("postings").cast("array<string>"), ","),
+          lit("")).as("postings"))
       .orderBy(col("term"))
   }
 

@@ -63,6 +63,23 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 2, s"as-of should cost two exchanges, got $exchanges:\n$plan")
   }
 
+  /** Round-5 fix: the content-sized frames (sparse-sim norms, prefix-join
+    * sizes, inverted-index keep, tfidf df, coherence model) no longer
+    * carry forced broadcast() hints — a hint bypasses Spark's size check
+    * and OOMs an executor when distinct contents reach billions. The
+    * plans must still BROADCAST at small scale, just via AQE's measured
+    * decision instead of a forced one. */
+  test("un-hinted content-sized joins still broadcast at test scale via AQE") {
+    for (q <- Seq("q_sparse_sim", "q_prefix_join", "q_tfidf_top")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // materialize so AQE finalizes the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q final plan lost its small-scale broadcasts:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+  }
+
   test("BloomSemiNode expands to the prefilter composition at analysis end") {
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
     val big = Tables.orders(spark, sf)
