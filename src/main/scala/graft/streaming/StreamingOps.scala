@@ -348,6 +348,25 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_cents"))
 
+  /** F13u/F15u — update-mode consumer contract. Complete mode re-emits
+    * the WHOLE state table every micro-batch — fine for sketch-sized
+    * state, unaffordable for a sink that must absorb a full rewrite per
+    * trigger. In update mode the same aggregations emit only the keys
+    * refreshed by that trigger; the sink's current-state table is then
+    * the LAST row per key in batch order, which is exactly what an
+    * upsert (merge-on-key) sink materializes. This helper is that
+    * reassembly, for sinks/tests that capture `(batch_id, delta rows)`:
+    * last-writer-wins per key, batch id descending. */
+  def reassembleUpdates(updates: DataFrame, keys: Seq[String],
+                        batchCol: String = "batch_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(batchCol).desc)
+    updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", batchCol)
+  }
+
   /** One keyed input event for [[episodeStream]]. */
   case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long,
                       event_type: String)

@@ -384,6 +384,111 @@ class ParitySpec extends SparkSpec {
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
   }
 
+  test("F13u update-mode agg deltas are changed-keys-only and reassemble to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    val q = StreamingOps.aggMaintenanceStream(in.toDS().toDF("user_id", "v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r =>
+          (id, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val b1 = Seq((1L, 10L), (1L, 5L), (2L, 7L))
+    val b2 = Seq((1L, 20L), (3L, 1L)) // touches users 1 and 3, NOT 2
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val lastBatch = buf.map(_._1).max
+    // the update-mode contract: the second trigger refreshed only the
+    // touched keys — no user-2 rewrite
+    assert(buf.filter(_._1 == lastBatch).map(_._2).toSet == Set(1L, 3L),
+      s"second trigger should emit users {1,3} only: $buf")
+    val state = StreamingOps.reassembleUpdates(
+      buf.toSeq.toDF("batch_id", "user_id", "n", "sum_cents",
+        "min_cents", "max_cents"),
+      keys = Seq("user_id"))
+    val full = (b1 ++ b2).toDF("user_id", "v").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+    assert(state.exceptAll(full).isEmpty && full.exceptAll(state).isEmpty)
+  }
+
+  test("F15u update-mode CMS deltas touch only rehashed counters and reassemble to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingOps.cmsMaintenanceStream(in.toDS().toDF("tok"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r =>
+          (id, r.getLong(0), r.getLong(1), r.getLong(2)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val b1 = (1 to 40).map(i => s"tok${i % 10}")
+    val b2 = Seq("only-in-batch-two")
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val lastBatch = buf.map(_._1).max
+    // one token hashes into exactly `depth` counters — the second
+    // trigger must not rewrite the whole d×w table
+    assert(buf.count(_._1 == lastBatch) <= 3,
+      s"second trigger rewrote more than the touched counters: $buf")
+    val state = StreamingOps.reassembleUpdates(
+      buf.toSeq.toDF("batch_id", "j", "b", "cnt"), keys = Seq("j", "b"))
+    val batch = graft.ops.Sketches.cmsCounters((b1 ++ b2).toDF("tok"))
+    assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
+  }
+
+  test("F16u/F18u update-mode register and bitset deltas reassemble to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // HLL registers: keys (g, idx), mergeable max
+    val inH = MemoryStream[(Long, Long)]
+    val bufH = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val qH = StreamingOps.hllMaintenanceStream(inH.toDS().toDF("g", "v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        bufH.synchronized { bufH ++= rows }; ()
+      }.start()
+    val h1 = (1L to 200L).map(i => (i % 3, i))
+    val h2 = Seq((0L, 777L))
+    inH.addData(h1: _*); qH.processAllAvailable()
+    inH.addData(h2: _*); qH.processAllAvailable()
+    qH.stop()
+    // one new value touches at most its own (g, idx) register
+    assert(bufH.count(_._1 == bufH.map(_._1).max) <= 1)
+    val stateH = StreamingOps.reassembleUpdates(
+      bufH.toSeq.toDF("batch_id", "g", "idx", "mreg"), keys = Seq("g", "idx"))
+    val batchH = graft.ops.Sketches.hllRegisters(
+      (h1 ++ h2).toDF("g", "v"), "g", "v")
+      .select(col("g"), col("idx"), col("mreg").cast("long"))
+    assert(stateH.exceptAll(batchH).isEmpty && batchH.exceptAll(stateH).isEmpty)
+
+    // bitset words: keys (g, w), mergeable bit_or
+    val inB = MemoryStream[(Long, Long)]
+    val bufB = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val qB = StreamingOps.bitsetMaintenanceStream(inB.toDS().toDF("g", "v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getLong(2)))
+        bufB.synchronized { bufB ++= rows }; ()
+      }.start()
+    val v1 = (1L to 100L).map(i => (i % 2, i))
+    val v2 = Seq((1L, 999L)) // one id -> one (g, word) delta
+    inB.addData(v1: _*); qB.processAllAvailable()
+    inB.addData(v2: _*); qB.processAllAvailable()
+    qB.stop()
+    assert(bufB.count(_._1 == bufB.map(_._1).max) == 1)
+    val stateB = StreamingOps.reassembleUpdates(
+      bufB.toSeq.toDF("batch_id", "g", "w", "mask"), keys = Seq("g", "w"))
+    val batchB = graft.ops.Sketches.bitsetWords((v1 ++ v2).toDF("g", "v"), "g", "v")
+    assert(stateB.exceptAll(batchB).isEmpty && batchB.exceptAll(stateB).isEmpty)
+  }
+
   test("F14 streaming top-k agg equals the batch window top-k across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)]
