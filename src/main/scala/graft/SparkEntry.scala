@@ -976,6 +976,30 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // H9: end-to-end fraud-scoring evaluation — the reference's actual
+    // ML use case (score clients for fraud risk) closed into one
+    // oracle-checked loop: a deterministic integer risk score per
+    // client over the SAME features the C-rules read (passport expiry,
+    // blacklist balance, plus a key-derived diversity term standing in
+    // for learned feature weight), labeled by actual fraud-mart
+    // membership, evaluated with the H4 exact rank-sum AUC. The
+    // nondeterministic H1 LogisticRegression twin of this evaluation is
+    // pinned in MlSpec (same shape, learned scores).
+    "q_fraud_auc" -> ((s, d) => {
+      val labels = FraudRules.mart(FraudRules.allRules(s, d))
+        .select(col("client_key").as("c_custkey")).distinct()
+        .withColumn("label", lit(1L))
+      val scored = FraudModel.clients(s, d)
+        .select(col("c_custkey"),
+          (when(to_date(lit("2024-06-30")) > col("passport_valid_to"), 400L)
+            .otherwise(0L) +
+            when(col("c_acctbal") < 0, 300L).otherwise(0L) +
+            (col("c_custkey") * 37) % 100).as("score"))
+        .join(labels, Seq("c_custkey"), "left")
+        .withColumn("label", coalesce(col("label"), lit(0L)))
+      ml.Evaluation.aucExact(scored)
+    }),
+
     // H5: calibration curve of the same scorer, fixed-width margin bins
     "q_calibration" -> ((s, d) =>
       ml.Evaluation.calibration(
@@ -1530,6 +1554,40 @@ object SparkEntry {
         |  CAST((sum_r2 - n_pos * (n_pos + 1)) * 500000
         |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
         |FROM ag""".stripMargin,
+
+    // H9 twin: the four rule bodies provide the labels (each body
+    // carries its own WITH scope; the outer clients CTE is shadowed
+    // inside them, deliberately identically)
+    "q_fraud_auc" ->
+      s"""WITH $sqlClients,
+         |mart AS (
+         |  SELECT DISTINCT client_key FROM (
+         |    SELECT client_key FROM $fraudPassportBody
+         |    UNION ALL SELECT client_key FROM $fraudAccountBody
+         |    UNION ALL SELECT client_key FROM $fraudCityBody
+         |    UNION ALL SELECT client_key FROM $fraudAmountBody)),
+         |scored AS (
+         |  SELECT c.c_custkey,
+         |    (CASE WHEN DATE '2024-06-30' > c.passport_valid_to
+         |       THEN 400 ELSE 0 END
+         |     + CASE WHEN c.c_acctbal < 0 THEN 300 ELSE 0 END
+         |     + (c.c_custkey * 37) % 100) AS s,
+         |    CASE WHEN m.client_key IS NULL THEN 0 ELSE 1 END AS lab
+         |  FROM clients c LEFT JOIN mart m ON c.c_custkey = m.client_key),
+         |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(SUM(lab) AS BIGINT) AS np
+         |        FROM scored GROUP BY s),
+         |rk AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY s
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |       FROM bys),
+         |ag AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |         CAST(SUM(n - np) AS BIGINT) AS n_neg,
+         |         CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS sum_r2
+         |       FROM rk)
+         |SELECT n_pos, n_neg,
+         |  CAST((sum_r2 - n_pos * (n_pos + 1)) * 500000
+         |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+         |FROM ag""".stripMargin,
 
     "q_calibration" ->
       """WITH toks AS (

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fraud.{FraudModel, FraudRules}
+import graft.sources.Tables
 
 /** MLlib fraud-risk scorer (SURVEY.md §2 H; BASELINE.json's "DataFrame
   * ops + MLlib"): per-user behavioural features from the event stream,
@@ -34,8 +35,15 @@ object FraudScorer {
       .select(col("client_key").as("user_id")).distinct()
       .withColumn("label", lit(1.0))
 
+  /** Anchored on the CLIENT dimension, not the event stream: clients
+    * with no transactions become all-zero feature rows — the true
+    * negatives a fraud scorer must train against (on the synthetic
+    * testdata every transacting user trips some rule, so an
+    * event-anchored frame would be single-class). */
   def trainingFrame(s: SparkSession, d: String): DataFrame =
-    features(s, d)
+    Tables.customer(s, d).select(col("c_custkey").as("user_id"))
+      .join(features(s, d), Seq("user_id"), "left")
+      .na.fill(0.0, featureCols)
       .join(labels(s, d), Seq("user_id"), "left")
       .na.fill(0.0, Seq("label"))
 

@@ -34,6 +34,48 @@ class MlSpec extends SparkSpec {
     assert(scored.select("prediction").distinct().count() >= 1)
   }
 
+  test("H4-H8 evaluate the H1 LR fraud scorer end to end") {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.functions._
+    val tf = FraudScorer.trainingFrame(spark, sf).cache()
+    val model = FraudScorer.pipeline().fit(tf)
+    // learned P(fraud) quantized to exact integer nano-units — the same
+    // integer-score contract the H metrics hold for the E46 scorer and
+    // the q_fraud_auc deterministic scorer
+    val scored = model.transform(tf)
+      .select(
+        (vector_to_array(col("probability")).getItem(1) * 1e9)
+          .cast("long").as("score"),
+        col("label").cast("long").as("label"))
+      .cache()
+    val n = scored.count()
+    val aucRow = graft.ml.Evaluation.aucExact(scored).collect().head
+    val (nPos, aucPpm) = (aucRow.getLong(0), aucRow.getLong(2))
+    // trained on its own features it must do at least as well as chance
+    assert(aucPpm >= 500000L && aucPpm <= 1000000L, s"auc_ppm=$aucPpm")
+    // H7: the lowest threshold recalls everything
+    val pr = graft.ml.Evaluation.prCurve(scored).collect()
+    assert(pr.head.getLong(1) == nPos && pr.head.getLong(4) == 1000000L)
+    // H8: the best-F1 point dominates every swept operating point
+    val bf = graft.ml.Evaluation.bestF1(scored).collect().head.getLong(4)
+    val swept = pr.map { r =>
+      val (tp, fp) = (r.getLong(1), r.getLong(2))
+      2L * tp * 1000000000000L / (tp + fp + nPos)
+    }
+    assert(swept.max == bf, s"bestF1=$bf sweep max=${swept.max}")
+    // H5: the reliability bins close the accounting
+    val cal = graft.ml.Evaluation.calibration(scored).collect()
+    assert(cal.map(_.getLong(1)).sum == n)
+    assert(cal.map(_.getLong(2)).sum == nPos)
+    // H6: score drift between classes is a valid statistic, and a
+    // better-than-chance scorer separates the class distributions
+    val ks = graft.ml.Evaluation.ksDrift(
+      scored.select(col("label").as("side"), col("score").as("v")))
+      .collect().head.getLong(3)
+    assert(ks >= 0L && ks <= 1000000L)
+    if (aucPpm > 600000L) assert(ks > 0L)
+  }
+
   private def auc(rows: Seq[(Long, Long)]): Long = {
     import spark.implicits._
     graft.ml.Evaluation.aucExact(rows.toDF("score", "label"))
