@@ -76,25 +76,48 @@ object PrefixJoin {
       .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("g"), col("doc_id"), col("sz"))
+      .select(col("g"), col("doc_id"), col("sz"), col("pos"))
     // Length filter (AllPairs): J ≥ t ⟹ |A∩B| ≤ min(sz) and
     // |A∩B| ≥ t·max(sz), so tDen·min ≥ tNum·max — pairs outside the
-    // size band are pruned BEFORE the distinct and the Σ|A∩B|
-    // verification joins. Output-identical by the same pigeonhole that
-    // justifies the prefix itself.
-    val cand = prefix.select(col("g"), col("doc_id").as("id1"), col("sz").as("sz1"))
-      .join(prefix.select(col("g"), col("doc_id").as("id2"), col("sz").as("sz2")),
-        Seq("g"))
+    // size band are pruned BEFORE the distinct and the verification
+    // joins. Positional filter (PPJoin, Xiao et al. WWW'08): a shared
+    // gram at ranks (pos1, pos2) of the common (df, g) total order
+    // bounds the achievable overlap by 1 + min(sz1−pos1, sz2−pos2);
+    // rows under minoverlap = ⌈tNum·(sz1+sz2)/(tNum+tDen)⌉ are pruned.
+    // Exact: a truly-similar pair's FIRST shared gram lies in both
+    // prefixes and satisfies the bound, so ≥1 row always survives.
+    // This is the candidate-quadratic term's throttle: per-gram prefix
+    // df grows linearly with distinct contents, and the r5 unique-
+    // content 10× probe measured the unfiltered join at 142× candidate
+    // rows for 11× contents — the positional cut prunes the late-rank
+    // mass that can never verify.
+    val cand = prefix.select(col("g"), col("doc_id").as("id1"),
+        col("sz").as("sz1"), col("pos").as("pos1"))
+      .join(prefix.select(col("g"), col("doc_id").as("id2"),
+        col("sz").as("sz2"), col("pos").as("pos2")), Seq("g"))
       .filter(col("id1") < col("id2") &&
         lit(tDen) * least(col("sz1"), col("sz2")) >=
           lit(tNum) * greatest(col("sz1"), col("sz2")))
+      .filter(lit(1L) + least(col("sz1") - col("pos1"), col("sz2") - col("pos2")) >=
+        expr(s"($tNum * (sz1 + sz2) + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       .select(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .distinct()
+    // Verification as a per-pair sorted-array intersection instead of a
+    // (pair × gram)-row join: the old Σ|A∩B| join materialized ~2·L
+    // shuffle rows PER candidate pair (the dominant term once
+    // candidates grow quadratically); joining each pair to the two
+    // content gram-set arrays costs one row per pair and the intersect
+    // runs in-core over doc-length-bounded arrays.
+    val gramSets = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gset"))
     val inter = cand
-      .join(grams.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
-      .join(grams.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
-      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
-      .agg(count(lit(1)).as("n_inter"))
+      .join(gramSets.select(col("doc_id").as("id1"), col("gset").as("gs1")),
+        Seq("id1"))
+      .join(gramSets.select(col("doc_id").as("id2"), col("gset").as("gs2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"),
+        size(array_intersect(col("gs1"), col("gs2"))).cast(LongType)
+          .as("n_inter"))
     val repPairs = inter
       .filter(lit(tDen) * col("n_inter") >=
         lit(tNum) * (col("sz1") + col("sz2") - col("n_inter")))

@@ -47,14 +47,26 @@ object Tables {
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .forall(_ != "true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below is instant-preserving only under a
+    // UTC session; a non-UTC session (ad-hoc notebook) would silently
+    // shift ts_us by the zone offset and break DuckDB epoch_us parity.
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-      case _ => // TimestampType / TimestampNTZType (µs-precision parquet)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
         val t = col("ts").cast(org.apache.spark.sql.types.TimestampType)
         raw.withColumn("ts_us", unix_micros(t)).withColumn("ts_t", t)
+      case other =>
+        // fail fast: a future testdata generation with e.g. string or
+        // integer-seconds ts must not silently coerce into wrong values
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected INT64 nanos or µs timestamp)")
     }
   }
 }

@@ -8,8 +8,16 @@ unchanged, and the shared dims region/nation are copied once. Events
 keep their ns-timestamp column type (pyarrow writes timestamp[ns]
 directly, which Spark cannot).
 
-Usage: python3 tools/scale_up.py <srcSfDir> <outDir> [R=10]
+With --unique-docs, replica r>0 of the documents table gets UNIQUE
+synthetic texts: each doc's tokens are deterministically shuffled with
+a seed of (r, doc_id). This grows the DISTINCT-content count ~R× (the
+axis verbatim replicas never exercise: md5 contraction, bigram term
+space, prefix-join gram sets and LM bigram stats all grow), while
+keeping length distribution and unigram bags realistic.
+
+Usage: python3 tools/scale_up.py <srcSfDir> <outDir> [R=10] [--unique-docs]
 """
+import random
 import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -31,9 +39,23 @@ SHIFTS = {
 }
 
 
+def shuffled_texts(t, r):
+    """Deterministic per-(replica, doc) token shuffle of the text col."""
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = text.split(" ")
+        random.Random(f"uniq:{r}:{doc_id}").shuffle(toks)
+        out.append(" ".join(toks))
+    return pa.array(out, type=t.schema.field("text").type)
+
+
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    r_total = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unique_docs = "--unique-docs" in sys.argv
+    src, out = args[0], args[1]
+    r_total = int(args[2]) if len(args) > 2 else 10
     import os
     os.makedirs(out, exist_ok=True)
     for table, keys in SHIFTS.items():
@@ -49,6 +71,10 @@ def main():
                 idx = shifted.schema.get_field_index(k)
                 shifted = shifted.set_column(
                     idx, k, pc.add(shifted.column(k), r * BASE))
+            if unique_docs and table == "documents":
+                idx = shifted.schema.get_field_index("text")
+                shifted = shifted.set_column(
+                    idx, "text", shuffled_texts(t, r))
             parts.append(shifted)
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out}/{table}.parquet")
