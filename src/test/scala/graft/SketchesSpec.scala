@@ -110,18 +110,24 @@ class SketchesSpec extends SparkSpec {
     val rows = graft.ops.TextAnalysis.invertedIndex(docs).collect()
     val nDocs = docs.count()
     assert(rows.nonEmpty)
+    // postings serialize to a comma-joined string (QueryContractSpec:
+    // query outputs stay atomic)
+    def post(r: org.apache.spark.sql.Row): Seq[Long] = {
+      val s = r.getString(3)
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq.map(_.toLong)
+    }
     rows.foreach { r =>
       val (df, cf) = (r.getLong(1), r.getLong(2))
-      val post = r.getSeq[Long](3)
+      val p = post(r)
       assert(cf >= df && df >= 1)
       if (df * 1000000L <= 780000L * nDocs) {
-        assert(post.length == df, s"term ${r.getString(0)}: |postings| != df")
-        assert(post == post.sorted && post.distinct == post)
-      } else assert(post.isEmpty, s"over-cap term ${r.getString(0)} collected")
+        assert(p.length == df, s"term ${r.getString(0)}: |postings| != df")
+        assert(p == p.sorted && p.distinct == p)
+      } else assert(p.isEmpty, s"over-cap term ${r.getString(0)} collected")
     }
     // the generator's rare term gets a posting list; common terms don't
-    assert(rows.exists(_.getSeq[Long](3).nonEmpty))
-    assert(rows.exists(_.getSeq[Long](3).isEmpty))
+    assert(rows.exists(post(_).nonEmpty))
+    assert(rows.exists(post(_).isEmpty))
   }
 
   test("hashed score: margin is linear in token multiplicity") {
