@@ -443,6 +443,33 @@ class ParitySpec extends SparkSpec {
     assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
   }
 
+  test("F17u update-mode drift-bin deltas reassemble to the batch bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = StreamingOps.driftBinsStream(in.toDS().toDF("g", "v"),
+        group = "g", valueCol = "v", mn = 0L, mx = 99L, nBins = 10)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r =>
+          (id, r.getString(0), r.getLong(1), r.getLong(2)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val b1 = (0L to 99L).map(v => ("a", v)) ++ Seq(("b", 5L), ("b", 95L))
+    val b2 = Seq(("b", 7L)) // touches one (group, bin) counter only
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val lastBatch = buf.map(_._1).max
+    assert(buf.filter(_._1 == lastBatch).map(r => (r._2, r._3)) == Seq(("b", 0L)),
+      s"second trigger should refresh only (b, bin 0): $buf")
+    val state = StreamingOps.reassembleUpdates(
+      buf.toSeq.toDF("batch_id", "g", "bin", "n"), keys = Seq("g", "bin"))
+    val batch = StreamingOps.driftBinsStream((b1 ++ b2).toDF("g", "v"),
+      group = "g", valueCol = "v", mn = 0L, mx = 99L, nBins = 10)
+    assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
+  }
+
   test("F16u/F18u update-mode register and bitset deltas reassemble to batch") {
     implicit val sqlCtx = spark.sqlContext
     // HLL registers: keys (g, idx), mergeable max

@@ -15,7 +15,14 @@ axis verbatim replicas never exercise: md5 contraction, bigram term
 space, prefix-join gram sets and LM bigram stats all grow), while
 keeping length distribution and unigram bags realistic.
 
-Usage: python3 tools/scale_up.py <srcSfDir> <outDir> [R=10] [--unique-docs]
+With --unique-embeddings, replica r>0 of the embeddings table gets
+UNIQUE vectors: each dimension is perturbed by deterministic
+seeded noise (±10% of the dim's value plus a small absolute term),
+so SRP signatures, KMeans cells and quantization grids all see ~R×
+distinct vectors instead of R-replica cliques.
+
+Usage: python3 tools/scale_up.py <srcSfDir> <outDir> [R=10]
+       [--unique-docs] [--unique-embeddings]
 """
 import random
 import sys
@@ -51,9 +58,22 @@ def shuffled_texts(t, r):
     return pa.array(out, type=t.schema.field("text").type)
 
 
+def perturbed_embeddings(t, r):
+    """Deterministic per-(replica, vec) noise on the embedding col."""
+    vec_ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    out = []
+    for vec_id, e in zip(vec_ids, embs):
+        rng = random.Random(f"emb:{r}:{vec_id}")
+        out.append([v + v * (rng.random() - 0.5) * 0.2 +
+                    (rng.random() - 0.5) * 0.01 for v in e])
+    return pa.array(out, type=t.schema.field("embedding").type)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unique_docs = "--unique-docs" in sys.argv
+    unique_embs = "--unique-embeddings" in sys.argv
     src, out = args[0], args[1]
     r_total = int(args[2]) if len(args) > 2 else 10
     import os
@@ -75,6 +95,10 @@ def main():
                 idx = shifted.schema.get_field_index("text")
                 shifted = shifted.set_column(
                     idx, "text", shuffled_texts(t, r))
+            if unique_embs and table == "embeddings":
+                idx = shifted.schema.get_field_index("embedding")
+                shifted = shifted.set_column(
+                    idx, "embedding", perturbed_embeddings(t, r))
             parts.append(shifted)
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out}/{table}.parquet")
