@@ -1,25 +1,30 @@
 package graft
 
-/** Dev tool: print the formatted physical plan of named queries.
-  * Usage: runMain graft.Explain <sfDir> [--exec] <queryName> [queryName...]
-  * With --exec, the query is materialized first and the FINAL adaptive
-  * plan is printed (shows AQE runtime decisions: reused exchanges,
-  * broadcast demotions, coalesced partitions). */
+/** Dev plan-audit main: executes the named queries at a small sf and
+  * prints the FINAL adaptive physical plan plus the shape counters the
+  * plan audits in docs/PLANS.md track (exchanges, join strategies,
+  * cartesians). Usage:
+  *   sbt "runMain graft.Explain <sfDir> q_x [q_y ...]"   (full plan)
+  *   SPARK_GRAFT_EXPLAIN_SUMMARY=1 ... (counters only)
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val exec = args.tail.contains("--exec")
-    val names = args.tail.filterNot(_ == "--exec")
-    val spark = GraftSession.builder("local[4]", 4)
+    val spark = GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      println(s"==== $name ====")
+    val summaryOnly = sys.env.contains("SPARK_GRAFT_EXPLAIN_SUMMARY")
+    args.tail.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      if (exec) df.write.format("noop").mode("overwrite").save()
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      def n(s: String) = plan.linesIterator.count(_.contains(s))
+      println(s"== $name: exchanges=${n("Exchange")} " +
+        s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+        s"shj=${n("ShuffledHashJoin")} cartesian=${n("Cartesian")} " +
+        s"codegen_ops=${n("*(")}") // `*(id)` marks whole-stage-codegen'd operators
+      if (!summaryOnly) println(plan)
     }
     spark.stop()
   }
