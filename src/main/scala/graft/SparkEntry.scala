@@ -309,6 +309,10 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
+    // E53: incremental delta-vs-corpus dedup — batch docs probe the
+    // standing corpus band index; per-doc candidate/dup accounting
+    "q_dedup_incremental" -> ((s, d) =>
+      ops.Dedup.incrementalLsh(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => ops.Dedup.lshClusters(Tables.documents(s, d))),
     // E26: same clusters via alternating large-star/small-star
     // contraction — O(log² path) rounds, the adversarial-graph scale path
@@ -2295,6 +2299,42 @@ object SparkEntry {
          |  n_sum - n_inter AS n_union,
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
+
+    // E53 twin: batch = synthetic re-crawl copies (id ≥ 10M) + the
+    // %10=7 fresh slice; candidates vs corpus (any) and vs
+    // smaller-id batch docs; exact-Jaccard gate 7/10 in integers
+    "q_dedup_incremental" ->
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |ci AS (
+         |  SELECT DISTINCT b.doc_id, o.doc_id AS other_id,
+         |    CASE WHEN o.doc_id >= 10000000 OR o.doc_id % 10 = 7
+         |         THEN 0 ELSE 1 END AS from_corpus
+         |  FROM bands b JOIN bands o
+         |    ON b.band = o.band AND b.bucket = o.bucket
+         |   AND b.doc_id <> o.doc_id
+         |  WHERE (b.doc_id >= 10000000 OR b.doc_id % 10 = 7)
+         |    AND (NOT (o.doc_id >= 10000000 OR o.doc_id % 10 = 7)
+         |         OR o.doc_id < b.doc_id)),
+         |gt AS (
+         |  SELECT c.doc_id, c.from_corpus,
+         |    CASE WHEN 10 * len(list_intersect(a.shd, o.shd))
+         |         >= 7 * (len(a.shd) + len(o.shd)
+         |                 - len(list_intersect(a.shd, o.shd)))
+         |         THEN 1 ELSE 0 END AS dup
+         |  FROM ci c
+         |  JOIN sd a ON c.doc_id = a.doc_id
+         |  JOIN sd o ON c.other_id = o.doc_id)
+         |SELECT nd.doc_id,
+         |  CAST(COALESCE(sum(gt.from_corpus), 0) AS BIGINT) AS n_cand_corpus,
+         |  CAST(COALESCE(count(gt.from_corpus), 0)
+         |       - COALESCE(sum(gt.from_corpus), 0) AS BIGINT) AS n_cand_batch,
+         |  CAST(COALESCE(sum(gt.dup), 0) AS BIGINT) AS n_dup,
+         |  CAST(COALESCE(max(gt.dup), 0) AS BIGINT) AS is_dup
+         |FROM (SELECT doc_id FROM t
+         |      WHERE doc_id >= 10000000 OR doc_id % 10 = 7) nd
+         |LEFT JOIN gt ON nd.doc_id = gt.doc_id
+         |GROUP BY nd.doc_id ORDER BY nd.doc_id""".stripMargin,
 
     "q_containment" ->
       s"""WITH $sqlLshCtes,

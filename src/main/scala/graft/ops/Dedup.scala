@@ -307,6 +307,111 @@ object Dedup {
         col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"))
   }
 
+  /** E53 — INCREMENTAL (delta-vs-corpus) near-dedup: the daily-crawl
+    * shape. A standing corpus keeps its band-bucket index and shingle
+    * sketches as stored artifacts; each new batch signatures ONLY its
+    * own documents and probes the index with a bucket equi-join — per
+    * batch the cost is O(|batch|) signature work + the probe, never a
+    * corpus re-signature and never a corpus self-join. Semantics are
+    * deterministic and order-free: a batch doc is a duplicate iff some
+    * candidate in (corpus ∪ earlier-batch-ids) passes the exact
+    * Jaccard gate tNum/tDen; "earlier" = smaller doc_id, so the batch
+    * needs no processing order.
+    *
+    * The batch here is the natural re-crawl analog on this testdata:
+    * every synthetic dup copy (id ≥ 10M — a literal re-crawl of an
+    * existing page) plus the `doc_id % newMod = newRem` slice as fresh
+    * documents. Verification re-reads text ONLY for candidate-involved
+    * docs (the left-semi prune below — the stand-in for fetching
+    * stored sketches), and identical contents short-circuit to dup by
+    * identity (the dominant re-crawl case pays no gram join, same
+    * contraction as [[verifyCore]]). */
+  def incrementalLsh(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                     dupMod: Long = 250, newMod: Long = 10, newRem: Long = 7,
+                     tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val k = bands * rowsPerBand
+    val universe = withSyntheticDups(docs, dupMod)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val isNew = col("doc_id") >= 10000000L || col("doc_id") % newMod === newRem
+    def buckets(side: DataFrame): DataFrame = {
+      val sig = side
+        .repartition(par, col("doc_id"))
+        .withColumn("sigarr",
+          graft.functions.TextNative.minHashSigL(col("text"), 3, k))
+        .select(col("doc_id") +:
+          (0 until k).map(i => element_at(col("sigarr"), i + 1).as(s"sig_$i")): _*)
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+        struct(lit(b.toLong).as("band"),
+          md5(concat_ws("_", parts: _*)).as("bucket"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
+    }
+    // corpus index = the stored artifact; batch buckets = the only
+    // per-run signature work, batch-sized → materialize once
+    val corpusB = buckets(universe.filter(!isNew))
+    val batchB = buckets(universe.filter(isNew)).localCheckpoint(true)
+    val candCorpus = batchB
+      .join(corpusB.select(col("band"), col("bucket"),
+        col("doc_id").as("other_id")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("other_id"), lit(1L).as("from_corpus"))
+    val candBatch = batchB
+      .join(batchB.select(col("band"), col("bucket"),
+        col("doc_id").as("other_id")), Seq("band", "bucket"))
+      .filter(col("other_id") < col("doc_id"))
+      .select(col("doc_id"), col("other_id"), lit(0L).as("from_corpus"))
+    val cand = candCorpus.unionByName(candBatch)
+      .groupBy(col("doc_id"), col("other_id"))
+      .agg(max(col("from_corpus")).as("from_corpus"))
+      .localCheckpoint(true)
+    // shingle sets only for candidate-involved docs (stored-sketch fetch)
+    val ids = cand.select(col("doc_id"))
+      .unionByName(cand.select(col("other_id").as("doc_id"))).distinct()
+    val involved = universe.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+      .localCheckpoint(true)
+    val grams = involved
+      .select(col("doc_id"),
+        explode(graft.functions.TextNative.ngramsL(col("text"), 3)).as("g"))
+      .distinct()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val withCh = cand
+      .join(involved.select(col("doc_id"), col("ch").as("ch1")), Seq("doc_id"))
+      .join(involved.select(col("doc_id").as("other_id"), col("ch").as("ch2")),
+        Seq("other_id"))
+    // identical contents: dup by identity, no gram join
+    val needInter = withCh.filter(col("ch1") =!= col("ch2"))
+      .select(col("doc_id"), col("other_id"))
+    val inter = needInter
+      .join(grams, Seq("doc_id"))
+      .join(grams.select(col("doc_id").as("other_id"), col("g")),
+        Seq("other_id", "g"))
+      .groupBy(col("doc_id"), col("other_id")).agg(count(lit(1)).as("n_inter"))
+    val gated = withCh
+      .join(inter, Seq("doc_id", "other_id"), "left")
+      .join(sz.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
+      .join(sz.select(col("doc_id").as("other_id"), col("n_sh").as("n2")),
+        Seq("other_id"))
+      .withColumn("ni", when(col("ch1") === col("ch2"), col("n1"))
+        .otherwise(coalesce(col("n_inter"), lit(0L))))
+      .withColumn("dup",
+        (lit(tDen.toLong) * col("ni") >=
+          lit(tNum.toLong) * (col("n1") + col("n2") - col("ni")))
+          .cast(LongType))
+    val perDoc = gated.groupBy(col("doc_id"))
+      .agg(sum(col("from_corpus")).as("n_cand_corpus"),
+        (count(lit(1)) - sum(col("from_corpus"))).as("n_cand_batch"),
+        sum(col("dup")).as("n_dup"), max(col("dup")).as("is_dup"))
+    universe.filter(isNew).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_cand_corpus", "n_cand_batch", "n_dup", "is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E45 — MinHash estimator CALIBRATION: per LSH candidate pair, the
     * signature-agreement estimate (matching sigs / k — the unbiased
     * MinHash estimator of Jaccard) side-by-side with the exact Jaccard

@@ -8,6 +8,21 @@ import graft.sources.Tables
 /** Semantic properties of the E-section operators beyond oracle parity. */
 class OpsSpec extends SparkSpec {
 
+  test("incremental dedup flags every re-crawl copy; fresh docs carry no batch order dependence") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.incrementalLsh(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // every synthetic re-crawl copy (id ≥ 10M) is an exact dup of its
+    // corpus original and must be flagged with ≥1 corpus candidate
+    val recrawls = out.filter(_._1 >= 10000000L)
+    assert(recrawls.nonEmpty)
+    recrawls.foreach { case (id, (nc, _, dup)) =>
+      assert(nc >= 1L && dup == 1L, s"re-crawl $id not flagged: $out")
+    }
+    // output covers exactly the batch (re-crawls + the %10=7 slice)
+    assert(out.keySet.forall(id => id >= 10000000L || id % 10 == 7))
+  }
+
   test("minhash LSH recalls injected exact duplicates on all bands") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.minhashLsh(docs, dupMod = 250).collect()
