@@ -1080,7 +1080,8 @@ object SparkEntry {
       val lex = ops.Bm25.topK(Tables.documents(s, d), qMod = 50, k = 10)
         .select(col("q_id"), col("doc_id").as("item_id"), col("rnk"))
       val sem = ops.Ann.bruteForceRank(Tables.embeddings(s, d),
-        pmod(col("vec_id"), lit(50L)) === 0L, k = 10)
+        pmod(col("vec_id"), lit(50L)) === 0L && col("vec_id") < 20000000L,
+        k = 10)
         .select(col("q_id"), col("vec_id").as("item_id"), col("rnk"))
       ops.Fusion.rrfFuse(Seq(lex, sem), k = 10)
     }),
@@ -3328,7 +3329,7 @@ object SparkEntry {
         |    FROM kept0 k)
         |  WHERE pr <= 1000),
         |qdocs AS (SELECT doc_id AS q_id, rep AS qrep FROM members
-        |  WHERE doc_id % 50 = 0),
+        |  WHERE doc_id % 50 = 0 AND doc_id < 20000000),
         |qpost AS (
         |  SELECT DISTINCT qd.qrep, k.tok
         |  FROM (SELECT DISTINCT qrep FROM qdocs) qd
@@ -4107,7 +4108,7 @@ object SparkEntry {
         |    FROM kept0 k)
         |  WHERE pr <= 1000),
         |qdocs AS (SELECT doc_id AS q_id, rep AS qrep FROM members
-        |  WHERE doc_id % 50 = 0),
+        |  WHERE doc_id % 50 = 0 AND doc_id < 20000000),
         |qpost AS (
         |  SELECT DISTINCT qd.qrep, k.tok
         |  FROM (SELECT DISTINCT qrep FROM qdocs) qd
@@ -4158,7 +4159,7 @@ object SparkEntry {
         |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
         |  FROM v),
         |qv AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2
-        |  FROM nv WHERE vec_id % 50 = 0),
+        |  FROM nv WHERE vec_id % 50 = 0 AND vec_id < 20000000),
         |scv AS (
         |  SELECT qv.q_id, nv.vec_id,
         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

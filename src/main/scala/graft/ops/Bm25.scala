@@ -45,14 +45,15 @@ object Bm25 {
       "((10.0*sd*tfd + 3.0*sd + 9.0*dld*nd) * (2.0*dfd + 1.0))) AS BIGINT)"
 
   def topK(docs: DataFrame, qMod: Long = 50, k: Int = 5,
-           dfFrac: Double = 0.4, postMax: Int = 1000): DataFrame = {
+           dfFrac: Double = 0.4, postMax: Int = 1000,
+           qMax: Long = 20000000L): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     // Everything up to the content-level scored pairs is independent of
     // k — shared across every consumer in the session (I25): the
     // standalone ranking and the fusion feeder differ only in their
     // final cut, so the index build + posting-join scoring is paid once.
-    val fragTag = s"bm25:qMod=$qMod:dfFrac=$dfFrac:postMax=$postMax"
+    val fragTag = s"bm25:qMod=$qMod:dfFrac=$dfFrac:postMax=$postMax:qMax=$qMax"
     // I14 contraction: the index holds one posting per distinct
     // CONTENT (identical texts have identical term vectors), while the
     // BM25 corpus statistics stay DOC-level — df, N, and S are summed
@@ -102,7 +103,14 @@ object Bm25 {
     val kept = kept0.withColumn("pr", row_number().over(wPost))
       .filter(col("pr") <= postMax)
       .drop("pr")
-    val qDocs = members.filter(col("doc_id") % qMod === 0)
+    // `qMax` makes the query side an ABSOLUTE workload window (the same
+    // bound SparseSim carries): queries are a batch a user submits, not
+    // a corpus fraction — without it the benchmark query set grows with
+    // the corpus and the scoring join turns quadratic (measured 70 s at
+    // the 30× unique corpus, r5). 20M keeps every sf0.01/sf0.1 id (incl.
+    // the +10M synthetic dups) so small-scale hashes are unchanged.
+    val qDocs = members
+      .filter(col("doc_id") % qMod === 0 && col("doc_id") < qMax)
       .select(col("doc_id").as("q_id"), col("rep").as("qrep"))
     // workload × candidates-sized (bounded by the df cap + impact
     // truncation) — the expensive fragment, shared session-wide
