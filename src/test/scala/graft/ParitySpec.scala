@@ -443,6 +443,33 @@ class ParitySpec extends SparkSpec {
     assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
   }
 
+  test("F14u update-mode top-k deltas exercise the custom aggregate and reassemble to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Seq[Long])]
+    val q = StreamingOps.topKStream(in.toDS().toDF("event_type", "v"), k = 3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect().map(r => (id, r.getString(0), r.getSeq[Long](1)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val b1 = Seq(("a", 5L), ("a", 1L), ("b", 2L))
+    val b2 = Seq(("a", 3L)) // touches key a only; state-store merge path
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val lastBatch = buf.map(_._1).max
+    assert(buf.filter(_._1 == lastBatch).map(_._2) == Seq("a"),
+      s"second trigger should refresh key a only: $buf")
+    // last-writer-wins per key equals the batch top-k
+    val state = buf.groupBy(_._2).map { case (k, rows) =>
+      k -> rows.maxBy(_._1)._3
+    }
+    val expected = (b1 ++ b2).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.take(3)).toMap
+    assert(state == expected, s"state=$state expected=$expected")
+  }
+
   test("F17u update-mode drift-bin deltas reassemble to the batch bins") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)]
