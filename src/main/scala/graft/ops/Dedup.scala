@@ -307,6 +307,33 @@ object Dedup {
         col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"))
   }
 
+  /** The (doc_id, band, bucket) band index over (id, text) rows — the
+    * PERSISTABLE artifact of the E53 incremental pipeline: a standing
+    * corpus writes this frame once (parquet, partitioned by band) and
+    * every later batch probes the loaded copy instead of re-signaturing
+    * the corpus. Plain columns, no state beyond the rows — the
+    * write→read round-trip is pinned in OpsSpec. */
+  def bandIndex(side: DataFrame, bands: Int = 4,
+                rowsPerBand: Int = 2): DataFrame = {
+    val par = side.sparkSession.sparkContext.defaultParallelism
+    val k = bands * rowsPerBand
+    val sig = side
+      .repartition(par, col("doc_id"))
+      .withColumn("sigarr",
+        graft.functions.TextNative.minHashSigL(col("text"), 3, k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigarr"), i + 1).as(s"sig_$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws("_", parts: _*)).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+  }
+
   /** E53 — INCREMENTAL (delta-vs-corpus) near-dedup: the daily-crawl
     * shape. A standing corpus keeps its band-bucket index and shingle
     * sketches as stored artifacts; each new batch signatures ONLY its
@@ -334,27 +361,11 @@ object Dedup {
     val universe = withSyntheticDups(docs, dupMod)
       .filter(size(split(col("text"), " ")) >= 3)
     val isNew = col("doc_id") >= 10000000L || col("doc_id") % newMod === newRem
-    def buckets(side: DataFrame): DataFrame = {
-      val sig = side
-        .repartition(par, col("doc_id"))
-        .withColumn("sigarr",
-          graft.functions.TextNative.minHashSigL(col("text"), 3, k))
-        .select(col("doc_id") +:
-          (0 until k).map(i => element_at(col("sigarr"), i + 1).as(s"sig_$i")): _*)
-      val bandCols = (0 until bands).map { b =>
-        val parts = (0 until rowsPerBand)
-          .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
-        struct(lit(b.toLong).as("band"),
-          md5(concat_ws("_", parts: _*)).as("bucket"))
-      }
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bucket").as("bucket"))
-    }
     // corpus index = the stored artifact; batch buckets = the only
     // per-run signature work, batch-sized → materialize once
-    val corpusB = buckets(universe.filter(!isNew))
-    val batchB = buckets(universe.filter(isNew)).localCheckpoint(true)
+    val corpusB = bandIndex(universe.filter(!isNew), bands, rowsPerBand)
+    val batchB = bandIndex(universe.filter(isNew), bands, rowsPerBand)
+      .localCheckpoint(true)
     val candCorpus = batchB
       .join(corpusB.select(col("band"), col("bucket"),
         col("doc_id").as("other_id")), Seq("band", "bucket"))
