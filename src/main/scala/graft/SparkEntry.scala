@@ -896,19 +896,32 @@ object SparkEntry {
     "q_lm_buckets" -> ((s, d) =>
       ops.LmQuality.perplexityBuckets(Tables.documents(s, d))),
 
-    // ---- D12: sketch aggregations (HLL / quantile digest). Engines use
-    // different sketches, so no SQL oracle — driver's rows-only check.
-    // Scalar quantile columns (not an array): the driver's pandas
-    // canonical-sort can't factorize ndarray cells.
+    // ---- D12: sketch aggregations (HLL / quantile digest). Engine
+    // sketch layouts differ cross-engine, so raw estimates can never
+    // hash — instead each engine emits the EXACT answer plus a
+    // within-band verdict flag for its OWN sketch (HLL rsd=0.02 given
+    // a 10% band = 5 sigma; quantile digest given a 2% value band).
+    // Both engines agree on (exact, flag), so the driver gets a full
+    // hash check while the sketch itself still runs in the hot path.
     "q_approx_stats" -> ((s, d) => {
       val qtiles = percentile_approx(
         col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
+      val exact50 = percentile(col("l_extendedprice"), lit(0.5))
+      val exact95 = percentile(col("l_extendedprice"), lit(0.95))
+      def okFlag(approx: org.apache.spark.sql.Column,
+                 exact: org.apache.spark.sql.Column,
+                 band: Double): org.apache.spark.sql.Column =
+        (abs(approx - exact) <= lit(band) * exact).cast(LongType)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          element_at(qtiles, 1).as("p50_approx"),
-          element_at(qtiles, 2).as("p95_approx"))
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          exact50.as("p50_exact"),
+          exact95.as("p95_exact"),
+          okFlag(approx_count_distinct(col("l_partkey"), rsd = 0.02),
+            count_distinct(col("l_partkey")), 0.10).as("parts_ok"),
+          okFlag(element_at(qtiles, 1), exact50, 0.02).as("p50_ok"),
+          okFlag(element_at(qtiles, 2), exact95, 0.02).as("p95_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1987,6 +2000,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // D12: each engine runs its OWN sketch (DuckDB: HLL
+    // approx_count_distinct, t-digest approx_quantile) and emits the
+    // exact answer + a within-band verdict — only (exact, flag) is
+    // hashed, so the cross-engine sketch-layout difference is moot.
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+        |  CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |       <= 0.10 * count(DISTINCT l_partkey) AS BIGINT) AS parts_ok,
+        |  CAST(abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |       <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS BIGINT) AS p50_ok,
+        |  CAST(abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+        |       <= 0.02 * quantile_cont(l_extendedprice, 0.95) AS BIGINT) AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->

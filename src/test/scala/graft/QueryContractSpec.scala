@@ -28,11 +28,12 @@ class QueryContractSpec extends SparkSpec {
         s"to_json before returning): ${offenders.mkString(", ")}")
   }
 
-  test("every query has an oracle or a documented no-oracle reason") {
-    // q_approx_stats is rows-only by design (engine sketch layouts
-    // differ from DuckDB's) — the single allowed hole.
+  test("every query has an oracle") {
+    // Since r6 there are NO allowed holes: q_approx_stats (the last
+    // rows-only query) now emits exact+verdict columns both engines
+    // agree on, so every query key must have oracle SQL.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.subsetOf(Set("q_approx_stats")),
+    assert(noOracle.isEmpty,
       s"queries missing oracle SQL: ${noOracle.mkString(", ")}")
   }
 }
