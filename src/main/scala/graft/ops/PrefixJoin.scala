@@ -38,8 +38,21 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixJoin {
 
+  /** Candidate-pair budget for [[jaccardJoin]]'s fail-fast pre-probe.
+    * Σ_g C(prefix_df_g, 2) over the prefix table upper-bounds the
+    * candidate join's row count (before the length/positional cuts).
+    * The r5 unique-content probe measured the exact join degrading
+    * slowly — 773 s and a 24 GB driver heap at 30× distinct contents —
+    * instead of failing fast; past this bound the exact tool is the
+    * wrong tool and the caller should take the E3 MinHash-LSH +
+    * E2 exact-verify path, which spends candidate work only where the
+    * bands collide.
+    */
+  val DefaultCandidateBudget: Long = 200000000L
+
   def jaccardJoin(docs: DataFrame, tNum: Int = 7, tDen: Int = 10,
-                  dupMod: Long = 250): DataFrame = {
+                  dupMod: Long = 250,
+                  maxCandidates: Long = DefaultCandidateBudget): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withCh = Dedup.withSyntheticDups(docs, dupMod)
@@ -77,6 +90,30 @@ object PrefixJoin {
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col("g"), col("doc_id"), col("sz"), col("pos"))
+      // reused by BOTH sides of the candidate join, the sizes frame,
+      // and the budget probe below — materialize once. Prefix rows are
+      // the rarest ~(1−t) fraction of the distinct-content gram volume,
+      // so the checkpoint is a strict subset of a shuffle this plan
+      // already paid for.
+      .localCheckpoint(true)
+    // Fail-fast candidate budget: Σ_g C(c_g, 2) over prefix posting
+    // counts is an upper bound on candidate-join rows (the length and
+    // positional filters only shrink it). Per-gram prefix postings grow
+    // linearly with distinct contents sharing vocabulary, so this term
+    // is inherently superlinear — an exact all-pairs join past the
+    // budget degrades into hours, not minutes. Abort with the scalable
+    // alternative named rather than degrade slowly (VERDICT r5 #3).
+    val candBound = prefix.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs"))
+      .head().getLong(0)
+    if (candBound > maxCandidates)
+      throw new IllegalStateException(
+        s"E41 exact prefix join: candidate upper bound $candBound exceeds " +
+          s"budget $maxCandidates. The exact AllPairs/PPJoin is " +
+          "superlinear in distinct contents sharing vocabulary; at this " +
+          "scale use the MinHash-LSH candidate path with exact " +
+          "verification instead (graft.ops.Dedup.minhashLsh + verifyCore " +
+          "— E3 + E2), or raise maxCandidates explicitly.")
     // Length filter (AllPairs): J ≥ t ⟹ |A∩B| ≤ min(sz) and
     // |A∩B| ≥ t·max(sz), so tDen·min ≥ tNum·max — pairs outside the
     // size band are pruned BEFORE the distinct and the verification

@@ -116,6 +116,20 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("prefix join fail-fast budget aborts on a high-collision corpus") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    // sf0.001 documents already produce >0 candidate pairs, so a budget
+    // of 0 must trip the pre-probe before any candidate join runs
+    val ex = intercept[IllegalStateException] {
+      graft.ops.PrefixJoin.jaccardJoin(docs, maxCandidates = 0L)
+    }
+    assert(ex.getMessage.contains("E41") &&
+      ex.getMessage.contains("minhashLsh") &&
+      ex.getMessage.contains("maxCandidates"),
+      s"abort message must name the E3+E2 fallback: ${ex.getMessage}")
+  }
+
   test("TopKMinL heap equals sorted-take-k on randomized multisets, incl. merges") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 300) {
