@@ -18,4 +18,13 @@ object Bridge {
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The cached RDD behind a `localCheckpoint`ed DataFrame (its analyzed
+    * plan is a `LogicalRDD`), for explicit `unpersist` on cache
+    * eviction. `LogicalRDD` is `private[sql]`, hence this shim. */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
