@@ -1296,6 +1296,15 @@ object SparkEntry {
     * synthetic-dup universe → shingles → minhash signatures → banded
     * buckets → candidate pairs (`cand`). Consumed by the minhash,
     * verify, and clusters oracles. */
+  /** E53 batch-membership predicate, generated from the SAME constants
+    * the Scala operator uses (Dedup.ReplicaShift / SyntheticDupBase) so
+    * the two twins cannot drift: a doc is batch iff it is a synthetic
+    * re-crawl copy (replica-aware id range) or in the fresh %10=7
+    * slice. */
+  private def sqlIsBatchDoc(c: String): String =
+    s"$c % ${ops.Dedup.ReplicaShift} >= ${ops.Dedup.SyntheticDupBase} " +
+      s"OR $c % 10 = 7"
+
   private val sqlLshCtes: String = {
     val sigDefs = (0 until 8).map(i =>
       s"MIN((${ops.Dedup.minhashA(i)}*x + ${ops.Dedup.minhashB(i)}) % ${ops.Dedup.MinhashP}) AS sig_$i")
@@ -2331,21 +2340,22 @@ object SparkEntry {
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
 
-    // E53 twin: batch = synthetic re-crawl copies (id ≥ 10M) + the
-    // %10=7 fresh slice; candidates vs corpus (any) and vs
-    // smaller-id batch docs; exact-Jaccard gate 7/10 in integers
+    // E53 twin: batch = synthetic re-crawl copies (replica-aware id
+    // range, shared constants with Dedup.incrementalLsh) + the %10=7
+    // fresh slice; candidates vs corpus (any) and vs smaller-id batch
+    // docs; exact-Jaccard gate 7/10 in integers
     "q_dedup_incremental" ->
       s"""WITH $sqlLshCtes,
          |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
          |ci AS (
          |  SELECT DISTINCT b.doc_id, o.doc_id AS other_id,
-         |    CASE WHEN o.doc_id >= 10000000 OR o.doc_id % 10 = 7
+         |    CASE WHEN ${sqlIsBatchDoc("o.doc_id")}
          |         THEN 0 ELSE 1 END AS from_corpus
          |  FROM bands b JOIN bands o
          |    ON b.band = o.band AND b.bucket = o.bucket
          |   AND b.doc_id <> o.doc_id
-         |  WHERE (b.doc_id >= 10000000 OR b.doc_id % 10 = 7)
-         |    AND (NOT (o.doc_id >= 10000000 OR o.doc_id % 10 = 7)
+         |  WHERE (${sqlIsBatchDoc("b.doc_id")})
+         |    AND (NOT (${sqlIsBatchDoc("o.doc_id")})
          |         OR o.doc_id < b.doc_id)),
          |gt AS (
          |  SELECT c.doc_id, c.from_corpus,
@@ -2363,7 +2373,7 @@ object SparkEntry {
          |  CAST(COALESCE(sum(gt.dup), 0) AS BIGINT) AS n_dup,
          |  CAST(COALESCE(max(gt.dup), 0) AS BIGINT) AS is_dup
          |FROM (SELECT doc_id FROM t
-         |      WHERE doc_id >= 10000000 OR doc_id % 10 = 7) nd
+         |      WHERE ${sqlIsBatchDoc("doc_id")}) nd
          |LEFT JOIN gt ON nd.doc_id = gt.doc_id
          |GROUP BY nd.doc_id ORDER BY nd.doc_id""".stripMargin,
 

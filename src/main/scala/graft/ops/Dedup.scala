@@ -156,8 +156,22 @@ object Dedup {
     val base = docs.select(col("doc_id"), col("text"))
     base.unionByName(
       base.filter(col("doc_id") % dupMod === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + SyntheticDupBase).as("doc_id"), col("text")))
   }
+
+  /** Synthetic re-crawl copies are `id + SyntheticDupBase`
+    * ([[withSyntheticDups]]). Any predicate classifying them must use
+    * this constant — shared with the DuckDB twins so the two can never
+    * drift apart. */
+  val SyntheticDupBase: Long = 10000000L
+
+  /** `tools/scale_up.py` shifts replica r's keys by `r * ReplicaShift`.
+    * Id-range predicates (e.g. "is this a synthetic re-crawl copy?")
+    * must be taken modulo this, or on a scaled corpus every replica-r>0
+    * document classifies as a re-crawl and an incremental probe
+    * degenerates into a near full self-join (ADVICE r5). Valid while
+    * per-replica originals stay below [[SyntheticDupBase]]. */
+  val ReplicaShift: Long = 1000000000L
 
   /** LSH candidate pairs WITHOUT the final presentation sort — the form
     * downstream consumers ([[lshVerify]], [[lshClusters]]) compose with
@@ -360,7 +374,10 @@ object Dedup {
     val k = bands * rowsPerBand
     val universe = withSyntheticDups(docs, dupMod)
       .filter(size(split(col("text"), " ")) >= 3)
-    val isNew = col("doc_id") >= 10000000L || col("doc_id") % newMod === newRem
+    // replica-aware re-crawl test: ids are positive, so a plain modulo
+    // folds every scale_up replica back onto the original id range
+    val isNew = col("doc_id") % ReplicaShift >= SyntheticDupBase ||
+      col("doc_id") % newMod === newRem
     // corpus index = the stored artifact; batch buckets = the only
     // per-run signature work, batch-sized → materialize once
     val corpusB = bandIndex(universe.filter(!isNew), bands, rowsPerBand)
