@@ -17,7 +17,14 @@ object Explain {
     val summaryOnly = sys.env.contains("SPARK_GRAFT_EXPLAIN_SUMMARY")
     args.tail.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect() // finalize the adaptive plan
+      // finalize the adaptive plan WITHOUT pulling the result set onto
+      // the driver. NOT df.write(noop): that wraps the plan in a NEW
+      // QueryExecution and leaves THIS df's AQE plan un-finalized
+      // (isFinalPlan=false — the audit would read the initial plan).
+      // Counting the df's own toRdd executes the same QueryExecution
+      // the counters below are read from, shipping one long per
+      // partition instead of the result set.
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       def n(s: String) = plan.linesIterator.count(_.contains(s))
       println(s"== $name: exchanges=${n("Exchange")} " +

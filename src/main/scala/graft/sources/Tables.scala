@@ -50,8 +50,16 @@ object Tables {
     // The NTZ→TIMESTAMP cast below is instant-preserving only under a
     // UTC session; a non-UTC session (ad-hoc notebook) would silently
     // shift ts_us by the zone offset and break DuckDB epoch_us parity.
+    // Fail fast instead of mutating the caller's session (a reader
+    // must not change the semantics of unrelated timestamp
+    // expressions in a session that deliberately set another zone) —
+    // GraftSession.builder declares UTC, like the nanosAsLong flag.
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
-      s.conf.set("spark.sql.session.timeZone", "UTC")
+      throw new IllegalStateException(
+        "events() requires spark.sql.session.timeZone=UTC (the NTZ " +
+          "instant cast is zone-sensitive and oracle parity assumes " +
+          "UTC). Build the session via GraftSession, or set the conf " +
+          "yourself — the reader will not mutate your session.")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -29,23 +29,31 @@ class OpsSpec extends SparkSpec {
       .filter(size(split(col("text"), " ")) >= 3)
     val isNew = col("doc_id") >= 10000000L || col("doc_id") % 10 === 7
     val corpusIdx = Dedup.bandIndex(universe.filter(!isNew))
-    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx")
-      .resolve("idx").toString
-    corpusIdx.write.partitionBy("band").parquet(dir)
-    val loaded = spark.read.parquet(dir)
-      .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
-    // the stored artifact is the in-memory derivation, row for row
-    assert(loaded.exceptAll(corpusIdx).isEmpty &&
-      corpusIdx.exceptAll(loaded).isEmpty)
-    // probing the LOADED index yields the same corpus candidates
-    val batchB = Dedup.bandIndex(universe.filter(isNew))
-    def cands(idx: org.apache.spark.sql.DataFrame) = batchB
-      .join(idx.select(col("band"), col("bucket"),
-        col("doc_id").as("other_id")), Seq("band", "bucket"))
-      .select("doc_id", "other_id").distinct()
-    assert(cands(loaded).exceptAll(cands(corpusIdx)).isEmpty &&
-      cands(corpusIdx).exceptAll(cands(loaded)).isEmpty)
-    assert(cands(loaded).count() > 0)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bandidx")
+    try {
+      val dir = tmpRoot.resolve("idx").toString
+      corpusIdx.write.partitionBy("band").parquet(dir)
+      val loaded = spark.read.parquet(dir)
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
+      // the stored artifact is the in-memory derivation, row for row
+      assert(loaded.exceptAll(corpusIdx).isEmpty &&
+        corpusIdx.exceptAll(loaded).isEmpty)
+      // probing the LOADED index yields the same corpus candidates
+      val batchB = Dedup.bandIndex(universe.filter(isNew))
+      def cands(idx: org.apache.spark.sql.DataFrame) = batchB
+        .join(idx.select(col("band"), col("bucket"),
+          col("doc_id").as("other_id")), Seq("band", "bucket"))
+        .select("doc_id", "other_id").distinct()
+      assert(cands(loaded).exceptAll(cands(corpusIdx)).isEmpty &&
+        cands(corpusIdx).exceptAll(cands(loaded)).isEmpty)
+      assert(cands(loaded).count() > 0)
+    } finally {
+      // parquet dirs nest (idx/band=*/part-*) — delete bottom-up
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("minhash LSH recalls injected exact duplicates on all bands") {
