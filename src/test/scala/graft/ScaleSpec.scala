@@ -212,6 +212,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("co-purchase bestseller skew spreads across reducers (D60 claim)") {
+    import spark.implicits._
+    // synthetic bestseller: part 0 rides in EVERY order, plus a
+    // 100-part long tail (each tail part in 1/50 of orders)
+    val li = (0L until 2000L).flatMap { o =>
+      Seq((o, 0L), (o, 1L + o % 50), (o, 51L + o % 50))
+    }.toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.MarketBasket.coPurchase(li)
+    out.queryExecution.toRdd.foreach(_ => ())
+    val plan = out.queryExecution.executedPlan.toString
+    // (a) plan shape: the pair aggregate exchanges on BOTH pair
+    // columns — partitioning on p1 alone would send every
+    // bestseller-involving row to one reducer
+    val twoKeyAggExchange = plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning") &&
+        "#\\d+L?".r.findAllIn(l.takeWhile(_ != ')')).size >= 2)
+    assert(twoKeyAggExchange,
+      s"no two-key hashpartitioning exchange in the final plan:\n$plan")
+    // (b) the claim itself: a bestseller is a hot ITEM but its pair
+    // rows are many distinct KEYS (p_best, x), so the aggregation
+    // shuffle load stays balanced. Simulate Spark's own partitioner
+    // (murmur3 hash pmod n) over the pre-agg pair rows: with 2/3 of
+    // all rows involving the bestseller, no reducer may exceed 3x the
+    // mean load.
+    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairRows = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+    val loads = pairRows
+      .groupBy(pmod(hash(col("p1"), col("p2")), lit(32)).as("part"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val mean = loads.sum.toDouble / 32
+    assert(loads.max <= 3 * mean,
+      s"bestseller pairs concentrated: max ${loads.max} vs mean $mean")
+  }
+
   test("I21: parquet bloom filters prune row groups on point lookups") {
     import spark.implicits._
     // Pseudo-shuffled high-cardinality keys: every row group spans the
