@@ -80,6 +80,42 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  /** Round-6 plan-regression guard (VERDICT r5 #7): the join-strategy
+    * shape of the ten most expensive bench queries, pinned as counts.
+    * A regressed broadcast shows up as smj growth, a surprise cartesian
+    * as cartesian > 0 — both fail here instead of silently costing
+    * wall-clock at the next bench. Counts are for sf0.001 under the
+    * shared test session; a LEGITIMATE plan improvement updates this
+    * table in the same commit that changes the plan. */
+  test("top-10 bench query join strategies hold their audited shape") {
+    // query -> (max sort-merge joins, min broadcast joins)
+    val audited = Seq(
+      "q_pagerank"        -> (0, 0),
+      "q_prefix_join"     -> (3, 20),
+      "q_sparse_sim"      -> (6, 25),
+      "q_bfs"             -> (0, 0),
+      "q_dedup_cc"        -> (2, 0),
+      "q_sssp"            -> (0, 0),
+      "q_curate_full"     -> (1, 1),
+      "q_copurchase"      -> (0, 5),
+      "q_ann_ivf_learned" -> (0, 5),
+      "q_containment"     -> (2, 5))
+    val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
+      val plan = df.queryExecution.executedPlan.toString
+      def n(s: String) = plan.linesIterator.count(_.contains(s))
+      val (cart, smj, bhj) =
+        (n("CartesianProduct"), n("SortMergeJoin"), n("BroadcastHashJoin"))
+      Seq(
+        if (cart > 0) Some(s"$q: $cart cartesian products") else None,
+        if (smj > maxSmj) Some(s"$q: $smj sort-merge joins (max $maxSmj) — a broadcast regressed?") else None,
+        if (bhj < minBhj) Some(s"$q: only $bhj broadcast joins (min $minBhj)") else None
+      ).flatten
+    }
+    assert(bad.isEmpty, s"plan-shape regressions:\n${bad.mkString("\n")}")
+  }
+
   test("BloomSemiNode expands to the prefilter composition at analysis end") {
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
     val big = Tables.orders(spark, sf)
