@@ -30,6 +30,29 @@ object ReportMart {
     }
   }
 
+  /** Exactly-once publish for a STREAMING micro-batch (F6): the batch
+    * id is the idempotency token Structured Streaming hands every
+    * foreachBatch — a replayed batch (crash between sink write and
+    * checkpoint commit) arrives with the SAME id, so dynamic partition
+    * overwrite on (rule, batch_id) rewrites the replayed batch's own
+    * partitions and leaves every other batch untouched: the mart
+    * converges instead of double-appending. `rule` stays the leading
+    * partition column, so per-rule reads prune exactly as with
+    * [[append]]. */
+  def publishBatch(mart: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = mart.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try mart
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy("rule", "batch_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

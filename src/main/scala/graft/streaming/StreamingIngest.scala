@@ -24,7 +24,12 @@ object StreamingIngest {
 
   /** F6 — continuous fraud scoring: every micro-batch of staged
     * transactions runs the stateless rules (passport/account expiry)
-    * and appends hits to the mart. The windowed rules ride
+    * and publishes hits to the mart EXACTLY ONCE: foreachBatch is
+    * at-least-once (a crash between sink write and checkpoint commit
+    * replays the batch), so the publish is idempotent on the batch id
+    * (B15's dynamic-partition-overwrite discipline, keyed per
+    * micro-batch) — a replayed batch rewrites its own partitions and
+    * the mart converges. The windowed rules ride
     * [[StreamingOps.guessingAmountStream]]'s keyed state instead — a
     * per-batch window would miss cross-batch patterns. */
   def continuousFraudMart(txns: DataFrame, clients: DataFrame,
@@ -33,14 +38,14 @@ object StreamingIngest {
     txns.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val mart = graft.fraud.FraudRules.mart(Seq(
           graft.fraud.FraudRules.passportFraud(
             clients, clients.filter(col("blacklisted") === 1L)
               .select(col("c_custkey")), batch.toDF(), batchDate),
           graft.fraud.FraudRules.accountFraud(
             accounts, clients, batch.toDF(), batchDate)))
-        graft.sources.ReportMart.append(mart, martPath)
+        graft.sources.ReportMart.publishBatch(mart, martPath, batchId)
       }
       .start()
 
