@@ -532,10 +532,14 @@ object Dedup {
     * components are near-cliques (diameter 1–2), so a handful of rounds
     * suffice even at 100 TB. Each round is one shuffle join; frames are
     * persisted and the previous round released, so lineage and memory
-    * stay bounded. (The round-halving large-star/small-star variant is
-    * the upgrade path if components with large diameters ever appear.) */
+    * stay bounded. `maxIter` is a SOFT budget: a component deeper than
+    * it (band-collision chains appear on grown distinct-content
+    * corpora — found by the r6 10x sweep) escalates automatically to
+    * [[ConnectedComponents.components]]' alternating-star contraction,
+    * which closes any diameter in O(log^2) rounds with the identical
+    * min-label result. */
   def lshClusters(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                  dupMod: Long = 250, maxIter: Int = 20): DataFrame = {
+                  dupMod: Long = 250, maxIter: Int = 8): DataFrame = {
     val (docRep, repPairs) =
       contractedCandidates(docs, bands, rowsPerBand, dupMod)
     expandClusters(docRep, minLabelClosure(repPairs, maxIter))
@@ -543,8 +547,9 @@ object Dedup {
   }
 
   /** The min-label fixed-point loop over an (id1, id2) edge list;
-    * returns (node, label) for every node with ≥1 edge. */
-  private def minLabelClosure(pairs: DataFrame, maxIter: Int): DataFrame = {
+    * returns (node, label) for every node with ≥1 edge. Package-visible
+    * so the escalation contract is testable on adversarial graphs. */
+  private[graft] def minLabelClosure(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -597,16 +602,19 @@ object Dedup {
         prev.unpersist(false)
         iter += 1
       }
-      // Fail fast rather than return labels that silently disagree with
-      // the transitive closure. LSH components are near-cliques, so the
-      // min-label fixed point lands in a handful of rounds; an
-      // adversarial chain of length > maxIter is the only way here, and
-      // the caller should raise maxIter (or switch to a
-      // large-star/small-star contraction) knowingly.
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"lshClusters: not converged after $maxIter rounds " +
-            s"($changed labels still moving); raise maxIter")
+      // LSH components are near-cliques, so the min-label fixed point
+      // lands in a handful of rounds. When it does NOT (the r6 10x
+      // unique-content corpus produced a band-collision chain deeper
+      // than 20 — O(diameter) loops always have such a cliff), the
+      // closure ESCALATES to the alternating-star contraction, which
+      // resolves any diameter in O(log^2) rounds with the identical
+      // min-label contract — the documented upgrade path, taken
+      // automatically instead of asking the caller to retune maxIter.
+      if (changed > 0) {
+        edges.unpersist(false)
+        persisted.unpersist(false)
+        return ConnectedComponents.components(pairs)
+      }
       // materialize once and cut lineage: the loop's named persists
       // can then be released deterministically instead of living
       // until session end (result blocks free on GC of this frame)

@@ -36,6 +36,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
+  test("min-label closure escalates to star contraction past its soft budget") {
+    // a 120-deep chain can never close in 5 min-label rounds; the r6
+    // 10x sweep hit exactly this cliff (a band-collision chain > 20
+    // deep) — the closure must now hand off to the star contraction
+    // and return the full transitive closure instead of throwing
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.minLabelClosure(pairs, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 121)
+    assert(labels.values.forall(_ == 0L),
+      "escalated closure must label the whole chain to node 0")
+  }
+
   test("property: agrees with driver-side union-find on random graphs") {
     // deterministic LCG so the test is reproducible
     var seed = 0x9E3779B97F4A7C15L
