@@ -320,12 +320,16 @@ class OpsSpec extends SparkSpec {
     assert(cont.exists { case (_, (_, _, ppm)) => ppm == 1000000L })
   }
 
-  test("lshClusters fails fast when label propagation cannot converge") {
+  test("lshClusters auto-escalates to star contraction past the iteration budget") {
+    // maxIter = 0 forces the escalation path on EVERY component; the
+    // result must still be the exact min-label closure (same clusters
+    // as the dedicated scalable variant), not an error or a partial fix.
     val docs = Tables.documents(spark, sf).limit(200)
-    val ex = intercept[IllegalStateException] {
-      Dedup.lshClusters(docs, dupMod = 50, maxIter = 0)
-    }
-    assert(ex.getMessage.contains("not converged"))
+    val escalated = Dedup.lshClusters(docs, dupMod = 50, maxIter = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reference = Dedup.lshClustersScalable(docs, dupMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(escalated == reference && escalated.nonEmpty)
   }
 
   test("sourceCap: under-full sources kept whole, boundary ties by doc_id") {
