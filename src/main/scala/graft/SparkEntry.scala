@@ -506,6 +506,18 @@ object SparkEntry {
     // docs/PLANS.md.
     "q_dedup_embed_exactsig" -> ((s, d) =>
       ops.Ann.embedCosineDups(Tables.embeddings(s, d), oneBitProbes = false)),
+    // E54: embedding-space contamination screen — the semantic twin of
+    // E24's verbatim n-gram screen; eval side broadcast + SRP-bucketed,
+    // recovers the synthetically leaked eval vectors exactly
+    "q_contam_embed" -> ((s, d) =>
+      ops.Ann.embedContamination(Tables.embeddings(s, d))),
+    // E55: winnowing (MOSS) fingerprint selection — rightmost-min over
+    // every w-window of k-gram hashes via ONE packed-BIGINT MIN window
+    "q_winnow" -> ((s, d) => ops.Winnow.profile(Tables.documents(s, d))),
+    // E55 detection join: content pairs sharing winnowed fingerprints,
+    // df-capped postings (2/(w+1) the posting volume of full-gram E29)
+    "q_winnow_pairs" -> ((s, d) =>
+      ops.Winnow.sharedPairs(Tables.documents(s, d))),
     "q_curate" -> ((s, d) => ops.Curation.curate(Tables.documents(s, d))),
     // E43: per-source cap (domain capping) — k longest docs per source
     // via the count-of-counts threshold contraction, never a
@@ -986,6 +998,18 @@ object SparkEntry {
     // English — ties by average rank, doubled into integer space
     "q_auc" -> ((s, d) =>
       ml.Evaluation.aucExact(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
+    // H10: Poisson-bootstrap uncertainty band for the H4 AUC —
+    // deterministic md5-inverted Poisson(1) weights per (replicate,
+    // doc), weighted tie-aware rank-sum per replicate, all integer
+    "q_auc_ci" -> ((s, d) =>
+      ml.Evaluation.aucBootstrap(
         ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
           .select(col("doc_id"), col("margin"))
           .join(Tables.documents(s, d).select(col("doc_id"),
@@ -1581,6 +1605,51 @@ object SparkEntry {
         |  CAST((sum_r2 - n_pos * (n_pos + 1)) * 500000
         |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
         |FROM ag""".stripMargin,
+
+    // H10 twin: same scored frame, 16 Poisson(1)-reweighted replicates
+    // (md5-inverted CDF, integer thresholds), weighted rank-sum each
+    "q_auc_ci" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |ww AS (
+        |  SELECT q.r, q.s, q.lab,
+        |    CASE WHEN q.u < 1580030168 THEN 0 WHEN q.u < 3160060337 THEN 1
+        |         WHEN q.u < 3950075421 THEN 2 WHEN q.u < 4213413783 THEN 3
+        |         WHEN q.u < 4279248373 THEN 4 WHEN q.u < 4292415291 THEN 5
+        |         ELSE 6 END AS wgt
+        |  FROM (SELECT sc.doc_id, sc.s, sc.lab, r.r,
+        |          CAST(('0x'||substr(md5('boot:'||CAST(r.r AS VARCHAR)||':'||CAST(sc.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS u
+        |        FROM sc CROSS JOIN range(0,16) r(r)) q),
+        |bys AS (
+        |  SELECT r, s,
+        |    CAST(SUM(CASE WHEN lab = 1 THEN wgt ELSE 0 END) AS BIGINT) AS wp,
+        |    CAST(SUM(CASE WHEN lab <> 1 THEN wgt ELSE 0 END) AS BIGINT) AS wn
+        |  FROM ww GROUP BY r, s),
+        |rk AS (
+        |  SELECT *, COALESCE(SUM(wn) OVER (PARTITION BY r ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+        |  FROM bys),
+        |ag AS (
+        |  SELECT r, CAST(SUM(wp) AS BIGINT) AS w_pos,
+        |    CAST(SUM(wn) AS BIGINT) AS w_neg,
+        |    CAST(SUM(wp * (2 * cumn + wn)) AS BIGINT) AS u2
+        |  FROM rk GROUP BY r)
+        |SELECT CAST(r AS BIGINT) AS r, w_pos, w_neg,
+        |  CAST(u2 * 500000 // greatest(w_pos * w_neg, 1) AS BIGINT) AS auc_ppm
+        |FROM ag ORDER BY r""".stripMargin,
 
     // H9 twin: the four rule bodies provide the labels (each body
     // carries its own WITH scope; the outer clients CTE is shadowed
@@ -2940,6 +3009,67 @@ object SparkEntry {
         |  FROM cand c JOIN n x ON c.id1 = x.vec_id JOIN n y ON c.id2 = y.vec_id)
         |SELECT id1, id2, cos FROM sc WHERE cos >= 0.999 ORDER BY id1, id2""".stripMargin,
 
+    // E54 twin: identical SRP discipline, asymmetric sides — probes
+    // explode on the eval side only; leaked copies re-injected +10M
+    "q_contam_embed" ->
+      """WITH ev AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |tr AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM ev
+        |  WHERE (vec_id // 50) % 4 = 0),
+        |base AS (
+        |  SELECT vec_id, embedding, 1 AS is_ev FROM ev
+        |  UNION ALL
+        |  SELECT vec_id, embedding, 0 AS is_ev FROM tr),
+        |v AS (
+        |  SELECT vec_id, is_ev, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, is_ev, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |signs AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN CAST(('0x'||substr(md5(CAST(j.j AS VARCHAR)||'_'||CAST(i.i AS VARCHAR)),1,8)) AS BIGINT) & 1 = 1
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
+        |  FROM range(0,16) j(j), range(0,64) i(i)),
+        |ex AS (SELECT vec_id, i.i AS i, svec[CAST(i.i AS INTEGER)+1] AS x
+        |  FROM n, range(0,64) i(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.j, SUM(e.x * s.w) AS p
+        |  FROM ex e JOIN signs s ON e.i = s.i GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id),
+        |masks AS (
+        |  SELECT CAST(0 AS BIGINT) AS m
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) << CAST(j.j AS INTEGER) FROM range(0,16) j(j)),
+        |probes AS (
+        |  SELECT s.vec_id, xor(s.sig, m.m) AS psig
+        |  FROM sig s JOIN n ON n.vec_id = s.vec_id
+        |  CROSS JOIN masks m WHERE n.is_ev = 1),
+        |cand AS (
+        |  SELECT p.vec_id AS eval_id, t.vec_id AS train_id
+        |  FROM probes p
+        |  JOIN sig t ON t.sig = p.psig
+        |  JOIN n tn ON tn.vec_id = t.vec_id AND tn.is_ev = 0),
+        |sc AS (
+        |  SELECT c.eval_id, c.train_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> x.svec[i]*y.svec[i])), (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))) AS cos
+        |  FROM cand c JOIN n x ON c.eval_id = x.vec_id JOIN n y ON c.train_id = y.vec_id)
+        |SELECT eval_id, CAST(count(*) AS BIGINT) AS n_leaks,
+        |  MAX(cos) AS max_cos, MIN(train_id) AS leak_id
+        |FROM sc WHERE cos >= 0.999
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+
     // knob-off twin: identical up to candidate generation, which joins
     // exact signatures only (no 1-bit probe masks)
     "q_dedup_embed_exactsig" ->
@@ -3443,6 +3573,59 @@ object SparkEntry {
         |  WHERE d.doc_id % 97 <> 0)
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // E55 twin: identical packed-key rightmost-min winnowing selection
+    // (one MIN window over g·2^28 + (2^28−1−pos))
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) >= 3),
+        |g AS (
+        |  SELECT doc_id, pos0,
+        |    CAST(('0x'||substr(md5(array_to_string(tk[CAST(pos0+1 AS INTEGER):CAST(pos0+3 AS INTEGER)], ' ')),1,8)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, tk, unnest(range(0, n - 2)) AS pos0 FROM b)),
+        |wm AS (
+        |  SELECT doc_id,
+        |    MIN(g * 268435456 + (268435455 - pos0)) OVER (PARTITION BY doc_id ORDER BY pos0
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos0
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE wn = 4),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |    MIN(wmin // 268435456) AS min_g, MAX(wmin // 268435456) AS max_g
+        |  FROM fp GROUP BY doc_id),
+        |nw AS (SELECT doc_id, n - 5 AS n_windows FROM b WHERE n - 5 >= 1)
+        |SELECT a.doc_id, nw.n_windows, a.n_fps,
+        |  CAST(a.n_fps * 1000000 // nw.n_windows AS BIGINT) AS density_ppm,
+        |  a.min_g, a.max_g
+        |FROM agg a JOIN nw USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // E55 pairs twin: I14 content reps, df-capped fingerprint postings
+    "q_winnow_pairs" ->
+      """WITH ch AS (SELECT doc_id, text, md5(text) AS ch FROM documents),
+        |reps AS (SELECT MIN(doc_id) AS doc_id FROM ch GROUP BY ch),
+        |rd AS (SELECT c.doc_id, c.text FROM ch c JOIN reps r ON c.doc_id = r.doc_id),
+        |t AS (SELECT doc_id, string_split(text,' ') AS tk FROM rd),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) >= 3),
+        |g AS (
+        |  SELECT doc_id, pos0,
+        |    CAST(('0x'||substr(md5(array_to_string(tk[CAST(pos0+1 AS INTEGER):CAST(pos0+3 AS INTEGER)], ' ')),1,8)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, tk, unnest(range(0, n - 2)) AS pos0 FROM b)),
+        |wm AS (
+        |  SELECT doc_id,
+        |    MIN(g * 268435456 + (268435455 - pos0)) OVER (PARTITION BY doc_id ORDER BY pos0
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos0
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE wn = 4),
+        |fpg AS (SELECT DISTINCT doc_id, wmin // 268435456 AS g FROM fp),
+        |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM fpg GROUP BY g) WHERE df <= 24),
+        |posts AS (SELECT f.doc_id, f.g FROM fpg f JOIN rare USING (g))
+        |SELECT a.doc_id AS id1, b2.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM posts a JOIN posts b2 ON a.g = b2.g AND a.doc_id < b2.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id1, id2""".stripMargin,
 
     "q_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (

@@ -128,6 +128,64 @@ object Evaluation {
         (col("n_pos") - col("tp")).as("fn"), col("f1_pico"))
   }
 
+  /** H10 — Poisson-bootstrap uncertainty band for the H4 AUC (Kleiner
+    * et al.-style resampling for metrics at corpus scale): replicate r
+    * reweights every scored row by an independent Poisson(1) draw —
+    * the distributed-safe stand-in for multinomial resampling, since
+    * per-row draws need no global coordination — and the weighted
+    * rank-sum AUC of each replicate is one point of the sampling
+    * distribution. Draws are DETERMINISTIC: the md5-derived h32 of
+    * (replicate, row id) is uniform on [0, 2^32) and inverted through
+    * the Poisson(1) CDF as six precomputed integer thresholds
+    * (⌊cdf·2^32⌋ — constants, so no transcendentals at runtime and the
+    * weights replay bit-identically cross-engine).
+    *
+    * Weighted tie-aware rank-sum: grouping by distinct score s with
+    * replicate weights (wp_s, wn_s),
+    * 2U = Σ_s wp_s·(2·cumWn_below(s) + wn_s), AUC = U/(Wp·Wn) — all
+    * integer until the final ppm division.
+    *
+    * Scale shape: the corpus is touched by ONE map pass that emits b
+    * weighted copies of each row, and partial aggregation contracts to
+    * b×distinct-scores per task before the only shuffle — replicate
+    * cost is map CPU, not shuffle volume. The per-replicate window runs
+    * over the b×distinct-score contraction. Exact while
+    * Wp·Wn·10^6 fits a long (weights average 1, so the H4
+    * ~3·10^9-rows stratification bound applies unchanged). */
+  def aucBootstrap(scored: DataFrame, score: String = "score",
+                   label: String = "label", id: String = "doc_id",
+                   b: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.h32
+    // Poisson(1) inverse CDF on h32 ∈ [0, 2^32): thresholds ⌊cdf_k·2^32⌋
+    val u = h32(concat(lit("boot:"), col("r").cast("string"),
+      lit(":"), col("rid")))
+    val wgt = when(u < 1580030168L, 0L)
+      .when(u < 3160060337L, 1L)
+      .when(u < 3950075421L, 2L)
+      .when(u < 4213413783L, 3L)
+      .when(u < 4279248373L, 4L)
+      .when(u < 4292415291L, 5L)
+      .otherwise(6L)
+    val byScore = scored
+      .select(col(score).as("s"), col(label).as("lbl"),
+        col(id).cast("string").as("rid"))
+      .withColumn("r", explode(array((0 until b).map(lit(_)): _*)))
+      .withColumn("wgt", wgt)
+      .groupBy(col("r"), col("s"))
+      .agg(sum(when(col("lbl") === 1L, col("wgt")).otherwise(0L)).as("wp"),
+        sum(when(col("lbl") =!= 1L, col("wgt")).otherwise(0L)).as("wn"))
+    val w = Window.partitionBy(col("r")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cumn", coalesce(sum(col("wn")).over(w), lit(0L)))
+      .groupBy(col("r"))
+      .agg(sum(col("wp")).as("w_pos"), sum(col("wn")).as("w_neg"),
+        sum(col("wp") * (lit(2L) * col("cumn") + col("wn"))).as("u2"))
+      .select(col("r").cast("long").as("r"), col("w_pos"), col("w_neg"),
+        expr("u2 * 500000 div greatest(w_pos * w_neg, 1)").as("auc_ppm"))
+      .orderBy(col("r"))
+  }
+
   /** H5 — calibration curve (reliability diagram): fixed-width score
     * bins with observed positive rate per bin. One map-side bin
     * assignment + one grouped aggregation — no window at all. Scores

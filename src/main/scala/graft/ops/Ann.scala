@@ -211,6 +211,61 @@ object Ann {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** E54 — embedding-space contamination screen: the semantic
+    * complement of the E24/I24 n-gram screen, which only catches
+    * VERBATIM benchmark leakage — a paraphrased or re-tokenized eval
+    * row has no shared n-grams but keeps a near-identical embedding.
+    * The held-out eval set is `vec_id % evalMod = 0`; every `leakMod`-th
+    * eval vector is re-injected into the training side under a shifted
+    * id (+10M — the family's standard synthetic-dup probe), and the
+    * screen must recover exactly those: for each eval vector, the
+    * count of training vectors with exact cosine ≥ `minCos`, the max
+    * cosine, and the lowest-id offender.
+    *
+    * Candidates come from the E18 SRP discipline, ASYMMETRIC: the eval
+    * side (a benchmark suite — bounded by definition) carries the 1-bit
+    * probe fan-out and BROADCASTS, so the training corpus is scanned
+    * once, joined on exact signature buckets, and never all-pairs. At
+    * 100 TB: signature the train side on write, keep it bucketed by
+    * sig, and a new benchmark screens in one bucket-pruned pass.
+    * Projections/norms are exact BIGINT, so bucket membership and every
+    * reported cosine replay bit-identically cross-engine. */
+  def embedContamination(emb: DataFrame, evalMod: Long = 50,
+                         leakMod: Long = 4, bits: Int = 16,
+                         minCos: Double = 0.999): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val eval0 = base.filter(col("vec_id") % evalMod === 0)
+    // train = everything else, plus leaked copies of every leakMod-th
+    // eval vector under a shifted id (the contamination to be found)
+    val train = base.filter(col("vec_id") % evalMod =!= 0)
+      .unionByName(
+        eval0.filter(expr(s"(vec_id div $evalMod) % $leakMod") === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    def sigged(df: DataFrame) =
+      withScaledVec(df)
+        .withColumn("sig", graft.functions.SrpSig.sigL(col("svec"), bits))
+    val t = sigged(train).select(col("sig"), col("vec_id").as("train_id"),
+      col("svec").as("t_svec"), col("norm2").as("t_norm2"))
+    val masks = lit(0L) +: (0 until bits).map(j => lit(1L << j))
+    val q = sigged(eval0)
+      .withColumn("m", explode(array(masks: _*)))
+      .select(col("sig").bitwiseXOR(col("m")).as("sig"),
+        col("vec_id").as("eval_id"),
+        col("svec").as("q_svec"), col("norm2").as("q_norm2"))
+    t.join(broadcast(q), Seq("sig"))
+      .withColumn("cos",
+        cosCol(dotCol(col("q_svec"), col("t_svec")),
+          col("q_norm2"), col("t_norm2")))
+      .filter(col("cos") >= minCos)
+      // a (eval, train) pair can match through at most one mask
+      // (m = sig_q XOR sig_t, 0 or a power of two), so no distinct
+      // is needed before the per-eval aggregation
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_leaks"), max(col("cos")).as("max_cos"),
+        min(col("train_id")).as("leak_id"))
+      .orderBy(col("eval_id"))
+  }
+
   /** E11 — per-label embedding stats, all exact integers. Unlike the
     * ANN paths, nothing downstream needs the scaled array itself, so the
     * norm is folded straight off the float column by the codegen'd

@@ -249,6 +249,32 @@ object StreamingOps {
         col("amt_cents"))
   }
 
+  /** F20 — F8's interval join as LEFT OUTER: a purchase with NO error
+    * in its preceding window still emits, with a null e_ts — the shape
+    * a fraud pipeline needs to assert a NEGATIVE ("this purchase was
+    * clean") continuously. The outer row cannot be produced on
+    * arrival: a matching error may still come, so Spark holds the
+    * purchase in the same bounded interval state as F8 and emits the
+    * null-extended row only when the watermark passes the end of its
+    * match window — eviction time is exactly when the negative claim
+    * becomes final. State bound and shuffle shape are identical to F8;
+    * only the eviction path differs. */
+  def purchaseErrorJoinOuter(purchases: DataFrame, errors: DataFrame,
+                             watermark: String = "30 minutes",
+                             maxGapMinutes: Int = 10): DataFrame = {
+    val p = purchases.withWatermark("ts_t", watermark)
+      .select(col("user_id").as("p_user"), col("ts_t").as("p_ts"),
+        col("amt_cents"))
+    val e = errors.withWatermark("ts_t", watermark)
+      .select(col("user_id").as("e_user"), col("ts_t").as("e_ts"))
+    p.join(e, expr(
+      s"""p_user = e_user AND
+         |e_ts BETWEEN p_ts - INTERVAL $maxGapMinutes MINUTES AND p_ts
+         |""".stripMargin), "leftOuter")
+      .select(col("p_user").as("user_id"), col("p_ts"), col("e_ts"),
+        col("amt_cents"))
+  }
+
   /** F9 — stream-static enrichment: the event stream joined to a batch
     * dimension. The static side broadcasts per micro-batch; no
     * streaming state at all. */

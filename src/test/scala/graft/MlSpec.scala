@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 
 import graft.ml.FraudScorer
+import graft.sources.Tables
 
 /** H1 — MLlib fraud scorer end to end on the sf0.001 tables. */
 class MlSpec extends SparkSpec {
@@ -148,6 +149,52 @@ class MlSpec extends SparkSpec {
     // monotone recall as the threshold drops
     val byThresh = out.toSeq.sortBy(-_._1).map(_._2._4)
     assert(byThresh == byThresh.sorted)
+  }
+
+  test("H10: replicate-0 bootstrap AUC equals the naive weighted pairwise count") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Md5Prefix32
+    // deterministic Poisson(1) weight replay — same thresholds as the op
+    def wgt(r: Int, id: Long): Long = {
+      val u = Md5Prefix32.hash(UTF8String.fromString(s"boot:$r:$id"))
+      if (u < 1580030168L) 0L else if (u < 3160060337L) 1L
+      else if (u < 3950075421L) 2L else if (u < 4213413783L) 3L
+      else if (u < 4279248373L) 4L else if (u < 4292415291L) 5L else 6L
+    }
+    val rows = (1L to 40L).map(i => (i, (i * 7) % 13, if (i % 3 == 0) 1L else 0L))
+    val df = rows.toDF("doc_id", "score", "label")
+    val got = graft.ml.Evaluation.aucBootstrap(df, b = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (r <- 0 until 4) {
+      val w = rows.map { case (id, s, lab) => (s, lab, wgt(r, id)) }
+      val pos = w.filter(_._2 == 1L); val neg = w.filter(_._2 == 0L)
+      val wp = pos.map(_._3).sum; val wn = neg.map(_._3).sum
+      val u2 = (for (p <- pos; n <- neg) yield {
+        if (p._1 > n._1) 2L * p._3 * n._3
+        else if (p._1 == n._1) p._3 * n._3 else 0L
+      }).sum
+      assert(got(r.toLong) == ((wp, wn, u2 * 500000L / (wp * wn))),
+        s"replicate $r")
+    }
+  }
+
+  test("H10: bootstrap band brackets the point AUC on the real scorer frame") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val scored = graft.ops.TextAnalysis.hashedLinearScore(docs)
+      .select(col("doc_id"), col("margin"))
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en")), Seq("doc_id"))
+    val point = graft.ml.Evaluation
+      .aucExact(scored, score = "margin", label = "is_en")
+      .head().getAs[Long]("auc_ppm")
+    val reps = graft.ml.Evaluation
+      .aucBootstrap(scored, score = "margin", label = "is_en")
+      .select("auc_ppm").collect().map(_.getLong(0))
+    assert(reps.length == 16)
+    assert(reps.min <= point && point <= reps.max,
+      s"point $point outside [${reps.min}, ${reps.max}]")
   }
 
   test("H8: best-F1 point matches the hand-computed sweep") {

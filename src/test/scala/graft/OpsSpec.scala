@@ -92,6 +92,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("E54: embedding contamination screen recovers exactly the leaked evals") {
+    val out = Ann.embedContamination(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val evalIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val leaked = evalIds.filter(k => (k / 50) % 4 == 0)
+    // every leaked eval is found, pointing at its shifted copy with cos ~ 1;
+    // random testdata vectors never reach cos >= 0.999, so nothing else fires
+    assert(out.map(_._1).toSet == leaked)
+    out.foreach { case (evalId, nLeaks, maxCos, leakId) =>
+      assert(nLeaks == 1L && leakId == evalId + 10000000L)
+      assert(math.abs(maxCos - 1.0) < 1e-9)
+    }
+  }
+
   test("learned-IVF ANN at nprobe=2 reaches recall >= 0.9 vs brute force") {
     // The testdata embeddings are isotropic random vectors (labels carry
     // no cosine geometry), so NO coarse quantizer can bound recall

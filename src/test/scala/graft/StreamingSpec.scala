@@ -195,6 +195,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F20: left-outer interval join emits the clean purchase only after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Timestamp, Long, Long)]
+    val eIn = MemoryStream[(Timestamp, Long)]
+    val purchases = pIn.toDF().toDF("ts_t", "user_id", "amt_cents")
+    val errors = eIn.toDF().toDF("ts_t", "user_id")
+    val q = StreamingOps.purchaseErrorJoinOuter(purchases, errors,
+      watermark = "10 minutes", maxGapMinutes = 10)
+      .writeStream.format("memory").queryName("ssouter").outputMode("append").start()
+    try {
+      // user 1 purchase has a matching error; user 3's is clean
+      eIn.addData((Timestamp.valueOf("2024-01-01 09:55:00"), 1L))
+      pIn.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 500L),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 700L))
+      q.processAllAvailable()
+      val matched = spark.table("ssouter")
+        .select(col("user_id"), col("e_ts")).collect()
+      // the clean purchase must NOT emit yet — an error could still arrive
+      assert(matched.map(_.getLong(0)).toSet == Set(1L))
+      // advance BOTH watermarks past the end of user 3's match window
+      eIn.addData((Timestamp.valueOf("2024-01-01 10:45:00"), 9L))
+      pIn.addData((Timestamp.valueOf("2024-01-01 10:45:00"), 9L, 1L))
+      q.processAllAvailable()
+      eIn.addData((Timestamp.valueOf("2024-01-01 11:20:00"), 9L))
+      pIn.addData((Timestamp.valueOf("2024-01-01 11:20:00"), 9L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ssouter")
+        .select(col("user_id"), col("e_ts")).collect()
+      val clean = rows.filter(_.getLong(0) == 3L)
+      assert(clean.length == 1 && clean(0).isNullAt(1),
+        s"expected one null-extended row for user 3, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("F9: stream-static enrichment joins the batch dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Long)]
