@@ -85,6 +85,12 @@ object Bench {
         best.remove(name)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // ContextCleaner reaps dead checkpoint/broadcast/shuffle state
+      // only after the driver GC collects the owning objects; with a
+      // 24 GB heap a full GC may never happen on its own, so a long
+      // sweep accumulates hundreds of dead blocks and later queries
+      // pay the memory pressure (outside the timed region here).
+      System.gc()
     }
     val results = names.flatMap(n => best.get(n).map(n -> _))
     FraudRules.unpersistAll()

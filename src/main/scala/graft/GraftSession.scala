@@ -23,4 +23,18 @@ object GraftSession {
       // here at session construction (Tables.events double-checks it for
       // sessions built elsewhere).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-session hygiene: the status stores retain per-execution
+      // state (including full AQE plan strings — megabytes each at
+      // scale) for a UI this engine's batch sessions never serve.
+      // Default retention (1000 executions) made a 154-query sweep
+      // degrade measurably from driver-heap pressure alone: hot
+      // queries ran 4-7x slower late in the session than isolated
+      // (q_sparse_sim 85 s in-suite vs 18 s isolated at the 10x tier)
+      // until retention was bounded. A monitored production deployment
+      // raises these consciously; unbounded-by-default is the wrong
+      // posture for a long-lived session.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
 }

@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A9 — Avro source + sink over the container-format jars Spark ships
+  * (org.apache.avro; the spark-avro connector module is NOT on this
+  * classpath, so the format is wired up from scratch, the A8 XlsxV2
+  * pattern): `spark.read.format("graft.sources.AvroV2").load(dir)`
+  * and [[AvroV2.write]].
+  *
+  * Scale shape: one `InputPartition` per .avro file — container files
+  * carry sync markers and could split further, but the written layout
+  * is one file per upstream task, so file granularity already recovers
+  * the writer's parallelism (the same argument A8 makes for zip
+  * workbooks). Column pruning is pushed into the scan: a two-column
+  * projection DESERIALIZES every record (Avro is row-major — the codec
+  * must walk each datum) but only CONVERTS the required fields to
+  * Catalyst values.
+  *
+  * Type surface: the flat relational set both engines of this repo
+  * exchange — boolean/int/long/float/double/string/bytes, plus the
+  * `date` (int-days) and `timestamp-micros` (long-µs) logical types,
+  * whose Avro wire values are EXACTLY Catalyst's internal encodings,
+  * so conversion is a no-op on the hot path. Nullability is the
+  * standard `union(null, T)`. Nested records/arrays/maps are rejected
+  * fast with a clear message — flatten before export (the B1 rename /
+  * D45 collection ops exist for exactly that).
+  */
+class AvroV2 extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroV2.schemaFor(options.get("path"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new AvroV2.AvroTable(schema, properties.get("path"))
+}
+
+object AvroV2 {
+
+  private def driverConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[sources] def listFiles(pathGlob: String, conf: Configuration): Seq[String] = {
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(conf)
+    val stats = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    stats.toSeq
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  // ---- schema mapping (both directions share one supported set) ----
+
+  private def fromAvroField(f: Schema.Field): StructField = {
+    val (s, nullable) = f.schema().getType match {
+      case Schema.Type.UNION =>
+        val branches = f.schema().getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(branches.size == 1,
+          s"avro field ${f.name()}: only union(null, T) is supported")
+        (branches.head, true)
+      case _ => (f.schema(), false)
+    }
+    val dt = (s.getType, Option(s.getLogicalType).map(_.getName)) match {
+      case (Schema.Type.INT, Some("date")) => DateType
+      case (Schema.Type.LONG, Some("timestamp-micros")) => TimestampType
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.INT, _) => IntegerType
+      case (Schema.Type.LONG, _) => LongType
+      case (Schema.Type.FLOAT, _) => FloatType
+      case (Schema.Type.DOUBLE, _) => DoubleType
+      case (Schema.Type.STRING, _) => StringType
+      case (Schema.Type.BYTES, _) => BinaryType
+      case (t, _) => throw new IllegalArgumentException(
+        s"avro field ${f.name()}: unsupported type $t — flatten nested " +
+          "structures before export (graft reads flat relational avro only)")
+    }
+    StructField(f.name(), dt, nullable)
+  }
+
+  private[sources] def toAvroSchema(schema: StructType, name: String): Schema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case dt => throw new IllegalArgumentException(
+          s"column ${f.name}: $dt has no flat avro mapping — flatten first")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      else base
+      new Schema.Field(f.name, s, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  def schemaFor(pathGlob: String): StructType = {
+    val conf = driverConf
+    val files = listFiles(pathGlob, conf)
+    require(files.nonEmpty, s"no .avro files match $pathGlob")
+    val p = new Path(files.head)
+    val in = p.getFileSystem(conf).open(p)
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    val avro = try stream.getSchema finally { stream.close(); in.close() }
+    StructType(avro.getFields.asScala.map(fromAvroField).toArray)
+  }
+
+  // ---- sink: one .avro container file per upstream partition ----
+
+  /** Writes `df` as .avro part files under `dir` (deflate codec, JDK
+    * built-in). Runs as a NARROW job — each task serializes its own
+    * partition through a Hadoop stream, no shuffle, no driver
+    * collection; writer parallelism = df's partitioning. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    val avroJson = toAvroSchema(schema, "graft_export").toString
+    val p0 = new Path(dir)
+    p0.getFileSystem(driverConf).mkdirs(p0)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val avro = new Schema.Parser().parse(avroJson)
+        val part = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$part%05d.avro")
+        val out = path.getFileSystem(new Configuration()).create(path, true)
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(avro, out)
+        try rows.foreach { row =>
+          val rec = new GenericData.Record(avro)
+          var i = 0
+          while (i < schema.length) {
+            val v =
+              if (row.isNullAt(i)) null
+              else schema(i).dataType match {
+                case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+                case DateType => Int.box(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .fromJavaDate(row.getDate(i)))
+                case TimestampType => Long.box(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .fromJavaTimestamp(row.getTimestamp(i)))
+                case _ => row.get(i).asInstanceOf[AnyRef]
+              }
+            rec.put(i, v)
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close()
+      }
+    }
+  }
+
+  // ---- scan machinery (the A8 shape) ----
+
+  private[sources] class AvroTable(schema0: StructType, path: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"avro:$path"
+    override def schema(): StructType = schema0
+    override def capabilities(): JSet[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new AvroScanBuilder(schema0, path)
+  }
+
+  private class AvroScanBuilder(full: StructType, path: String)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = full
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new AvroScan(full, required, path)
+  }
+
+  private class AvroScan(full: StructType, required: StructType, path: String)
+      extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new AvroReaderFactory(required)
+  }
+
+  private case class AvroPartition(file: String) extends InputPartition
+
+  private class AvroReaderFactory(required: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val file = p.asInstanceOf[AvroPartition].file
+      new PartitionReader[InternalRow] {
+        private val in = {
+          val pth = new Path(file)
+          pth.getFileSystem(new Configuration()).open(pth)
+        }
+        private val stream =
+          new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        // field positions resolved against the FILE's schema by name
+        private val srcIdx = required.fields.map(f =>
+          stream.getSchema.getField(f.name).pos())
+        private var cur: InternalRow = _
+
+        private def convert(v: AnyRef, dt: DataType): Any = v match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
+          case s: String => UTF8String.fromString(s)
+          case b: ByteBuffer =>
+            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+          case other => other // int/long/float/double/boolean — and the
+          // date / timestamp-micros wire values ARE Catalyst's encodings
+        }
+
+        override def next(): Boolean =
+          if (!stream.hasNext) false
+          else {
+            val rec = stream.next()
+            cur = InternalRow.fromSeq(
+              required.fields.indices.map(i =>
+                convert(rec.get(srcIdx(i)).asInstanceOf[AnyRef],
+                  required.fields(i).dataType)))
+            true
+          }
+
+        override def get(): InternalRow = cur
+        override def close(): Unit = { stream.close(); in.close() }
+      }
+    }
+  }
+}

@@ -60,6 +60,37 @@ class IngestSpec extends SparkSpec {
     assert(backJson.count() == 100 && backJson.schema == src.schema)
   }
 
+  test("A9: avro sink + DataSourceV2 source round-trip the full type surface") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_avro")
+    // every supported flat type in one frame: long/int/double/string/
+    // date/timestamp/binary/boolean, with nulls in a nullable column
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_t"), col("event_type"),
+        col("value"), to_date(col("ts_t")).as("d"),
+        when(col("event_id") % 7 === 0, col("props")).as("maybe_props"),
+        (col("event_id") % 2 === 0).as("flag"),
+        unhex(md5(col("event_type"))).as("blob"))
+      .limit(500)
+      .repartition(3)
+      .cache()
+    graft.sources.AvroV2.write(src, dir.resolve("avro").toString)
+    val back = spark.read.format("graft.sources.AvroV2")
+      .load(dir.resolve("avro").toString)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    // exact content equality, order-insensitive
+    assert(back.count() == 500)
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+    // column pruning reaches the scan
+    val pruned = back.select("event_id", "flag")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("event_id") && !scan.contains("maybe_props"))
+    // files = writer partitions
+    assert(Files.list(dir.resolve("avro")).filter(_.toString.endsWith(".avro"))
+      .count() == 3)
+  }
+
   test("A6: xlsx source reads the reference's terminals workbook") {
     val path = "/root/reference/sql_project-master/data/terminals_01032021.xlsx"
     assume(Files.exists(Paths.get(path)))
