@@ -899,6 +899,9 @@ object SparkEntry {
     "q_cohort" -> ((s, d) => ops.Analytics.cohortRetention(Tables.events(s, d))),
     "q_seq_pattern" -> ((s, d) =>
       ops.Analytics.patternEpisodes(Tables.events(s, d))),
+    // ---- D61: multi-touch conversion attribution (linear + last-touch)
+    "q_attribution" -> ((s, d) =>
+      ops.Analytics.attribution(Tables.events(s, d))),
     "q_lm_quality" -> ((s, d) =>
       ops.LmQuality.score(Tables.documents(s, d))),
     "q_shuffle_shards" -> ((s, d) =>
@@ -3903,6 +3906,36 @@ object SparkEntry {
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id
         |ORDER BY t1.user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts_us AS conv_ts, event_id AS conv_id
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts_us AS touch_ts, event_id AS touch_id,
+        |    event_type AS channel
+        |  FROM e WHERE event_type IN ('view', 'click')),
+        |p AS (
+        |  SELECT t.channel, t.touch_id, t.touch_ts, c.conv_id
+        |  FROM t JOIN c ON t.user_id = c.user_id
+        |   AND t.touch_ts < c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - 604800000000),
+        |s AS (
+        |  SELECT channel, conv_id,
+        |    count(*) OVER (PARTITION BY conv_id) AS n_touch,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts DESC, touch_id DESC) AS lt_rank
+        |  FROM p)
+        |SELECT channel,
+        |  count(*) AS n_touchpoints,
+        |  count(DISTINCT conv_id) AS n_conversions,
+        |  CAST(sum(1000000 // n_touch) AS BIGINT) AS linear_credit_ppm,
+        |  CAST(sum(CASE WHEN lt_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_convs
+        |FROM s GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q_cohort" ->
       """WITH uw AS (

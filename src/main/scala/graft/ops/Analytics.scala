@@ -121,6 +121,50 @@ object Analytics {
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
 
+  /** D61 — multi-touch conversion attribution: every `channels` touch
+    * event in the `lookbackUs` window before a same-user conversion
+    * shares that conversion's credit. Two standard models in one pass:
+    * LINEAR (each of the conversion's n window touches gets
+    * ⌊10⁶/n⌋ ppm) and LAST-TOUCH (the latest touch before the
+    * conversion — ties broken by event id — takes the whole credit).
+    * Credits are exact integer ppm (Spark `div` ≡ DuckDB `//` on
+    * non-negative counts), so the channel totals hash cross-engine.
+    *
+    * Scale shape: touches join conversions on the USER key only — one
+    * user-keyed shuffle of each filtered stream; the time-window
+    * predicate prunes inside the join, and per-user fan-out is
+    * touches×conversions within the window, bounded by per-user
+    * activity (the D45/D57 hyperactive-key contract). Per-conversion
+    * sizing runs as a window over the UNIQUE conversion id — maximal
+    * key spread, no skew — and the final aggregation contracts to
+    * channel cardinality. The raw stream is read once. */
+  def attribution(events: DataFrame, conv: String = "purchase",
+                  channels: Seq[String] = Seq("view", "click"),
+                  lookbackUs: Long = 604800000000L): DataFrame = {
+    val e = events.select(col("user_id"), col("ts_us"), col("event_id"),
+      col("event_type"))
+    val convs = e.filter(col("event_type") === conv)
+      .select(col("user_id"), col("ts_us").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    val touches = e.filter(col("event_type").isin(channels: _*))
+      .select(col("user_id"), col("ts_us").as("touch_ts"),
+        col("event_id").as("touch_id"), col("event_type").as("channel"))
+    val pairs = touches.join(convs, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lookbackUs)
+    val wc = Window.partitionBy(col("conv_id"))
+    val sized = pairs
+      .withColumn("n_touch", count(lit(1)).over(wc))
+      .withColumn("lt_rank", row_number().over(
+        wc.orderBy(col("touch_ts").desc, col("touch_id").desc)))
+    sized.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touchpoints"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(expr("1000000 div n_touch")).as("linear_credit_ppm"),
+        sum(when(col("lt_rank") === 1, 1L).otherwise(0L)).as("last_touch_convs"))
+      .orderBy(col("channel"))
+  }
+
   /** D59 — sequence-pattern episode counting (MATCH_RECOGNIZE-lite,
     * reference: the fraud rules' ordered-behavior shape generalized to
     * arbitrary episode patterns, rep_fraud.py's guessing rule being the

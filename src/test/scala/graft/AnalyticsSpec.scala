@@ -113,4 +113,32 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(2) == 12L)
   }
+
+  test("D61: linear credit splits per conversion; last touch takes the latest") {
+    // user 1, conversion at t=100 (id 10): touches view@40 (id 1),
+    //   click@60 (id 2), view@90 (id 3) → n=3, each gets 333333 ppm,
+    //   last touch = view@90.
+    // user 1, conversion at t=50 (id 11): touches view@40 only (click@60
+    //   and view@90 are AFTER it) → n=1, 1000000 ppm, last touch view.
+    // user 2: touch outside the lookback (conv 1000100, touch at 90 with
+    //   lookback 1000) → unattributed, contributes nothing.
+    // user 3: last-touch tie on ts between click(id 7) and view(id 6) at
+    //   t=80 → higher event_id (click) wins the tie-break.
+    val ev = Seq(
+      (1L, 40L, 1L, "view"), (1L, 60L, 2L, "click"), (1L, 90L, 3L, "view"),
+      (1L, 100L, 10L, "purchase"), (1L, 50L, 11L, "purchase"),
+      (2L, 90L, 5L, "view"), (2L, 1000100L, 12L, "purchase"),
+      (3L, 80L, 6L, "view"), (3L, 80L, 7L, "click"),
+      (3L, 85L, 13L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Analytics.attribution(ev, lookbackUs = 1000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // view: conv10 gives 2 touches (333333 x2), conv11 one (1000000),
+    //   conv13 one (500000); 4 touchpoints over 3 conversions; last-touch
+    //   winner on conv10 (view@90) and conv11 only.
+    assert(out("view") == (4L, 3L, 333333L * 2 + 1000000L + 500000L, 2L))
+    // click: conv10 (333333) + conv13 (500000, wins tie on event_id)
+    assert(out("click") == (2L, 2L, 333333L + 500000L, 1L))
+  }
 }
