@@ -902,6 +902,16 @@ object SparkEntry {
     // ---- D61: multi-touch conversion attribution (linear + last-touch)
     "q_attribution" -> ((s, d) =>
       ops.Analytics.attribution(Tables.events(s, d))),
+    // ---- D62: first-order Markov transition matrix over the stream
+    "q_markov" -> ((s, d) =>
+      ops.Analytics.markovTransitions(Tables.events(s, d))),
+    // ---- D63: RFM quintile segmentation of the order mart
+    "q_rfm" -> ((s, d) =>
+      ops.Analytics.rfmSegments(Tables.orders(s, d).select(
+        col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("epoch_day"),
+        cents(col("o_totalprice")).as("price_cents")))),
     "q_lm_quality" -> ((s, d) =>
       ops.LmQuality.score(Tables.documents(s, d))),
     "q_shuffle_shards" -> ((s, d) =>
@@ -955,6 +965,11 @@ object SparkEntry {
     // independent engine bit-for-bit
     "q_pagerank" -> ((s, d) =>
       ops.GraphStats.pageRank(
+        ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
+    // D64: k-core decomposition of the same trade graph — iterative
+    // peeling to the maximal ≥k-degree subgraph (cascades included)
+    "q_kcore" -> ((s, d) =>
+      ops.GraphStats.kCore(
         ops.GraphStats.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
 
     // D50: k-hop BFS from seeded sources over the trade graph — delta
@@ -1039,20 +1054,15 @@ object SparkEntry {
     // membership, evaluated with the H4 exact rank-sum AUC. The
     // nondeterministic H1 LogisticRegression twin of this evaluation is
     // pinned in MlSpec (same shape, learned scores).
-    "q_fraud_auc" -> ((s, d) => {
-      val labels = FraudRules.mart(FraudRules.allRules(s, d))
-        .select(col("client_key").as("c_custkey")).distinct()
-        .withColumn("label", lit(1L))
-      val scored = FraudModel.clients(s, d)
-        .select(col("c_custkey"),
-          (when(to_date(lit("2024-06-30")) > col("passport_valid_to"), 400L)
-            .otherwise(0L) +
-            when(col("c_acctbal") < 0, 300L).otherwise(0L) +
-            (col("c_custkey") * 37) % 100).as("score"))
-        .join(labels, Seq("c_custkey"), "left")
-        .withColumn("label", coalesce(col("label"), lit(0L)))
-      ml.Evaluation.aucExact(scored)
-    }),
+    "q_fraud_auc" -> ((s, d) =>
+      ml.Evaluation.aucExact(fraudScoredFrame(s, d))),
+
+    // H11: decile lift / cumulative-gains table of the SAME fraud
+    // scorer — the campaign-targeting view (contact the top decile
+    // first; how much fraud does each cumulative slice capture vs
+    // random?). Ties share a bucket on the distinct-score contraction.
+    "q_lift" -> ((s, d) =>
+      ml.Evaluation.liftTable(fraudScoredFrame(s, d))),
 
     // H5: calibration curve of the same scorer, fixed-width margin bins
     "q_calibration" -> ((s, d) =>
@@ -1237,6 +1247,23 @@ object SparkEntry {
       |    c_mktsegment AS segment, c_acctbal,
       |    DATE '2024-01-01' + CAST((c_custkey * 7) % 400 AS INTEGER) AS passport_valid_to
       |  FROM customer)""".stripMargin
+
+  /** H9/H11 shared frame: the deterministic integer risk score per
+    * client (passport expiry + blacklist balance + key-derived weight
+    * term), labeled by fraud-mart membership. */
+  private def fraudScoredFrame(s: SparkSession, d: String): DataFrame = {
+    val labels = FraudRules.mart(FraudRules.allRules(s, d))
+      .select(col("client_key").as("c_custkey")).distinct()
+      .withColumn("label", lit(1L))
+    FraudModel.clients(s, d)
+      .select(col("c_custkey"),
+        (when(to_date(lit("2024-06-30")) > col("passport_valid_to"), 400L)
+          .otherwise(0L) +
+          when(col("c_acctbal") < 0, 300L).otherwise(0L) +
+          (col("c_custkey") * 37) % 100).as("score"))
+      .join(labels, Seq("c_custkey"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0L)))
+  }
 
   private def fraudPassportBody =
     s"""(WITH $sqlTxns, $sqlClients,
@@ -1459,9 +1486,39 @@ object SparkEntry {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** D64 twin: fixed 12 peel rounds (fixpoint measured at 2 on the
+    * trade graph at sf0.01/sf0.1; rounds past fixpoint are idempotent,
+    * so the generous constant is pure safety margin — and the Spark
+    * side *requires* convergence, so a graph needing more rounds fails
+    * loudly there instead of hash-mismatching here). */
+  private def sqlKCore: String = {
+    val k = 24
+    val rounds = 12
+    // AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTE
+    // references, and each round reads its predecessor twice — without
+    // materialization e12 would expand to 2^12 scans of lineitem
+    // (observed as fd exhaustion, not just slowness).
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT c.src, c.dst FROM e${i - 1} c
+         |        JOIN k$i a ON c.src = a.src JOIN k$i b ON c.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 500000000 AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM p
+       |       UNION ALL SELECT supp AS src, cust AS dst FROM p),
+       |$peels
+       |SELECT CAST(src AS BIGINT) AS node,
+       |  CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
   /** DuckDB twins, same column names/aliases as the Spark plans. */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> sqlPageRank,
+    "q_kcore" -> sqlKCore,
 
     "q_bfs" ->
       """WITH RECURSIVE p AS (
@@ -1697,6 +1754,52 @@ object SparkEntry {
          |  CAST((sum_r2 - n_pos * (n_pos + 1)) * 500000
          |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
          |FROM ag""".stripMargin,
+
+    "q_lift" ->
+      s"""WITH $sqlClients,
+         |mart AS (
+         |  SELECT DISTINCT client_key FROM (
+         |    SELECT client_key FROM $fraudPassportBody
+         |    UNION ALL SELECT client_key FROM $fraudAccountBody
+         |    UNION ALL SELECT client_key FROM $fraudCityBody
+         |    UNION ALL SELECT client_key FROM $fraudAmountBody)),
+         |scored AS (
+         |  SELECT c.c_custkey,
+         |    (CASE WHEN DATE '2024-06-30' > c.passport_valid_to
+         |       THEN 400 ELSE 0 END
+         |     + CASE WHEN c.c_acctbal < 0 THEN 300 ELSE 0 END
+         |     + (c.c_custkey * 37) % 100) AS s,
+         |    CASE WHEN m.client_key IS NULL THEN 0 ELSE 1 END AS lab
+         |  FROM clients c LEFT JOIN mart m ON c.c_custkey = m.client_key),
+         |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(SUM(lab) AS BIGINT) AS np
+         |        FROM scored GROUP BY s),
+         |rk AS (SELECT *,
+         |         COALESCE(SUM(n) OVER (ORDER BY s DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_lt,
+         |         SUM(n) OVER () AS ntot, SUM(np) OVER () AS ptot
+         |       FROM bys),
+         |bk AS (SELECT LEAST(9, 10 * cum_lt // ntot) + 1 AS bucket,
+         |         n, np, ntot, ptot
+         |       FROM rk),
+         |ag AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n,
+         |         CAST(SUM(np) AS BIGINT) AS n_pos,
+         |         MAX(ntot) AS ntot, MAX(ptot) AS ptot
+         |       FROM bk GROUP BY bucket),
+         |cu AS (SELECT *,
+         |         SUM(n) OVER (ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |         SUM(n_pos) OVER (ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+         |       FROM ag)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+         |  CAST(cum_n AS BIGINT) AS cum_n,
+         |  CAST(cum_pos AS BIGINT) AS cum_pos,
+         |  CAST(cum_pos * 1000000 // ptot AS BIGINT) AS gain_ppm,
+         |  CAST(cum_pos * ntot * 1000000 // (cum_n * ptot) AS BIGINT)
+         |    AS lift_ppm
+         |FROM cu ORDER BY bucket""".stripMargin,
 
     "q_calibration" ->
       """WITH toks AS (
@@ -3936,6 +4039,64 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lt_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS last_touch_convs
         |FROM s GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_state
+        |  FROM e),
+        |t AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_trans,
+        |  CAST(1000000 * n_trans
+        |    // sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+        |FROM t ORDER BY from_state, to_state""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+        |    CAST(count(*) AS BIGINT) AS f_cnt,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |b2 AS (SELECT *, m_cents // 100 AS m_dollars FROM base),
+        |rs AS (
+        |  SELECT v, 1 + 5 * COALESCE(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // sum(c) OVER () AS sc
+        |  FROM (SELECT r_day AS v, count(*) AS c FROM b2 GROUP BY 1)),
+        |fs AS (
+        |  SELECT v, 1 + 5 * COALESCE(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // sum(c) OVER () AS sc
+        |  FROM (SELECT f_cnt AS v, count(*) AS c FROM b2 GROUP BY 1)),
+        |ms AS (
+        |  SELECT v, 1 + 5 * COALESCE(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // sum(c) OVER () AS sc
+        |  FROM (SELECT m_dollars AS v, count(*) AS c FROM b2 GROUP BY 1))
+        |SELECT b2.o_custkey, b2.r_day, b2.f_cnt, b2.m_cents,
+        |  CAST(rs.sc AS BIGINT) AS r_score,
+        |  CAST(fs.sc AS BIGINT) AS f_score,
+        |  CAST(ms.sc AS BIGINT) AS m_score,
+        |  CAST(rs.sc * 100 + fs.sc * 10 + ms.sc AS BIGINT) AS rfm,
+        |  CASE
+        |    WHEN rs.sc >= 4 AND fs.sc >= 4 AND ms.sc >= 4 THEN 'champion'
+        |    WHEN rs.sc <= 2 AND fs.sc >= 4 THEN 'at_risk'
+        |    WHEN rs.sc >= 4 AND fs.sc <= 2 THEN 'new'
+        |    WHEN rs.sc <= 2 AND fs.sc <= 2 AND ms.sc <= 2 THEN 'hibernating'
+        |    ELSE 'core' END AS segment
+        |FROM b2
+        |JOIN rs ON b2.r_day = rs.v
+        |JOIN fs ON b2.f_cnt = fs.v
+        |JOIN ms ON b2.m_dollars = ms.v
+        |ORDER BY b2.o_custkey""".stripMargin,
 
     "q_cohort" ->
       """WITH uw AS (

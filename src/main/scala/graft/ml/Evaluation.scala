@@ -203,4 +203,49 @@ object Evaluation {
         sum(col(score)).as("sum_score"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
       .orderBy(col("bin"))
+
+  /** H11 — exact decile lift / cumulative-gains table, the
+    * campaign-targeting view of a scorer (score DESC = contact order):
+    * per bucket the positive count, cumulative capture rate
+    * (`gain_ppm = 1e6·cumPos div totPos`) and cumulative lift vs a
+    * random contact policy (`lift_ppm = 1e6·cumPos·N div (cumN·totPos)`
+    * — 1e6 = random). Buckets are assigned on the DISTINCT-SCORE
+    * contraction: a score lands in `least(k−1, k·cum_lt div N)` where
+    * `cum_lt` counts rows scoring STRICTLY HIGHER, so all ties share a
+    * bucket (documented: bucket sizes are N/k only when ties don't
+    * straddle a boundary) and the assignment is hash-exact cross-engine
+    * — never ntile, whose tie handling differs. Integer ppm throughout.
+    *
+    * Scale: one grouped aggregation contracts the corpus to the
+    * distinct-score frame (domain-bounded for integer scorers like H9's);
+    * both cumulative windows run on that contraction, then on the
+    * k-row bucket frame. Same posture as H4/H7/H8. */
+  def liftTable(scored: DataFrame, score: String = "score",
+                label: String = "label", buckets: Int = 10): DataFrame = {
+    val byScore = scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val wd = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = byScore
+      .withColumn("cum_lt", coalesce(sum(col("n")).over(wd), lit(0L)))
+      .withColumn("ntot", sum(col("n")).over(tot))
+      .withColumn("ptot", sum(col("np")).over(tot))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), expr(s"$buckets * cum_lt div ntot")) + 1L)
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+        max(col("ntot")).as("ntot"), max(col("ptot")).as("ptot"))
+      .withColumn("cum_n", sum(col("n")).over(wb))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wb))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("cum_pos * 1000000 div ptot").as("gain_ppm"),
+        expr("cum_pos * ntot * 1000000 div (cum_n * ptot)").as("lift_ppm"))
+      .orderBy(col("bucket"))
+  }
 }

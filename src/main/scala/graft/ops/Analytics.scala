@@ -165,6 +165,99 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** D62 — first-order Markov transition matrix over the event stream:
+    * for every user, consecutive event pairs in (ts, event_id) order
+    * become (from_state, to_state) transitions; the output is the exact
+    * transition-count matrix plus row-conditional probabilities in
+    * integer ppm (`1e6·n(from→to) div n(from→*)`, Spark `div` ≡ DuckDB
+    * `//` on non-negative counts — hash-exact cross-engine). The
+    * journey-analysis complement to D32's funnel (which fixes the step
+    * sequence) and D59's episodes (which fix the pattern): here the
+    * *data* reports which step follows which, the input of any
+    * next-action model or absorbing-chain analysis.
+    *
+    * Scale: ONE user-keyed shuffle (the lead window); the aggregation
+    * contracts immediately to the state×state frame (≤ |event_type|² —
+    * 25 rows here, bounded by the type domain, never the corpus), so the
+    * second window over `from_state` runs on a domain-sized frame. The
+    * raw stream is read once. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_state"),
+        col("next_type").as("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_state"))))
+      .select(col("from_state"), col("to_state"), col("n_trans"),
+        expr("1000000 * n_trans div n_from").as("p_ppm"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  /** D63 — RFM (recency / frequency / monetary) customer segmentation,
+    * the classic CRM mart (Hughes, *Strategic Database Marketing*):
+    * per-customer recency (latest order epoch-day), frequency (order
+    * count) and monetary (lifetime cents), each scored 1–5 by exact
+    * quintile position. Scores ride the E52-style DOMAIN-HISTOGRAM
+    * contraction — per-metric value histograms at domain resolution
+    * (days / counts / whole dollars), cumulative counts over the
+    * distinct-value frame, `score = 1 + 5·cum_lt div n` where `cum_lt`
+    * counts customers strictly below the value. Ties share a score and
+    * `5·cum_lt div n ≤ 4` always, so scores are well-defined and
+    * hash-exact cross-engine (no ntile, whose tie semantics differ).
+    *
+    * Scale: the base aggregation is one customer-keyed shuffle of
+    * orders; each histogram is VALUE-DOMAIN-bounded (≈10³ distinct
+    * days / ≈10² counts / ≤10⁶ whole dollars) regardless of corpus
+    * size, so the single-partition cumulative windows never see a
+    * corpus-sized frame — the same reasoning as E52's per-language
+    * terciles, with monetary coarsened cents→dollars precisely to keep
+    * that bound (documented: dollar-resolution score boundaries). The
+    * three score maps broadcast back onto the customer frame. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("epoch_day")).as("r_day"),
+        count(lit(1)).as("f_cnt"),
+        sum(col("price_cents")).as("m_cents"))
+      .withColumn("m_dollars", expr("m_cents div 100"))
+
+    def scoreMap(metric: String): DataFrame = {
+      val hist = base.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col(metric))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum_lt", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(metric),
+          (lit(1L) + expr("5 * cum_lt div n")).as(s"${metric}_score"))
+    }
+
+    base
+      .join(broadcast(scoreMap("r_day")), Seq("r_day"))
+      .join(broadcast(scoreMap("f_cnt")), Seq("f_cnt"))
+      .join(broadcast(scoreMap("m_dollars")), Seq("m_dollars"))
+      .select(col("o_custkey"), col("r_day"), col("f_cnt"), col("m_cents"),
+        col("r_day_score").as("r_score"),
+        col("f_cnt_score").as("f_score"),
+        col("m_dollars_score").as("m_score"),
+        (col("r_day_score") * 100 + col("f_cnt_score") * 10
+          + col("m_dollars_score")).as("rfm"),
+        when(col("r_day_score") >= 4 && col("f_cnt_score") >= 4
+          && col("m_dollars_score") >= 4, "champion")
+          .when(col("r_day_score") <= 2 && col("f_cnt_score") >= 4, "at_risk")
+          .when(col("r_day_score") >= 4 && col("f_cnt_score") <= 2, "new")
+          .when(col("r_day_score") <= 2 && col("f_cnt_score") <= 2
+            && col("m_dollars_score") <= 2, "hibernating")
+          .otherwise("core").as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** D59 — sequence-pattern episode counting (MATCH_RECOGNIZE-lite,
     * reference: the fraud rules' ordered-behavior shape generalized to
     * arbitrary episode patterns, rep_fraud.py's guessing rule being the

@@ -211,6 +211,53 @@ object GraphStats {
     dist.orderBy(col("node"))
   }
 
+  /** D64 — k-core decomposition (Seidman 1983; distributed peeling as
+    * in Montresor et al., "Distributed k-Core Decomposition"): the
+    * maximal subgraph in which every node keeps degree ≥ k, found by
+    * repeatedly deleting under-degree nodes until fixpoint. The
+    * density-based community filter the degree threshold alone can't
+    * express — removing a weak node can cascade (its neighbors drop
+    * under k next round), which is exactly what the iteration captures.
+    *
+    * Per round: one node-keyed degree aggregation + two semi-joins
+    * (src and dst endpoint survival) — all edge-list-sized, eager
+    * localCheckpoint lineage cuts per the I10 discipline. The
+    * convergence probe collects ONE aggregated count per round (the
+    * sanctioned metadata-sized collect, same as the CC loop). Survivor
+    * sets only shrink, so rounds past the fixpoint are idempotent —
+    * the DuckDB twin runs a FIXED generous round count and lands on
+    * the identical core; Spark fails loudly if `maxRounds` weren't
+    * enough rather than returning a half-peeled graph.
+    *
+    * `rawEdges` must be the symmetric (both-direction) edge list;
+    * output is each core node with its degree INSIDE the core. */
+  def kCore(rawEdges: DataFrame, k: Int = 24, maxRounds: Int = 12): DataFrame = {
+    var edges = rawEdges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var nNodes = -1L
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val m = edges.agg(countDistinct(col("src"))).head().getLong(0)
+      converged = m == nNodes
+      nNodes = m
+      round += 1
+    }
+    require(converged || nNodes == 0L,
+      s"k-core peel did not converge within $maxRounds rounds " +
+        s"($nNodes nodes still shedding) — raise maxRounds")
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
   /** The exact-content duplicate graph with TWO synthetic replicas per
     * seeded doc (so every seeded content forms a 3-clique): clique
     * edges within each md5 content group, stored low-to-high. The

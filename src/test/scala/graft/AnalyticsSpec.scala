@@ -141,4 +141,46 @@ class AnalyticsSpec extends SparkSpec {
     // click: conv10 (333333) + conv13 (500000, wins tie on event_id)
     assert(out("click") == (2L, 2L, 333333L + 500000L, 1L))
   }
+
+  test("D62: Markov transitions pair consecutive events per user, ppm by row") {
+    // user 1 in time order: v c c p → transitions v→c, c→c, c→p
+    // user 2: p v → p→v; no cross-user pair (user 2's v is terminal).
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "click"),
+      (1L, 40L, 4L, "purchase"),
+      (2L, 10L, 5L, "purchase"), (2L, 20L, 6L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Analytics.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("view", "click") -> (1L, 1000000L),
+      ("click", "click") -> (1L, 500000L),
+      ("click", "purchase") -> (1L, 500000L),
+      ("purchase", "view") -> (1L, 1000000L)))
+  }
+
+  test("D63: RFM quintile scores come off the domain histogram, ties shared") {
+    // Five customers, one order each except cust 5 (two orders).
+    // recency days: 1,2,3,4,5  → scores 1..5 (all distinct)
+    // frequency: 1,1,1,1,2     → the four ties get 1 + 5*0 div 5 = 1,
+    //                            cust 5 gets 1 + 5*4 div 5 = 5
+    // monetary dollars: 10,20,30,40,60 → scores 1..5
+    val day = 86400000000L
+    val orders = Seq(
+      (1L, 1L * day, 1000L), (2L, 2L * day, 2000L), (3L, 3L * day, 3000L),
+      (4L, 4L * day, 4000L), (5L, 5L * day, 3000L), (5L, 1L * day, 3000L))
+      .toDF("o_custkey", "ts_us", "price_cents")
+      .select(col("o_custkey"), expr("ts_us div 86400000000").as("epoch_day"),
+        col("price_cents"))
+    val out = Analytics.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getString(8))).toMap
+    assert(out(1L) == (1L, 1L, 1L, 111L, "hibernating"))
+    assert(out(2L) == (2L, 1L, 2L, 212L, "hibernating"))
+    assert(out(3L) == (3L, 1L, 3L, 313L, "core"))
+    assert(out(4L) == (4L, 1L, 4L, 414L, "new"))
+    assert(out(5L) == (5L, 5L, 5L, 555L, "champion"))
+  }
 }

@@ -124,4 +124,41 @@ class GraphStatsSpec extends SparkSpec {
     assert(bySide(true) > bySide(false),
       s"supplier avg ${bySide(true)} should exceed customer avg ${bySide(false)}")
   }
+
+  private def sym(edges: Seq[(Long, Long)]) =
+    (edges ++ edges.map(_.swap)).toDF("src", "dst")
+
+  test("D64: 2-core peels a chain end-in (cascade), keeps a cycle whole") {
+    // Path 1-2-3-4-5-6 with k=2: endpoints have degree 1, removing them
+    // exposes the next pair — the cascade peels the WHOLE chain, but
+    // only over ceil(n/2) rounds (one from each end per round). A
+    // 4-cycle attached off to the side survives untouched at degree 2.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val cycle = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val out = GraphStats.kCore(sym(chain ++ cycle), k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 2L))
+  }
+
+  test("D64: removing one clique member can drop the rest below k") {
+    // 4-clique {1,2,3,4} plus pendant 5-1: at k=3 the pendant goes
+    // first (deg 1), then the clique still holds (deg 3 each). At k=4
+    // node degrees inside the clique are 3 < 4 → everything dies.
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val g = sym(clique :+ (5L, 1L))
+    val at3 = GraphStats.kCore(g, k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(GraphStats.kCore(g, k = 4, maxRounds = 10).count() == 0L)
+  }
+
+  test("D64: loud failure when maxRounds is too small for the cascade") {
+    val chain = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      GraphStats.kCore(sym(chain), k = 2, maxRounds = 2).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

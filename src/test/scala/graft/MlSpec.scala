@@ -209,4 +209,25 @@ class MlSpec extends SparkSpec {
       row.getLong(2) == 1L && row.getLong(3) == 0L)
     assert(row.getLong(4) == 2L * 3L * 1000000000000L / 7L)
   }
+
+  test("H11: lift table buckets on the distinct-score contraction, ties shared") {
+    import spark.implicits._
+    // 8 rows, 4 positives, 4 buckets. Distinct scores DESC:
+    //   30: n=2 np=1 cum_lt=0 → bucket 1
+    //   20: n=2 np=2 cum_lt=2 → 4*2 div 8 = 1 → bucket 2
+    //   10: n=4 np=1 cum_lt=4 → bucket 3 (bucket 4 stays empty: ties
+    //       share a bucket, sizes are only N/k when no straddle)
+    val rows = Seq((30L, 1L), (30L, 0L), (20L, 1L), (20L, 1L),
+      (10L, 1L), (10L, 0L), (10L, 0L), (10L, 0L))
+    val out = graft.ml.Evaluation
+      .liftTable(rows.toDF("score", "label"), buckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // (n, n_pos, cum_n, cum_pos, gain_ppm, lift_ppm)
+    assert(out(1L) == (2L, 1L, 2L, 1L, 250000L, 1000000L))
+    assert(out(2L) == (2L, 2L, 4L, 3L, 750000L, 1500000L))
+    assert(out(3L) == (4L, 1L, 8L, 4L, 1000000L, 1000000L))
+  }
 }
