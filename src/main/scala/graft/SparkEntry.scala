@@ -362,6 +362,9 @@ object SparkEntry {
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- E56/E57: corpus-law profiles through doubling buckets
+    "q_zipf" -> ((s, d) => ops.CorpusStats.zipfProfile(Tables.documents(s, d))),
+    "q_heaps" -> ((s, d) => ops.CorpusStats.heapsGrowth(Tables.documents(s, d))),
     // ---- D11: as-of join (purchase -> last prior error per user)
     "q_asof_prior" -> ((s, d) =>
       ops.AsOfJoin.lastPriorEvent(Tables.events(s, d),
@@ -2784,6 +2787,56 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+        |      FROM toks WHERE w <> '' GROUP BY 1),
+        |b AS (SELECT CAST(length(to_base(f, 2)) AS BIGINT) AS freq_bits,
+        |        CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(sum(f) AS BIGINT) AS n_occ,
+        |        CAST(min(f) AS BIGINT) AS min_f,
+        |        CAST(max(f) AS BIGINT) AS max_f
+        |      FROM v GROUP BY 1)
+        |SELECT freq_bits, n_words, n_occ, min_f, max_f,
+        |  CAST(1000000 * sum(n_occ) OVER (ORDER BY freq_bits DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    // sum(n_occ) OVER () AS BIGINT) AS cum_share_ppm,
+        |  CAST(length(to_base(n_words, 2)) + freq_bits - 1 AS BIGINT)
+        |    AS zipf_const_bits
+        |FROM b ORDER BY freq_bits""".stripMargin,
+
+    "q_heaps" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT doc_id, unnest(t) AS w FROM d),
+        |fm AS (SELECT w, min(doc_id) AS m FROM toks WHERE w <> '' GROUP BY 1),
+        |vb AS (SELECT CASE WHEN m = 0 THEN 0
+        |         ELSE length(to_base(m, 2)) END AS k,
+        |         CAST(count(*) AS BIGINT) AS new_vocab
+        |       FROM fm GROUP BY 1),
+        |tb AS (SELECT CASE WHEN doc_id = 0 THEN 0
+        |         ELSE length(to_base(doc_id, 2)) END AS k,
+        |         CAST(count(*) AS BIGINT) AS new_docs,
+        |         CAST(sum(len(list_filter(t, x -> x <> ''))) AS BIGINT)
+        |           AS new_tokens
+        |       FROM d GROUP BY 1),
+        |j AS (SELECT tb.k, tb.new_docs, tb.new_tokens,
+        |        COALESCE(vb.new_vocab, 0) AS new_vocab
+        |      FROM tb LEFT JOIN vb ON tb.k = vb.k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(sum(new_docs) OVER wcum AS BIGINT) AS n_docs,
+        |  CAST(sum(new_tokens) OVER wcum AS BIGINT) AS n_tokens,
+        |  CAST(sum(new_vocab) OVER wcum AS BIGINT) AS n_vocab,
+        |  CAST(new_vocab AS BIGINT) AS new_vocab,
+        |  CAST(new_tokens AS BIGINT) AS new_tokens,
+        |  CAST(CASE WHEN new_tokens > 0
+        |    THEN 1000000 * new_vocab // new_tokens ELSE 0 END AS BIGINT)
+        |    AS new_rate_ppm
+        |FROM j
+        |WINDOW wcum AS (ORDER BY k
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY k""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH toks AS (

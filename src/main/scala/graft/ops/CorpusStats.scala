@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E56/E57 — whole-corpus statistical profiles: the Zipf rank-frequency
+  * law and the Heaps vocabulary-growth law, the two diagnostics a
+  * training-data curator reads before trusting a crawl (a corpus whose
+  * frequency histogram is far off Zipf is boilerplate- or spam-heavy;
+  * a vocabulary that stops growing is a dedup/coverage red flag —
+  * Baeza-Yates & Navarro, "Block addressing indices…" JASIS 2000 treats
+  * both laws together).
+  *
+  * Neither operator ranks anything globally: a literal Zipf rank plot
+  * would need a corpus-wide total order over the vocabulary (a
+  * single-reducer sort at 100 TB). Instead both laws are read through
+  * DOUBLING BUCKETS — integer bit-lengths (`length(bin(x))` here,
+  * `length(to_base(x,2))` in DuckDB, the E50 idiom), which contract
+  * every frame to ≤64 rows before any window runs. All arithmetic is
+  * integer, so the DuckDB twins hash exactly.
+  */
+object CorpusStats {
+
+  private def bl(c: Column): Column = length(bin(c)).cast("long")
+
+  /** E56 — Zipf profile as a frequency doubling-histogram: vocabulary
+    * words bucketed by the BIT LENGTH of their corpus frequency; per
+    * bucket the word count, occurrence mass, frequency range, the
+    * cumulative share of the corpus carried by words at or above the
+    * bucket (ppm), and `zipf_const_bits = bl(n_words) + freq_bits − 1`
+    * — under an α=1 Zipf law the number of words in the doubling band
+    * [2^(b−1), 2^b) is ≈ C/2^b, so this sum is ≈ bl(C), CONSTANT
+    * across buckets; curvature (rising tail, sagging head) reads
+    * directly as deviation from the law.
+    *
+    * Scale: one tokenize pass + one vocabulary-keyed aggregation (the
+    * corpus's only shuffle), then contraction to ≤64 bucket rows —
+    * the windows only ever see those. */
+  def zipfProfile(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val buckets = vocab
+      .groupBy(bl(col("f")).as("freq_bits"))
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).as("n_occ"),
+        min(col("f")).as("min_f"), max(col("f")).as("max_f"))
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("freq_bits").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("tot_occ", sum(col("n_occ")).over(tot))
+      .withColumn("cum_occ", sum(col("n_occ")).over(cum))
+      .select(col("freq_bits"), col("n_words"), col("n_occ"),
+        col("min_f"), col("max_f"),
+        expr("1000000 * cum_occ div tot_occ").as("cum_share_ppm"),
+        (bl(col("n_words")) + col("freq_bits") - 1L).as("zipf_const_bits"))
+      .orderBy(col("freq_bits"))
+  }
+
+  /** E57 — Heaps vocabulary-growth curve at doubling corpus prefixes:
+    * for each doc-id prefix {doc_id < 2^k} the cumulative doc count,
+    * token count, distinct-word count, and the MARGINAL new-word rate
+    * of the k-th slab (`new_rate_ppm = 10⁶·new_vocab div new_tokens`)
+    * — under Heaps' law V = K·N^β the marginal rate decays as
+    * N^(β−1); a rate that stops decaying means the crawl keeps finding
+    * genuinely novel text (or junk), one that collapses to ~0 means
+    * the corpus has saturated. Prefixes are doc-ID-ordered — the
+    * ingest order, the one growth order that means something.
+    *
+    * A word's first prefix is `k_w = bl(min_doc)` (0 for doc 0): the
+    * smallest k with min_doc < 2^k. Scale: one (word → min doc_id)
+    * aggregation — vocabulary-sized, the only shuffle beyond the
+    * per-doc token counts — then contraction to ≤64 prefix rows. */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    val firstK = when(col("m") === 0L, 0L).otherwise(bl(col("m")))
+    val vb = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(min(col("doc_id")).as("m"))
+      .groupBy(firstK.as("k")).agg(count(lit(1)).as("new_vocab"))
+    val tb = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_toks"))
+      .groupBy(when(col("doc_id") === 0L, 0L).otherwise(bl(col("doc_id")))
+        .as("k"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("n_toks")).as("new_tokens"))
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    // every word's first doc is a doc, so vb's k-set ⊆ tb's k-set
+    tb.join(vb, Seq("k"), "left")
+      .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+      .withColumn("n_docs", sum(col("new_docs")).over(w))
+      .withColumn("n_tokens", sum(col("new_tokens")).over(w))
+      .withColumn("n_vocab", sum(col("new_vocab")).over(w))
+      .select(col("k"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        col("new_vocab"), col("new_tokens"),
+        when(col("new_tokens") > 0,
+          expr("1000000 * new_vocab div new_tokens")).otherwise(lit(0L))
+          .as("new_rate_ppm"))
+      .orderBy(col("k"))
+  }
+}

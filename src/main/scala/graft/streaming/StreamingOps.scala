@@ -438,4 +438,66 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
+
+  /** One keyed input event for [[markovStream]]. */
+  case class MarkovEvent(user_id: Long, ts_us: Long, event_id: Long,
+                         event_type: String)
+  case class MarkovState(last_ts: Long, last_id: Long, last_type: String,
+                         n_late: Long)
+  case class TransitionDelta(user_id: Long, from_state: String,
+                             to_state: String, n: Long)
+
+  /** F21 — streaming Markov-transition maintenance (D62 live), and the
+    * one keyed-state shape no other F component has: O(1) PER KEY. The
+    * state is only the user's LAST event (ts, id, type) — not a
+    * history buffer like F19 — because a first-order transition needs
+    * exactly one look-behind; each trigger emits per-user transition
+    * DELTAS, and the downstream `groupBy(from,to).sum(n)` (update or
+    * complete mode, the F13 pattern) maintains the live matrix.
+    *
+    * The price of O(1) state is an IN-ORDER-PER-KEY contract: a
+    * transition delta is append-only fact, so an event arriving behind
+    * the state's frontier cannot retroactively re-pair its neighbors
+    * (that correction needs F19's full-history state). Such stragglers
+    * are therefore DROPPED — never silently: each drop emits a
+    * `("__late__","__late__")` delta row, so the live matrix carries
+    * its own data-quality column and parity with batch D62 is exact
+    * whenever the late count is zero. Within a trigger, rows are
+    * sorted (ts, event_id) first, so intra-batch disorder is free. */
+  def markovStream(events: Dataset[MarkovEvent]): Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    def step(u: Long, rows: Iterator[MarkovEvent],
+             st: GroupState[MarkovState]): Iterator[TransitionDelta] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var (lastTs, lastId, lastType) = st.getOption
+        .map(s => (s.last_ts, s.last_id, s.last_type))
+        .getOrElse((Long.MinValue, Long.MinValue, null: String))
+      var late = 0L
+      val counts = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      sorted.foreach { e =>
+        val behind = e.ts_us < lastTs ||
+          (e.ts_us == lastTs && e.event_id <= lastId)
+        if (behind) late += 1
+        else {
+          if (lastType != null)
+            counts.updateWith((lastType, e.event_type)) {
+              c => Some(c.getOrElse(0L) + 1L)
+            }
+          lastTs = e.ts_us; lastId = e.event_id; lastType = e.event_type
+        }
+      }
+      st.update(MarkovState(lastTs, lastId, lastType,
+        st.getOption.map(_.n_late).getOrElse(0L) + late))
+      val deltas = counts.iterator.map { case ((f, t), n) =>
+        TransitionDelta(u, f, t, n)
+      }
+      if (late > 0)
+        deltas ++ Iterator(TransitionDelta(u, "__late__", "__late__", late))
+      else deltas
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(step)
+  }
 }

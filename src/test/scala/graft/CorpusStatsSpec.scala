@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.CorpusStats
+
+/** Hand-computed doubling-bucket semantics for the E56 Zipf profile and
+  * E57 Heaps growth curve (the oracle twins prove Spark↔DuckDB parity;
+  * these pin the MATH). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E56: frequency doubling-histogram, top-down shares, zipf constant") {
+    // freqs: a=4 (bits 3), b=2 (bits 2), c=1 (bits 1); total mass 7
+    val docs = Seq((0L, "a a a a"), (1L, "b b c")).toDF("doc_id", "text")
+    val out = CorpusStats.zipfProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // (n_words, n_occ, min_f, max_f, cum_share_ppm, zipf_const_bits)
+    assert(out(3L) == (1L, 4L, 4L, 4L, 1000000L * 4 / 7, 3L))
+    assert(out(2L) == (1L, 2L, 2L, 2L, 1000000L * 6 / 7, 2L))
+    assert(out(1L) == (1L, 1L, 1L, 1L, 1000000L, 1L))
+  }
+
+  test("E57: vocabulary growth at doubling doc prefixes, marginal rates") {
+    // first-seen docs: x→0 y→0 z→1 q→2 w→3; prefix slabs k=0:{0},
+    // k=1:{1}, k=2:{2,3}
+    val docs = Seq((0L, "x y"), (1L, "x z"), (2L, "x q"), (3L, "y w"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.heapsGrowth(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // (n_docs, n_tokens, n_vocab, new_vocab, new_tokens, new_rate_ppm)
+    assert(out(0L) == (1L, 2L, 2L, 2L, 2L, 1000000L))
+    assert(out(1L) == (2L, 4L, 3L, 1L, 2L, 500000L))
+    assert(out(2L) == (4L, 8L, 5L, 2L, 4L, 500000L))
+  }
+
+  test("E57: a saturated corpus's marginal new-word rate collapses to zero") {
+    val docs = (0L until 16L).map(i => (i, "same five words every time"))
+      .toDF("doc_id", "text")
+    val rows = CorpusStats.heapsGrowth(docs).collect()
+    assert(rows.head.getLong(6) == 1000000L)  // slab 0 is all-new
+    assert(rows.last.getLong(6) == 0L)        // deep slabs add nothing
+    assert(rows.map(_.getLong(3)).max == 5L)  // vocab pinned at 5
+  }
+}

@@ -773,4 +773,61 @@ class ParitySpec extends SparkSpec {
       assert(streamed.exists(t => t._1 == 1L && t._3 == "vcp" && t._4 == 1L))
     } finally q.stop()
   }
+
+  test("F21 streaming transition deltas sum to the batch Markov matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}
+    // the pair (click@20 → click@30) STRADDLES the batch boundary —
+    // only the O(1) last-event state can see it
+    val b1 = Seq(MarkovEvent(1L, 10L, 1L, "view"),
+      MarkovEvent(1L, 20L, 2L, "click"),
+      MarkovEvent(2L, 10L, 3L, "purchase"))
+    val b2 = Seq(MarkovEvent(1L, 30L, 4L, "click"),
+      MarkovEvent(1L, 40L, 5L, "purchase"),
+      MarkovEvent(2L, 20L, 6L, "view"))
+    val in = MemoryStream[MarkovEvent]
+    val q = StreamingOps.markovStream(in.toDS())
+      .writeStream.format("memory").queryName("markov_deltas")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val deltas = spark.table("markov_deltas").as[TransitionDelta].collect()
+      assert(!deltas.exists(_.from_state == "__late__"))
+      val streamed = deltas.groupBy(d => (d.from_state, d.to_state)).view
+        .mapValues(_.map(_.n).sum).toMap
+      val batch = graft.ops.Analytics.markovTransitions(
+        (b1 ++ b2).map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+          .toDF("user_id", "ts_us", "event_id", "event_type"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("F21 drops behind-frontier stragglers loudly, frontier unharmed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}
+    val in = MemoryStream[MarkovEvent]
+    val q = StreamingOps.markovStream(in.toDS())
+      .writeStream.format("memory").queryName("markov_late")
+      .outputMode("update").start()
+    try {
+      in.addData(MarkovEvent(1L, 10L, 1L, "view"),
+        MarkovEvent(1L, 30L, 3L, "purchase"))
+      q.processAllAvailable()
+      // ts=20 arrives AFTER the frontier reached 30: dropped + flagged,
+      // and the already-emitted view→purchase pair stays untouched
+      in.addData(MarkovEvent(1L, 20L, 2L, "click"),
+        MarkovEvent(1L, 40L, 4L, "view"))
+      q.processAllAvailable()
+      val deltas = spark.table("markov_late").as[TransitionDelta].collect()
+      val agg = deltas.groupBy(d => (d.from_state, d.to_state)).view
+        .mapValues(_.map(_.n).sum).toMap
+      assert(agg == Map(
+        ("view", "purchase") -> 1L,
+        ("purchase", "view") -> 1L,
+        ("__late__", "__late__") -> 1L), agg.toString)
+    } finally q.stop()
+  }
 }
