@@ -915,6 +915,12 @@ object SparkEntry {
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
           .as("epoch_day"),
         cents(col("o_totalprice")).as("price_cents")))),
+    // ---- D65: Benford first-digit conformance screen per priority
+    "q_benford" -> ((s, d) =>
+      ops.Analytics.benfordScreen(Tables.orders(s, d))),
+    // ---- E58: sorted-neighborhood dedup (block windows + seam join)
+    "q_snm" -> ((s, d) =>
+      ops.Dedup.sortedNeighborhood(Tables.documents(s, d))),
     "q_lm_quality" -> ((s, d) =>
       ops.LmQuality.score(Tables.documents(s, d))),
     "q_shuffle_shards" -> ((s, d) =>
@@ -4109,6 +4115,90 @@ object SparkEntry {
         |  CAST(1000000 * n_trans
         |    // sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
         |FROM t ORDER BY from_state, to_state""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |o AS (
+        |  SELECT grp,
+        |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, d.digit FROM (SELECT DISTINCT grp FROM o) g
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit) d),
+        |f AS (
+        |  SELECT grid.grp, grid.digit, COALESCE(o.n, 0) AS n
+        |  FROM grid LEFT JOIN o ON grid.grp = o.grp AND grid.digit = o.digit),
+        |e AS (
+        |  SELECT grp, digit, n,
+        |    CAST(1000000 * n // sum(n) OVER (PARTITION BY grp) AS BIGINT)
+        |      AS obs_ppm,
+        |    CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |      ELSE 45757 END AS BIGINT) AS exp_ppm
+        |  FROM f)
+        |SELECT grp, digit, n, obs_ppm, exp_ppm,
+        |  obs_ppm - exp_ppm AS dev_ppm,
+        |  CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+        |    OVER (PARTITION BY grp) AS BIGINT) AS chi2_scaled
+        |FROM e ORDER BY grp, digit""".stripMargin,
+
+    "q_snm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))) AS toks
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |kb AS (
+        |  SELECT doc_id, array_to_string(toks, ' ') AS key,
+        |    substring(array_to_string(toks, ' '), 1, 8) AS blk
+        |  FROM t),
+        |ld AS (
+        |  SELECT doc_id, blk,
+        |    lead(doc_id, 1) OVER win AS n1,
+        |    lead(doc_id, 2) OVER win AS n2,
+        |    lead(doc_id, 3) OVER win AS n3,
+        |    row_number() OVER win AS rn_a,
+        |    row_number() OVER (PARTITION BY blk
+        |      ORDER BY key DESC, doc_id DESC) AS rn_d
+        |  FROM kb WINDOW win AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |interior AS (
+        |  SELECT doc_id, n1 AS nbr FROM ld WHERE n1 IS NOT NULL
+        |  UNION ALL SELECT doc_id, n2 FROM ld WHERE n2 IS NOT NULL
+        |  UNION ALL SELECT doc_id, n3 FROM ld WHERE n3 IS NOT NULL),
+        |bi AS (
+        |  SELECT blk, row_number() OVER (ORDER BY blk) AS blk_idx
+        |  FROM (SELECT DISTINCT blk FROM kb)),
+        |tails AS (
+        |  SELECT ld.doc_id AS a_id, ld.rn_d, bi.blk_idx
+        |  FROM ld JOIN bi ON ld.blk = bi.blk WHERE ld.rn_d < 4),
+        |heads AS (
+        |  SELECT ld.doc_id AS b_id, ld.rn_a, bi.blk_idx - 1 AS blk_idx
+        |  FROM ld JOIN bi ON ld.blk = bi.blk WHERE ld.rn_a < 4),
+        |seam AS (
+        |  SELECT a_id AS doc_id, b_id AS nbr
+        |  FROM tails JOIN heads USING (blk_idx) WHERE rn_d + rn_a <= 4),
+        |pairs AS (
+        |  SELECT least(doc_id, nbr) AS id1, greatest(doc_id, nbr) AS id2,
+        |    CAST(count(*) AS BIGINT) AS n_props
+        |  FROM (SELECT * FROM interior UNION ALL SELECT * FROM seam)
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT p.id1, p.id2, p.n_props,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+        |    CAST(len(a.toks) + len(b.toks) AS BIGINT) AS n_sum
+        |  FROM pairs p
+        |  JOIN t a ON p.id1 = a.doc_id
+        |  JOIN t b ON p.id2 = b.doc_id)
+        |SELECT id1, id2, n_props, n_inter, n_sum - n_inter AS n_union,
+        |  CAST(1000000 * n_inter // (n_sum - n_inter) AS BIGINT) AS jac_ppm
+        |FROM v
+        |WHERE 1000000 * n_inter // (n_sum - n_inter) >= 500000
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_rfm" ->
       """WITH base AS (

@@ -302,4 +302,63 @@ object Analytics {
         regexp_count(col("seq"), lit(directPat)).cast("long"))
       .orderBy(col("user_id"))
   }
+
+  /** Benford's-law expected first-significant-digit shares in ppm
+    * (Newcomb 1881 / Benford 1938: P(d) = log10(1 + 1/d)). Published
+    * constants rounded to ppm — they sum to exactly 1,000,000, so the
+    * deviation arithmetic below stays closed over integers. */
+  val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** D65 — Benford first-digit conformance screen, the forensic-
+    * accounting test (Nigrini, *Benford's Law*, Wiley 2012) that flags
+    * invented or threshold-gamed amounts: fabricated numbers are
+    * uniform-ish in their leading digit where organic transaction
+    * amounts follow log10(1+1/d). Per group (here order priority —
+    * any bounded segmentation key works) the observed first-digit
+    * histogram of the amount in CENTS (leading digit is invariant
+    * under the ×100 — the same digit users see), each digit's observed
+    * share vs the Benford expectation in ppm, the signed deviation,
+    * and a per-group χ²-style score `sum((obs−exp)² div exp)` — all
+    * integer arithmetic, so both engines hash identically. Digits a
+    * group never produced still surface as n=0 rows (their deficit is
+    * exactly what an all-amounts-start-with-9 fraud looks like): the
+    * group×digit grid is completed by a broadcast cross join of two
+    * contracted frames before the deviation math.
+    *
+    * Scale: one scan of orders contracting straight to ≤ 9·|groups|
+    * rows (map-side combine does the heavy lifting); every window
+    * after that is over the contracted grid. The cross join is
+    * |groups|×9 — domain-sized by construction. */
+  def benfordScreen(orders: DataFrame,
+                    groupCol: String = "o_orderpriority",
+                    amountCol: String = "o_totalprice"): DataFrame = {
+    val expPpm = BenfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d.toLong, p).otherwise(acc)
+    }
+    val obs = orders
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST(round($amountCol * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1)
+        .cast("long"))
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val digits = obs.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val grid = obs.select(col("grp")).distinct()
+      .crossJoin(broadcast(digits))
+    val wg = Window.partitionBy(col("grp"))
+    grid.join(obs, Seq("grp", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_grp", sum(col("n")).over(wg))
+      .withColumn("obs_ppm", expr("1000000 * n div n_grp"))
+      .withColumn("exp_ppm", expPpm)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .withColumn("chi2_scaled",
+        sum(expr("(dev_ppm * dev_ppm) div exp_ppm")).over(wg))
+      .select(col("grp"), col("digit"), col("n"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_ppm"), col("chi2_scaled"))
+      .orderBy(col("grp"), col("digit"))
+  }
 }

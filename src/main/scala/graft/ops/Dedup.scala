@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -698,5 +699,90 @@ object Dedup {
       .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(bit as int))"))
         .otherwise(lit(0L))).as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** E58 — sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95),
+    * the classic sort-based alternative to LSH blocking: records sorted
+    * by a similarity-preserving key propose only their w−1 sort
+    * neighbors as candidates (candidate volume n·(w−1), LINEAR — never
+    * all-pairs), then exact token-set Jaccard verifies. The key here is
+    * the doc's sorted distinct-token string, so token-shuffled replicas
+    * collide exactly and near-dups differing in a late token share a
+    * long prefix and sort adjacent.
+    *
+    * SNM's textbook form needs one GLOBAL sort — a single reducer at
+    * scale. The distributed shape (Kolb, Thor & Rahm, "Parallel sorted
+    * neighborhood blocking with MapReduce", BTW 2011) partitions the
+    * sort and repairs the seams; here the partition is a KEY-PREFIX
+    * block (windows run block-partitioned, linear per block) and the
+    * seam repair is exact and relational: each block's first/last w−1
+    * rows join the ADJACENT block's opposite edge on a dense block
+    * index (an equi-join over an aggregate-contracted frame — no
+    * global window over the corpus), keeping cross-boundary pairs
+    * whose combined edge distance stays inside the window. A block
+    * smaller than w can still hide a pair spanning two seams — the
+    * published remedy is the same as SNM's own blind spot: run
+    * multiple passes with different keys (this op is one pass; union
+    * calls with other `blockPrefix`/key choices).
+    *
+    * All pair proposals are integer/string-deterministic and the
+    * verification is exact-integer ppm, so the DuckDB twin replays the
+    * identical candidate set and scores. */
+  def sortedNeighborhood(docs: DataFrame, w: Int = 4, blockPrefix: Int = 8,
+                         minJacPpm: Long = 500000L): DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(filter(split(col("text"), " "),
+          x => length(x) > 0))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val keyed = t
+      .withColumn("key", concat_ws(" ", col("toks")))
+      .withColumn("blk", substring(col("key"), 1, blockPrefix))
+      .select(col("doc_id"), col("key"), col("blk"))
+
+    // interior candidates: w−1 leads inside each block-partitioned sort
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id"))
+    val withLeads = (1 until w).foldLeft(keyed) { (df, i) =>
+      df.withColumn(s"nbr_$i", lead(col("doc_id"), i).over(wIn))
+    }
+    val interior = withLeads
+      .select(col("doc_id"),
+        explode(array((1 until w).map(i => col(s"nbr_$i")): _*)).as("nbr"))
+      .filter(col("nbr").isNotNull)
+
+    // seam candidates: block edges vs the next block's opposite edge
+    val rnA = row_number().over(wIn)
+    val rnD = row_number().over(
+      Window.partitionBy(col("blk")).orderBy(col("key").desc, col("doc_id").desc))
+    val marked = keyed.withColumn("rn_a", rnA).withColumn("rn_d", rnD)
+    val blkIdx = keyed.groupBy(col("blk")).agg(count(lit(1)).as("n_in_blk"))
+      .withColumn("blk_idx", row_number().over(Window.orderBy(col("blk"))))
+      .select(col("blk"), col("blk_idx"))
+    val tails = marked.filter(col("rn_d") < w).join(blkIdx, Seq("blk"))
+      .select(col("doc_id").as("a_id"), col("rn_d"), col("blk_idx"))
+    val heads = marked.filter(col("rn_a") < w).join(blkIdx, Seq("blk"))
+      .select(col("doc_id").as("b_id"), col("rn_a"),
+        (col("blk_idx") - 1).as("blk_idx"))
+    val seam = tails.join(heads, Seq("blk_idx"))
+      .filter(col("rn_d") + col("rn_a") <= w)
+      .select(col("a_id").as("doc_id"), col("b_id").as("nbr"))
+
+    val pairs = interior.unionByName(seam)
+      .select(least(col("doc_id"), col("nbr")).as("id1"),
+        greatest(col("doc_id"), col("nbr")).as("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_props"))
+
+    pairs
+      .join(t.select(col("doc_id").as("id1"), col("toks").as("t1")), Seq("id1"))
+      .join(t.select(col("doc_id").as("id2"), col("toks").as("t2")), Seq("id2"))
+      .withColumn("n_inter",
+        size(array_intersect(col("t1"), col("t2"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("t1")) + size(col("t2"))).cast(LongType) - col("n_inter"))
+      .withColumn("jac_ppm", expr("1000000 * n_inter div n_union"))
+      .filter(col("jac_ppm") >= minJacPpm)
+      .select(col("id1"), col("id2"), col("n_props"), col("n_inter"),
+        col("n_union"), col("jac_ppm"))
+      .orderBy(col("id1"), col("id2"))
   }
 }

@@ -183,4 +183,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) == (4L, 1L, 4L, 414L, "new"))
     assert(out(5L) == (5L, 5L, 5L, 555L, "champion"))
   }
+
+  test("D65: Benford screen — digit grid completed, ppm shares, chi2 fold") {
+    // group A amounts → cents → first digits: 1.00→1, 1.23→1, 25.00→2,
+    // 0.09→9; n_grp=4. obs_ppm: d1=500000, d2=250000, d9=250000, rest 0.
+    val df = Seq(("A", 1.00), ("A", 1.23), ("A", 25.00), ("A", 0.09))
+      .toDF("grp", "amount")
+    val out = Analytics.benfordScreen(df, "grp", "amount").collect()
+    assert(out.length == 9)                       // full digit grid, one group
+    val byDigit = out.map(r => r.getLong(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(byDigit(1L) == (2L, 500000L, 500000L - 301030L))
+    assert(byDigit(2L) == (1L, 250000L, 250000L - 176091L))
+    assert(byDigit(9L) == (1L, 250000L, 250000L - 45757L))
+    assert(byDigit(5L) == (0L, 0L, -79181L))      // absent digit surfaces
+    // chi2_scaled = Σ dev² div exp, folded here independently
+    val chi2 = out.map(r => r.getLong(5) * r.getLong(5) / r.getLong(4)).sum
+    assert(out.forall(_.getLong(6) == chi2))
+    // Benford expectations sum to exactly one million ppm
+    assert(Analytics.BenfordPpm.values.sum == 1000000L)
+  }
+
+  test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
+    // 1000 amounts whose first-digit histogram matches Benford to the ppm
+    val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>
+      Seq.fill(math.round(p / 1000.0).toInt)(("b", d * 100.0))
+    }
+    val uniform = (1 to 9).flatMap(d => Seq.fill(111)(("u", d * 100.0)))
+    val out = Analytics
+      .benfordScreen((benford ++ uniform).toDF("grp", "amount"), "grp", "amount")
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(out("b") < 100L, s"conforming chi2=${out("b")}")
+    assert(out("u") > 50000L, s"uniform chi2=${out("u")}")
+  }
 }

@@ -377,4 +377,30 @@ class OpsSpec extends SparkSpec {
     assert(out("d") == ((c62, 1L, 3L)))
     assert(out("c") == ((c63, 1L, 4L)))
   }
+
+  test("E58: SNM pairs sort neighbors incl. across the block seam, verified") {
+    import spark.implicits._
+    // keys: 1,2 → "a b" (shuffled dup); 3 → "a b c" (own block under
+    // prefix 8, reachable only through the seam join); 4 → "y z" (far)
+    val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "a b c"), (4L, "z z y"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.sortedNeighborhood(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out == Map(
+      (1L, 2L) -> 1000000L,     // identical token sets
+      (1L, 3L) -> 666666L,      // |{a,b}∩{a,b,c}| / |∪| = 2/3
+      (2L, 3L) -> 666666L))     // (3,4) proposed by the seam, jac 0 → cut
+  }
+
+  test("E58: the pair set is invariant to block granularity on covered data") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "a b c"), (4L, "z z y"))
+      .toDF("doc_id", "text")
+    def pairSet(prefix: Int) = graft.ops.Dedup
+      .sortedNeighborhood(docs, blockPrefix = prefix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    // one giant block (pure in-window SNM) ≡ fragmented blocks + seams
+    assert(pairSet(1) == pairSet(8))
+    assert(pairSet(100) == pairSet(8))
+  }
 }
