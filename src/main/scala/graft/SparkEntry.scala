@@ -918,6 +918,11 @@ object SparkEntry {
     // ---- D65: Benford first-digit conformance screen per priority
     "q_benford" -> ((s, d) =>
       ops.Analytics.benfordScreen(Tables.orders(s, d))),
+    // ---- D66: CUSUM level-shift detection over daily event volumes
+    "q_cusum" -> ((s, d) => ops.Analytics.cusumShifts(Tables.events(s, d))),
+    // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
+    "q_km" -> ((s, d) =>
+      ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
     // ---- E58: sorted-neighborhood dedup (block windows + seam join)
     "q_snm" -> ((s, d) =>
       ops.Dedup.sortedNeighborhood(Tables.documents(s, d))),
@@ -4146,6 +4151,74 @@ object SparkEntry {
         |  CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
         |    OVER (PARTITION BY grp) AS BIGINT) AS chi2_scaled
         |FROM e ORDER BY grp, digit""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type)
+        |      // count(n) OVER (PARTITION BY event_type) AS BIGINT) AS mu
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, n, mu, n - mu AS dev,
+        |    sum(n - mu - mu // 10) OVER w AS p_hi,
+        |    sum(-(n - mu) - mu // 10) OVER w AS p_lo
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (
+        |  SELECT event_type, day, n, mu, dev,
+        |    CAST(p_hi - least(min(p_hi) OVER w, 0) AS BIGINT) AS cusum_hi,
+        |    CAST(p_lo - least(min(p_lo) OVER w, 0) AS BIGINT) AS cusum_lo
+        |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n, mu, dev, cusum_hi, cusum_lo,
+        |  CAST(CASE WHEN cusum_hi > mu OR cusum_lo > mu
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM q ORDER BY event_type, day""".stripMargin,
+
+    "q_km" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS grp,
+        |    epoch_us(l.l_shipdate) // 86400000000 AS ship_day,
+        |    epoch_us(o.o_orderdate) // 86400000000 AS order_day
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cut AS (SELECT max(ship_day) - 30 AS cutoff FROM j),
+        |obs AS (
+        |  SELECT grp,
+        |    CASE WHEN ship_day <= cutoff THEN 1 ELSE 0 END AS is_event,
+        |    CASE WHEN ship_day <= cutoff THEN ship_day - order_day
+        |         ELSE cutoff - order_day END AS t
+        |  FROM j CROSS JOIN cut WHERE order_day <= cutoff),
+        |per_lag AS (
+        |  SELECT grp, t, CAST(sum(is_event) AS BIGINT) AS d,
+        |    CAST(sum(1 - is_event) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT grp, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY grp) -
+        |      COALESCE(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM per_lag),
+        |dth AS (SELECT * FROM risk WHERE d > 0),
+        |packed AS (
+        |  SELECT grp,
+        |    list(d * 4294967296 + n_risk ORDER BY t) AS xs,
+        |    list(t ORDER BY t) AS ts
+        |  FROM dth GROUP BY grp),
+        |folded AS (
+        |  SELECT r.grp, r.t, r.d, r.c, r.n_risk,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(1000000 AS BIGINT),
+        |        list_filter(p.xs, (x, i) -> p.ts[i] <= r.t)),
+        |      (acc, x) -> (acc * ((x % 4294967296) - (x // 4294967296)))
+        |                  // (x % 4294967296)) AS BIGINT) AS surv_ppm
+        |  FROM dth r JOIN packed p ON r.grp = p.grp)
+        |SELECT grp, t, d AS n_event, c AS n_censored, n_risk, surv_ppm
+        |FROM folded ORDER BY grp, t""".stripMargin,
 
     "q_snm" ->
       """WITH t AS (

@@ -303,6 +303,49 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** D66 — CUSUM level-shift detection (Page, Biometrika 1954) over
+    * per-type daily event volumes: the sequential-looking recurrence
+    * `S_k = max(0, S_{k-1} + (x_k − μ − slack))` is rewritten through
+    * the prefix identity `S_k = P_k − min(0, P_1..P_k)` (the running
+    * max(0,·) reset IS the running prefix-minimum), so the whole path
+    * is two window functions — cumulative sum and running min — with
+    * no per-key fold and no recursion; the mirrored low-side CUSUM
+    * rides the same prefix with a running MAX. μ is the series' own
+    * integer mean, slack = μ div 10 (the classic half-shift allowance,
+    * 10% here), and the alarm fires when the accumulated excess tops
+    * one full average day (h = μ) — both knobs documented integer
+    * functions of the series so the DuckDB twin replays them exactly.
+    *
+    * Scale: events contract to (type, day) counts in one shuffle
+    * (map-side combined); every window after that runs on the
+    * domain-sized daily frame. */
+  def cusumShifts(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("sum_n", sum(col("n")).over(wAll))
+      .withColumn("n_days", count(col("n")).over(wAll))
+      .withColumn("mu", expr("sum_n div n_days"))
+      .withColumn("slack", expr("mu div 10"))
+      .withColumn("dev", col("n") - col("mu"))
+      .withColumn("p_hi", sum(col("dev") - col("slack")).over(wCum))
+      .withColumn("p_lo", sum(-col("dev") - col("slack")).over(wCum))
+      .withColumn("cusum_hi",
+        col("p_hi") - least(min(col("p_hi")).over(wCum), lit(0L)))
+      .withColumn("cusum_lo",
+        col("p_lo") - least(min(col("p_lo")).over(wCum), lit(0L)))
+      .select(col("event_type"), col("day"), col("n"), col("mu"),
+        col("dev"), col("cusum_hi"), col("cusum_lo"),
+        when(col("cusum_hi") > col("mu") || col("cusum_lo") > col("mu"), 1L)
+          .otherwise(0L).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Benford's-law expected first-significant-digit shares in ppm
     * (Newcomb 1881 / Benford 1938: P(d) = log10(1 + 1/d)). Published
     * constants rounded to ppm — they sum to exactly 1,000,000, so the
@@ -333,24 +376,41 @@ object Analytics {
     * |groups|×9 — domain-sized by construction. */
   def benfordScreen(orders: DataFrame,
                     groupCol: String = "o_orderpriority",
-                    amountCol: String = "o_totalprice"): DataFrame = {
-    val expPpm = BenfordPpm.foldLeft(lit(null).cast("long")) {
-      case (acc, (d, p)) => when(col("digit") === d.toLong, p).otherwise(acc)
-    }
-    val obs = orders
+                    amountCol: String = "o_totalprice"): DataFrame =
+    benfordFinish(benfordDigits(orders, groupCol, amountCol)
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The map-side digit extraction (grp, digit) — shared verbatim by the
+    * F22 streaming monitor so live and batch digits can never drift. */
+  def benfordDigits(rows: DataFrame, groupCol: String,
+                    amountCol: String): DataFrame =
+    rows
       .select(col(groupCol).as("grp"),
         expr(s"CAST(round($amountCol * 100) AS BIGINT)").as("cents"))
       .filter(col("cents") > 0)
       .withColumn("digit", substring(col("cents").cast("string"), 1, 1)
         .cast("long"))
-      .groupBy(col("grp"), col("digit"))
-      .agg(count(lit(1)).as("n"))
-    val digits = obs.sparkSession.range(1, 10).select(col("id").as("digit"))
-    val grid = obs.select(col("grp")).distinct()
+      .select(col("grp"), col("digit"))
+
+  /** The deviation finisher over (grp, digit, n) counts — the batch
+    * screen's back half, also applied to streaming state snapshots. */
+  def benfordFinish(obs: DataFrame): DataFrame = {
+    val expPpm = BenfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d.toLong, p).otherwise(acc)
+    }
+    val digits = obs.sparkSession.range(1, 10).select(col("id").as("g_digit"))
+    // grid keys are ALIASED so the grid⋈obs self-join (both derive from
+    // obs — in streaming, from the same state snapshot view) never
+    // carries conflicting attribute ids
+    val grid = obs.select(col("grp").as("g_grp")).distinct()
       .crossJoin(broadcast(digits))
     val wg = Window.partitionBy(col("grp"))
-    grid.join(obs, Seq("grp", "digit"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    grid.join(obs,
+        col("g_grp") === col("grp") && col("g_digit") === col("digit"),
+        "left")
+      .select(col("g_grp").as("grp"), col("g_digit").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"))
       .withColumn("n_grp", sum(col("n")).over(wg))
       .withColumn("obs_ppm", expr("1000000 * n div n_grp"))
       .withColumn("exp_ppm", expPpm)

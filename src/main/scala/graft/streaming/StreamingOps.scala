@@ -439,6 +439,21 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** F22 — streaming Benford conformance monitor (D65 run live): the
+    * per-(group, digit) first-digit counts as a complete-mode grouped
+    * aggregation — counts merge associatively, state is bounded at
+    * groups·9 rows forever, and the map-side digit extraction is
+    * shared VERBATIM with the batch screen (Analytics.benfordDigits),
+    * so live and batch can never disagree on what a leading digit is.
+    * Each emitted snapshot finishes through Analytics.benfordFinish
+    * (grid completion, ppm shares, χ² score) — the F17 discipline:
+    * keep the unbounded-stream state minimal and associative, run the
+    * non-associative math on the bounded snapshot. */
+  def benfordDigitsStream(rows: DataFrame, group: String,
+                          amount: String): DataFrame =
+    graft.ops.Analytics.benfordDigits(rows, group, amount)
+      .groupBy(col("grp"), col("digit")).agg(count(lit(1)).as("n"))
+
   /** One keyed input event for [[markovStream]]. */
   case class MarkovEvent(user_id: Long, ts_us: Long, event_id: Long,
                          event_type: String)

@@ -204,6 +204,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.BenfordPpm.values.sum == 1000000L)
   }
 
+  test("D66: CUSUM via the prefix identity equals the max(0,·) recurrence") {
+    // type a: 10,10,10,30,30,30 → mu=20, slack=2; the hand recurrence
+    // S_hi = max(0, S + (x-mu-slack)) gives 0,0,0,8,16,24 — alarm on
+    // day 5 (24 > mu); the low side peaks at 24 on day 2 (early deficit)
+    val counts = Seq(10, 10, 10, 30, 30, 30)
+    val ev = counts.zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map(i => ("a", day * 86400000000L + i))
+    }.toDF("event_type", "ts_us")
+    val out = Analytics.cusumShifts(ev).collect()
+      .map(r => r.getLong(1) -> (r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out(0L) == (0L, 8L, 0L) && out(1L) == (0L, 16L, 0L))
+    assert(out(2L) == (0L, 24L, 1L))           // low-side alarm fires early
+    assert(out(3L) == (8L, 12L, 0L) && out(4L) == (16L, 0L, 0L))
+    assert(out(5L) == (24L, 0L, 1L))           // high-side alarm at the end
+    // independent fold of the textbook recurrence over the same series
+    val (mu, slack) = (20L, 2L)
+    val rec = counts.scanLeft(0L)((s, x) => math.max(0L, s + x - mu - slack))
+      .drop(1)
+    assert(counts.indices.forall(i => out(i.toLong)._1 == rec(i)))
+  }
+
+  test("D66: a flat series accumulates nothing and never alarms") {
+    val ev = (0 until 6).flatMap(day =>
+      (0 until 10).map(i => ("b", day * 86400000000L + i)))
+      .toDF("event_type", "ts_us")
+    val out = Analytics.cusumShifts(ev).collect()
+    assert(out.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L &&
+      r.getLong(7) == 0L))
+  }
+
   test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
     // 1000 amounts whose first-digit histogram matches Benford to the ppm
     val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>

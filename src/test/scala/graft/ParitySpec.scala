@@ -774,6 +774,32 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F22 streaming Benford digit state finishes to the batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Analytics
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingOps.benfordDigitsStream(in.toDS().toDF("g", "amt"),
+        group = "g", amount = "amt")
+      .writeStream.format("memory").queryName("benford_state")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("a", 1.00), ("a", 1.23), ("a", 25.00))
+      val b2 = Seq(("a", 0.09), ("b", 9.50), ("b", 0.002)) // 0.002 → 0 cents, dropped
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // the live state is bounded at groups·9 and merges across batches
+      val snapshot = spark.table("benford_state")
+      assert(snapshot.count() <= 2 * 9)
+      val streamed = Analytics.benfordFinish(snapshot)
+      val batch = Analytics.benfordScreen((b1 ++ b2).toDF("g", "amt"),
+        "g", "amt")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // the zero-cent row must not have minted a group: only a and b
+      assert(streamed.select("grp").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("F21 streaming transition deltas sum to the batch Markov matrix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}
