@@ -920,6 +920,19 @@ object SparkEntry {
       ops.Analytics.benfordScreen(Tables.orders(s, d))),
     // ---- D66: CUSUM level-shift detection over daily event volumes
     "q_cusum" -> ((s, d) => ops.Analytics.cusumShifts(Tables.events(s, d))),
+    // ---- D68: exact-rational OLS volume trend per event type
+    "q_trend" -> ((s, d) => ops.Analytics.volumeTrend(Tables.events(s, d))),
+    // ---- B23: CDC op-log apply (tombstones, I-after-D, lsn frontier);
+    // the log is synthesized deterministically from orders in both
+    // engines: 4 versions per key, %10==0 tombstones, %10==5 inserts
+    "q_cdc" -> ((s, d) =>
+      etl.Cdc.applyLog(Tables.orders(s, d).select(
+        expr("o_orderkey div 4").as("k"),
+        col("o_orderkey").as("lsn"),
+        expr("CASE CAST(o_orderkey % 10 AS INT) WHEN 0 THEN 'D' " +
+          "WHEN 5 THEN 'I' ELSE 'U' END").as("op"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status")))),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
     "q_km" -> ((s, d) =>
       ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -4178,6 +4191,51 @@ object SparkEntry {
         |  CAST(CASE WHEN cusum_hi > mu OR cusum_lo > mu
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM q ORDER BY event_type, day""".stripMargin,
+
+    "q_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type,
+        |    day - min(day) OVER (PARTITION BY event_type) AS x, n
+        |  FROM daily),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * n) AS BIGINT) AS sxy
+        |  FROM x GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, k, sy,
+        |    CAST(k * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(k * sxx - sx * sx AS BIGINT) AS den
+        |  FROM a)
+        |SELECT event_type, k AS n_days, sy AS total, num, den,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    WHEN num >= 0 THEN 1000000 * num // den
+        |    ELSE -(1000000 * (-num) // den) END AS BIGINT) AS slope_ppm
+        |FROM b ORDER BY event_type""".stripMargin,
+
+    "q_cdc" ->
+      """WITH log AS (
+        |  SELECT o_orderkey // 4 AS k, o_orderkey AS lsn,
+        |    CASE CAST(o_orderkey % 10 AS INT) WHEN 0 THEN 'D'
+        |      WHEN 5 THEN 'I' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY lsn DESC, op DESC,
+        |        md5(concat(CAST(price_cents AS VARCHAR), status)) DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k) AS BIGINT) AS n_deletes
+        |  FROM log)
+        |SELECT k, lsn AS applied_lsn, n_ops, n_deletes, price_cents, status
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
 
     "q_km" ->
       """WITH j AS (

@@ -319,11 +319,21 @@ object Analytics {
     * Scale: events contract to (type, day) counts in one shuffle
     * (map-side combined); every window after that runs on the
     * domain-sized daily frame. */
-  def cusumShifts(events: DataFrame): DataFrame = {
-    val daily = events
+  def cusumShifts(events: DataFrame): DataFrame =
+    cusumFinish(cusumDaily(events))
+
+  /** The map-side day bucketing + count (type, day, n) — shared
+    * verbatim by the F23 streaming monitor (associative state,
+    * bounded by the day domain, the F13/F22 discipline). */
+  def cusumDaily(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** The CUSUM path finisher over a (type, day, n) daily frame —
+    * applied to batch contractions and streaming state snapshots. */
+  def cusumFinish(daily: DataFrame): DataFrame = {
     val wAll = Window.partitionBy(col("event_type"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -344,6 +354,45 @@ object Analytics {
         when(col("cusum_hi") > col("mu") || col("cusum_lo") > col("mu"), 1L)
           .otherwise(0L).as("alarm"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** D68 — per-key OLS trend of the daily event volume, kept EXACT
+    * RATIONAL: slope = (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²) with x
+    * rebased to day − min(day) per key (x < k keeps every term far
+    * from 2⁶³; the un-rebased epoch-day cross terms would not be).
+    * Numerator and denominator are emitted as exact BIGINTs alongside
+    * `slope_ppm = sign(num)·(10⁶·|num| div den)` — the sign is split
+    * out because Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors on negatives (the H5 divergence, dodged the D57 way:
+    * only non-negative operands ever reach the division). den > 0
+    * whenever a key has ≥2 distinct days; single-day keys emit
+    * slope_ppm = 0 with den = 0 (documented, not NULL, so the row
+    * still hashes).
+    *
+    * Overflow bound (ANSI mode fails loudly past it): |num| ≤ k²·Σy —
+    * rescale y (counts → thousands) for series where k²·Σy·10⁶
+    * approaches 2⁶³, the TWA/D31 discipline.
+    *
+    * Scale: the same (type, day) contraction as D66; two window
+    * passes + one aggregation over the domain-sized daily frame. */
+  def volumeTrend(events: DataFrame): DataFrame = {
+    val daily = cusumDaily(events)
+    val wk = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("x", col("day") - min(col("day")).over(wk))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("n")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("n")).as("sxy"))
+      .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_ppm",
+        when(col("den") === 0L, 0L)
+          .when(col("num") >= 0L, expr("1000000 * num div den"))
+          .otherwise(-expr("1000000 * (-num) div den")))
+      .select(col("event_type"), col("k").as("n_days"), col("sy").as("total"),
+        col("num"), col("den"), col("slope_ppm"))
+      .orderBy(col("event_type"))
   }
 
   /** Benford's-law expected first-significant-digit shares in ppm

@@ -454,6 +454,20 @@ object StreamingOps {
     graft.ops.Analytics.benfordDigits(rows, group, amount)
       .groupBy(col("grp"), col("digit")).agg(count(lit(1)).as("n"))
 
+  /** F23 — streaming CUSUM shift monitor (D66 run live): the
+    * per-(type, day) counts as complete-mode state — associative
+    * merges, bounded by the DAY DOMAIN (the stream's calendar), never
+    * the event volume — with the day bucketing shared verbatim with
+    * the batch detector (Analytics.cusumDaily) and each snapshot
+    * finishing through Analytics.cusumFinish (μ, prefix sums, running
+    * minima, alarms). The CUSUM path is deliberately NOT maintained
+    * as state: μ depends on every day seen, so the path is
+    * non-associative — the F17/F22 split (minimal associative state,
+    * non-associative math on the bounded snapshot) is load-bearing
+    * here, not a style choice. */
+  def cusumDailyStream(events: DataFrame): DataFrame =
+    graft.ops.Analytics.cusumDaily(events)
+
   /** One keyed input event for [[markovStream]]. */
   case class MarkovEvent(user_id: Long, ts_us: Long, event_id: Long,
                          event_type: String)

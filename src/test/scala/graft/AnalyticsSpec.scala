@@ -235,6 +235,26 @@ class AnalyticsSpec extends SparkSpec {
       r.getLong(7) == 0L))
   }
 
+  test("D68: OLS trend is the exact rational, sign-split for both engines") {
+    // up: 10,20,30/day → slope exactly +10/day; down: mirrored; flat
+    // single-day key → den = 0 → slope 0 (documented, not NULL)
+    val ev = Seq.tabulate(10)(i => ("up", 0L * 86400000000L + i)) ++
+      Seq.tabulate(20)(i => ("up", 1L * 86400000000L + i)) ++
+      Seq.tabulate(30)(i => ("up", 2L * 86400000000L + i)) ++
+      Seq.tabulate(30)(i => ("down", 0L * 86400000000L + i)) ++
+      Seq.tabulate(20)(i => ("down", 1L * 86400000000L + i)) ++
+      Seq.tabulate(10)(i => ("down", 2L * 86400000000L + i)) ++
+      Seq.tabulate(7)(i => ("one", i.toLong))
+    val out = Analytics.volumeTrend(ev.toDF("event_type", "ts_us")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // k=3 sx=3 sy=60 sxx=5 sxy=80 → num=60 den=6 → slope 10/day
+    assert(out("up") == (3L, 60L, 60L, 6L, 10000000L))
+    assert(out("down") == (3L, 60L, -60L, 6L, -10000000L))
+    assert(out("one") == (1L, 7L, 0L, 0L, 0L))
+  }
+
   test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
     // 1000 amounts whose first-digit histogram matches Benford to the ppm
     val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>

@@ -800,6 +800,34 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F23 streaming daily state finishes to the batch CUSUM detector") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Analytics
+    val day = 86400000000L
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.cusumDailyStream(in.toDS().toDF("event_type", "ts_us"))
+      .writeStream.format("memory").queryName("cusum_state")
+      .outputMode("complete").start()
+    try {
+      // batch 2 delivers more events for day 0 AFTER day 3 arrived —
+      // the daily counters must merge across triggers, out of order
+      val b1 = (0 until 10).map(i => ("a", 0L * day + i)) ++
+        (0 until 30).map(i => ("a", 3L * day + i))
+      val b2 = (0 until 5).map(i => ("a", 0L * day + 100 + i)) ++
+        (0 until 30).map(i => ("a", 1L * day + i)) ++
+        (0 until 30).map(i => ("a", 2L * day + i))
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val snapshot = spark.table("cusum_state")
+      assert(snapshot.count() == 4)  // bounded by the day domain
+      val streamed = Analytics.cusumFinish(snapshot)
+      val batch = Analytics.cusumShifts(
+        (b1 ++ b2).toDF("event_type", "ts_us"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("F21 streaming transition deltas sum to the batch Markov matrix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}
