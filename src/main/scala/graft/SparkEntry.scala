@@ -922,6 +922,12 @@ object SparkEntry {
     "q_cusum" -> ((s, d) => ops.Analytics.cusumShifts(Tables.events(s, d))),
     // ---- D68: exact-rational OLS volume trend per event type
     "q_trend" -> ((s, d) => ops.Analytics.volumeTrend(Tables.events(s, d))),
+    // ---- D69: day-of-week-seasonal volume anomalies, MAD-gated
+    "q_seasonal" -> ((s, d) =>
+      ops.Analytics.seasonalAnomalies(Tables.events(s, d))),
+    // ---- E59: per-source boilerplate (template) gram share
+    "q_boiler" -> ((s, d) =>
+      ops.TrainingData.sourceBoilerplate(Tables.documents(s, d))),
     // ---- B23: CDC op-log apply (tombstones, I-after-D, lsn frontier);
     // the log is synthesized deterministically from orders in both
     // engines: 4 versions per key, %10==0 tombstones, %10==5 inserts
@@ -4217,6 +4223,73 @@ object SparkEntry {
         |    WHEN num >= 0 THEN 1000000 * num // den
         |    ELSE -(1000000 * (-num) // den) END AS BIGINT) AS slope_ppm
         |FROM b ORDER BY event_type""".stripMargin,
+
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, n, day % 7 AS dow,
+        |    CAST(sum(n) OVER (PARTITION BY event_type, day % 7)
+        |      // count(n) OVER (PARTITION BY event_type, day % 7)
+        |      AS BIGINT) AS dow_mean
+        |  FROM daily),
+        |r AS (
+        |  SELECT *, n - dow_mean AS residual,
+        |    abs(n - dow_mean) AS abs_res
+        |  FROM b),
+        |h AS (
+        |  SELECT event_type, abs_res, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT event_type, abs_res,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY abs_res
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n_tot
+        |  FROM h),
+        |mad AS (
+        |  SELECT event_type, CAST(min(abs_res) AS BIGINT) AS mad
+        |  FROM h2 WHERE cum >= (n_tot + 1) // 2 GROUP BY 1)
+        |SELECT r.event_type, r.day, r.n, CAST(r.dow AS BIGINT) AS dow,
+        |  r.dow_mean, r.residual, mad.mad,
+        |  CAST(CASE WHEN r.abs_res > 3 * mad.mad THEN 1 ELSE 0 END
+        |    AS BIGINT) AS anomaly
+        |FROM r JOIN mad ON r.event_type = mad.event_type
+        |ORDER BY r.event_type, r.day""".stripMargin,
+
+    "q_boiler" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= 3),
+        |g0 AS (
+        |  SELECT doc_id, source, toks,
+        |    unnest(range(0, len(toks) - 2)) AS pos0
+        |  FROM b),
+        |g1 AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(toks[pos0+1:pos0+3], ' ')), 1, 8)) AS BIGINT)
+        |      AS g
+        |  FROM g0),
+        |nd AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY 1),
+        |d2 AS (
+        |  SELECT g1.doc_id, g1.source,
+        |    CAST(count(*) OVER (PARTITION BY g1.source, g1.g) AS BIGINT)
+        |      AS df
+        |  FROM g1)
+        |SELECT d2.doc_id, d2.source,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df * 1000000 // n_docs >= 500000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(1000000 * sum(CASE WHEN df * 1000000 // n_docs >= 500000
+        |    THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS boiler_ppm
+        |FROM d2 JOIN nd ON d2.source = nd.source
+        |GROUP BY d2.doc_id, d2.source
+        |ORDER BY d2.doc_id""".stripMargin,
 
     "q_cdc" ->
       """WITH log AS (

@@ -356,6 +356,50 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** D69 — seasonality-aware volume anomalies: a raw daily threshold
+    * flags every weekend twice and misses a quiet-day spike entirely,
+    * so the expected volume is the per-(type, day-of-week) integer
+    * mean and the alarm is a robust MAD gate on the residual —
+    * |n − dow_mean| > 3·MAD, with MAD the exact lower median of the
+    * type's absolute residuals (Hampel's robust scale; one wild day
+    * cannot widen its own gate the way 3σ does). The median rides the
+    * E52/H8 count-histogram discipline — cumulative counts over the
+    * DISTINCT residual-value frame, smallest value with
+    * 2·cum ≥ n_days+1-ish (`cum ≥ (n+1) div 2`) — never a
+    * corpus-ordered window. dow = day % 7 on the epoch day, identical
+    * in both engines.
+    *
+    * Scale: the same (type, day) contraction as D66/D68; the dow
+    * means are one more window over it, the MAD histogram is
+    * residual-domain-sized, and the MAD map joins back on the bounded
+    * type domain. */
+  def seasonalAnomalies(events: DataFrame): DataFrame = {
+    val daily = cusumDaily(events)
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    val base = daily
+      .withColumn("dow", expr("day % 7"))
+      .withColumn("sum_dow", sum(col("n")).over(wDow))
+      .withColumn("cnt_dow", count(col("n")).over(wDow))
+      .withColumn("dow_mean", expr("sum_dow div cnt_dow"))
+      .withColumn("residual", col("n") - col("dow_mean"))
+      .withColumn("abs_res", abs(col("residual")))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("abs_res"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mad = base
+      .groupBy(col("event_type"), col("abs_res")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n_tot",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .filter(expr("cum >= (n_tot + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("abs_res")).as("mad"))
+    base.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("dow"),
+        col("dow_mean"), col("residual"), col("mad"),
+        when(col("abs_res") > lit(3L) * col("mad"), 1L).otherwise(0L)
+          .as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** D68 — per-key OLS trend of the daily event volume, kept EXACT
     * RATIONAL: slope = (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²) with x
     * rebased to day − min(day) per key (x < k keeps every term far

@@ -542,4 +542,43 @@ object TrainingData {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** E59 — per-SOURCE boilerplate detection, the RefinedWeb/CCNet
+    * "domain template" pass the GLOBAL passes structurally miss: a
+    * site's header/footer/nav grams saturate that source's documents
+    * while staying rare corpus-wide, so E32 (global line frequency)
+    * and E29 (global dup spans, count ≥ 2 across the whole corpus)
+    * under- or over-react exactly where a per-site denominator is
+    * needed. A trigram is source-boilerplate when it appears in ≥
+    * `thresholdPpm` of ITS OWN source's documents (distinct-doc df,
+    * exact integer share); each doc then reports what fraction of its
+    * distinct grams is its source's template.
+    *
+    * Scale: per-doc DISTINCT gram arrays (I17 native hashes) explode
+    * into ONE (source, gram)-keyed shuffle, where a window count
+    * computes the within-source df with NO second gram exchange
+    * (partitionBy(source, g) — df attaches to the already-shuffled
+    * rows in place); per-source doc counts are an aggregate-contracted
+    * broadcast; the per-doc roll-up is the only other shuffle. */
+  def sourceBoilerplate(docs: DataFrame, gram: Int = 3,
+                        thresholdPpm: Long = 500000L): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(
+          graft.functions.TextNative.ngramHashesL(col("text"), gram)).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val nd = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val dg = base
+      .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("g"))))
+    dg.join(broadcast(nd), Seq("source"))
+      .withColumn("is_boiler",
+        when(expr("df * 1000000 div n_docs") >= thresholdPpm, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("is_boiler")).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("1000000 * n_boiler div n_grams"))
+      .orderBy(col("doc_id"))
+  }
 }

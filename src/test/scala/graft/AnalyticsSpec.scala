@@ -255,6 +255,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("one") == (1L, 7L, 0L, 0L, 0L))
   }
 
+  test("D69: a purely periodic series has zero residuals and no alarms") {
+    val day = 86400000000L
+    val ev = (0 until 14).flatMap { d =>
+      val n = if (d % 7 >= 5) 50 else 10
+      (0 until n).map(i => ("a", d * day + i))
+    }.toDF("event_type", "ts_us")
+    val out = Analytics.seasonalAnomalies(ev).collect()
+    assert(out.forall(r => r.getLong(5) == 0L && r.getLong(7) == 0L))
+  }
+
+  test("D69: MAD off the residual histogram gates dow-mean outliers") {
+    // two regular weeks (counts 10/14 per dow → residuals ∓2 after the
+    // dow mean 12) plus a third-week spike on dow 0 (count 40):
+    // dow0 mean = (10+14+40) div 3 = 21, residuals −11, −7, +19;
+    // abs residuals sorted: 2×12, 7, 11, 19 → lower median (8th of 15)
+    // = 2 → gate 3·2 = 6 → exactly days 0, 7, 14 alarm
+    val day = 86400000000L
+    val ev = ((0 until 14).flatMap { d =>
+      val n = if (d < 7) 10 else 14
+      (0 until n).map(i => ("a", d * day + i))
+    } ++ (0 until 40).map(i => ("a", 14 * day + i)))
+      .toDF("event_type", "ts_us")
+    val out = Analytics.seasonalAnomalies(ev).collect()
+      .map(r => r.getLong(1) -> (r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out.values.forall(_._2 == 2L), "MAD must be 2 for every row")
+    assert(out(0L) == (-11L, 2L, 1L))
+    assert(out(7L) == (-7L, 2L, 1L))
+    assert(out(14L) == (19L, 2L, 1L))
+    assert(out.filter(_._2._3 == 1L).keySet == Set(0L, 7L, 14L))
+  }
+
   test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
     // 1000 amounts whose first-digit histogram matches Benford to the ppm
     val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>

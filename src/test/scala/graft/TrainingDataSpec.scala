@@ -171,4 +171,32 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(reshuffled.toSet == rows.toSet)
   }
+
+  test("E59: boilerplate df is per-source; the threshold is inclusive") {
+    import spark.implicits._
+    // s1: four docs sharing ONLY the header trigram (df 4/4 → boiler);
+    // each body trigram is unique (df 1/4 → not). s2: the header
+    // appears in 2 of its 4 docs — df exactly the inclusive 50%
+    // threshold, flagged on s2's OWN denominator; s2 singletons sit at
+    // 25% and stay clean.
+    val docs = (0 until 4).map(i =>
+      (i.toLong, s"alpha beta gamma u$i v$i w$i", "s1")) ++ Seq(
+      (10L, "alpha beta gamma solo tail here", "s2"),
+      (11L, "alpha beta gamma other end bit", "s2"),
+      (12L, "zz yy xx ww", "s2"),
+      (13L, "qq rr ss tt", "s2"))
+    val out = TrainingData.sourceBoilerplate(
+      docs.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    (0 until 4).foreach { i =>
+      assert(out(i.toLong) == (4L, 1L, 250000L),
+        s"s1 doc $i: header gram only, 1 of 4 grams")
+    }
+    assert(out(10L) == (4L, 1L, 250000L),
+      "50% df meets the inclusive threshold on s2's denominator")
+    assert(out(11L) == (4L, 1L, 250000L))
+    assert(out(12L) == (2L, 0L, 0L), "singletons at 25% stay clean")
+    assert(out(13L) == (2L, 0L, 0L))
+  }
 }
