@@ -928,6 +928,13 @@ object SparkEntry {
     // ---- E59: per-source boilerplate (template) gram share
     "q_boiler" -> ((s, d) =>
       ops.TrainingData.sourceBoilerplate(Tables.documents(s, d))),
+    // ---- E60: dedup-cluster canonical election (the apply step)
+    "q_canon" -> ((s, d) => ops.Dedup.canonicalize(Tables.documents(s, d))),
+    // ---- D70: calendar gaps-and-islands; dow==3 days are dropped in
+    // BOTH engines so the oracle exercises real multi-island runs
+    "q_islands" -> ((s, d) =>
+      ops.Analytics.calendarIslands(Tables.events(s, d)
+        .filter(expr("(ts_us div 86400000000) % 7 != 3")))),
     // ---- B23: CDC op-log apply (tombstones, I-after-D, lsn frontier);
     // the log is synthesized deterministically from orders in both
     // engines: 4 versions per key, %10==0 tombstones, %10==5 inserts
@@ -4223,6 +4230,62 @@ object SparkEntry {
         |    WHEN num >= 0 THEN 1000000 * num // den
         |    ELSE -(1000000 * (-num) // den) END AS BIGINT) AS slope_ppm
         |FROM b ORDER BY event_type""".stripMargin,
+
+    "q_canon" ->
+      s"""WITH RECURSIVE $sqlLshCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |walk(node, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |assign AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |cl AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS cluster_size
+         |  FROM assign),
+         |j AS (
+         |  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size,
+         |    CAST(length(b.text) AS BIGINT) AS n_chars
+         |  FROM cl JOIN base b ON cl.doc_id = b.doc_id)
+         |SELECT doc_id, cluster_id, cluster_size, n_chars,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS canonical_id,
+         |  CAST(doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS BIGINT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_islands" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE (epoch_us(ts) // 86400000000) % 7 <> 3
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, day, n,
+        |    day - row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS grp
+        |  FROM daily),
+        |i AS (
+        |  SELECT event_type, CAST(min(day) AS BIGINT) AS island_start,
+        |    CAST(max(day) AS BIGINT) AS island_end,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM g GROUP BY event_type, grp)
+        |SELECT event_type, island_start, island_end, n_days, n_events,
+        |  CAST(COALESCE(lead(island_start) OVER (PARTITION BY event_type
+        |    ORDER BY island_start) - island_end - 1, 0) AS BIGINT)
+        |    AS gap_after
+        |FROM i ORDER BY event_type, island_start""".stripMargin,
 
     "q_seasonal" ->
       """WITH daily AS (

@@ -356,6 +356,35 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** D70 — calendar gaps-and-islands over per-type daily activity: the
+    * data-completeness question every ingestion mart must answer
+    * ("which date ranges are solid, where are the holes, how big") as
+    * contiguous-run detection via the classic `day − row_number()`
+    * grouping constant — consecutive days share the difference, so one
+    * window + one aggregation materializes every island with its span,
+    * day count, event mass, and the gap to the next island (0 for the
+    * last). No calendar table, no explode of the full date range.
+    *
+    * Scale: the (type, day) contraction again; the islands frame is
+    * at most days-domain-sized and usually far smaller. */
+  def calendarIslands(events: DataFrame): DataFrame = {
+    val daily = cusumDaily(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wi = Window.partitionBy(col("event_type")).orderBy(col("island_start"))
+    daily
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("day")).as("island_start"),
+        max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      .withColumn("gap_after",
+        coalesce(lead(col("island_start"), 1).over(wi)
+          - col("island_end") - 1, lit(0L)))
+      .select(col("event_type"), col("island_start"), col("island_end"),
+        col("n_days"), col("n_events"), col("gap_after"))
+      .orderBy(col("event_type"), col("island_start"))
+  }
+
   /** D69 — seasonality-aware volume anomalies: a raw daily threshold
     * flags every weekend twice and misses a quiet-day spike entirely,
     * so the expected volume is the per-(type, day-of-week) integer

@@ -701,6 +701,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E60 — dedup-cluster CANONICALIZATION, the apply step the cluster
+    * assignment (E16/E26) feeds: every near-dup cluster elects one
+    * canonical member — the longest document, ties to the smallest
+    * doc_id (the standard keep-the-fullest-copy heuristic; any
+    * deterministic quality key slots into the same argmax) — and every
+    * other member maps to it with `keep = 0`. Downstream consumers
+    * join this mapping to rewrite references and drop the shadowed
+    * copies; without it a dedup pass only LABELS duplicates.
+    *
+    * The argmax rides one cluster-partitioned `first_value` window
+    * (full frame, explicit (len desc, id asc) order — identical
+    * semantics in DuckDB), on the cluster-member frame the clustering
+    * already produced; one extra doc-keyed join attaches lengths. */
+  def canonicalize(docs: DataFrame, dupMod: Long = 250): DataFrame = {
+    val clusters = lshClusters(docs, dupMod = dupMod)
+    // lengths come from the SAME synthetic-dup universe the clustering
+    // ran on — an injected copy must be electable (it ties its base on
+    // length and loses the id tie-break, exactly the intended outcome)
+    val len = withSyntheticDups(docs, dupMod)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+    val wc = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clusters.join(len, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(wc))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast(LongType).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E58 — sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95),
     * the classic sort-based alternative to LSH blocking: records sorted
     * by a similarity-preserving key propose only their w−1 sort

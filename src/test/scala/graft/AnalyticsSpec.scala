@@ -287,6 +287,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._2._3 == 1L).keySet == Set(0L, 7L, 14L))
   }
 
+  test("D70: gaps-and-islands splits runs and reports gap widths") {
+    val day = 86400000000L
+    val ev = Seq(0L, 1L, 2L, 5L, 6L, 9L).zipWithIndex.map { case (d, i) =>
+      ("a", d * day + i)
+    }.toDF("event_type", "ts_us")
+    val out = Analytics.calendarIslands(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 3L, 3L, 2L),   // days 0-2, then a 2-day hole
+      (5L, 6L, 2L, 2L, 2L),   // days 5-6, then a 2-day hole
+      (9L, 9L, 1L, 1L, 0L)))  // the last island carries gap 0
+  }
+
   test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
     // 1000 amounts whose first-digit histogram matches Benford to the ppm
     val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>

@@ -131,6 +131,30 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (hit ${truth.count(got.contains)}/${truth.size})")
   }
 
+  test("E60: canonical election keeps one longest member per cluster") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.canonicalize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // exactly one keep=1 per cluster, and it IS the canonical
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._5 == 1L)
+      assert(keepers.length == 1, s"cluster $cid keepers: $keepers")
+      assert(keepers.head._1 == keepers.head._4)
+      val canon = keepers.head
+      // the canonical is a max-length member with the smallest id there
+      val maxLen = members.map(_._3).max
+      assert(canon._3 == maxLen)
+      assert(canon._1 == members.filter(_._3 == maxLen).map(_._1).min)
+      // every member maps to the same canonical
+      assert(members.forall(_._4 == canon._1))
+    }
+    // injected exact copies always lose to their base on the id tie
+    rows.filter(_._1 >= 10000000L).foreach { r =>
+      assert(r._5 == 0L, s"injected copy ${r._1} must not be canonical")
+    }
+  }
+
   test("LSH clusters assign every injected dup to its base doc's cluster") {
     val docs = Tables.documents(spark, sf)
     val clusters = Dedup.lshClusters(docs, dupMod = 250).collect()
