@@ -930,6 +930,11 @@ object SparkEntry {
       ops.TrainingData.sourceBoilerplate(Tables.documents(s, d))),
     // ---- E60: dedup-cluster canonical election (the apply step)
     "q_canon" -> ((s, d) => ops.Dedup.canonicalize(Tables.documents(s, d))),
+    // ---- E61: what that election costs each source (docs/tokens ppm)
+    "q_dedup_impact" -> ((s, d) =>
+      ops.Dedup.dedupImpact(Tables.documents(s, d))),
+    // ---- D71: A/B contingency chi-square over per-user conversion
+    "q_abtest" -> ((s, d) => ops.Analytics.abContingency(Tables.events(s, d))),
     // ---- D70: calendar gaps-and-islands; dow==3 days are dropped in
     // BOTH engines so the oracle exercises real multi-island runs
     "q_islands" -> ((s, d) =>
@@ -4262,6 +4267,73 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          |    AS BIGINT) AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_abtest" ->
+      """WITH per AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    CAST(max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(round(value * 100) AS BIGINT) >= 15000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a, b, c, d, a + b + c + d AS n,
+        |  CAST(1000000 * a // (a + b) AS BIGINT) AS rate0_ppm,
+        |  CAST(1000000 * c // (c + d) AS BIGINT) AS rate1_ppm,
+        |  CAST(a + b + c + d AS DOUBLE) * (a*d - b*c) * (a*d - b*c)
+        |    / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)) AS chi2
+        |FROM cells""".stripMargin,
+
+    "q_dedup_impact" ->
+      s"""WITH RECURSIVE $sqlLshCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |walk(node, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |assign AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |j AS (
+         |  SELECT a2.doc_id, a2.cluster_id,
+         |    CAST(length(b.text) AS BIGINT) AS n_chars
+         |  FROM assign a2 JOIN base b ON a2.doc_id = b.doc_id),
+         |canon AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |      AS BIGINT) AS keep
+         |  FROM j),
+         |km AS (SELECT doc_id, keep FROM canon WHERE doc_id < 10000000),
+         |docs2 AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS n_tok
+         |  FROM documents),
+         |j2 AS (
+         |  SELECT d.source, COALESCE(km.keep, 1) AS keep, d.n_tok
+         |  FROM docs2 d LEFT JOIN km ON d.doc_id = km.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum((1 - keep) * n_tok) AS BIGINT) AS tokens_dropped,
+         |  CAST(1000000 * sum(1 - keep) // count(*) AS BIGINT)
+         |    AS doc_drop_ppm,
+         |  CAST(1000000 * sum((1 - keep) * n_tok) // sum(n_tok) AS BIGINT)
+         |    AS token_drop_ppm
+         |FROM j2 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_islands" ->
       """WITH daily AS (

@@ -356,6 +356,48 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** D71 — A/B contingency χ² over per-user conversion: users split by
+    * a deterministic variant key (`user_id % 2` here; any assignment
+    * column slots in), converted = had ≥1 HIGH-VALUE purchase
+    * (cents ≥ minCents — plain "any purchase" saturates on active
+    * users and degenerates the table), and the
+    * 2×2 independence statistic χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * — which, unlike the z-test, needs NO square root: it is an exact
+    * rational of the four cell counts. Cells and per-variant conversion
+    * rates are exact integers/ppm; the final χ² is ONE double division
+    * of exactly-represented integer products (cells < 2²⁶ keep every
+    * product under 2⁵³ — beyond that, rescale by sampling users, the
+    * documented D31/D68 discipline), evaluated in the same literal
+    * order in both engines.
+    *
+    * Scale: one user-keyed contraction (the conversion flag), then a
+    * single global aggregate to the four cells. */
+  def abContingency(events: DataFrame, minCents: Long = 15000L): DataFrame = {
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          expr("CAST(round(value * 100) AS BIGINT)") >= minCents, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant", expr("user_id % 2"))
+    per
+      .agg(
+        sum(when(col("variant") === 0 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("variant") === 1 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("variant") === 1 && col("conv") === 0, 1L)
+          .otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        expr("1000000 * a div (a + b)").as("rate0_ppm"),
+        expr("1000000 * c div (c + d)").as("rate1_ppm"),
+        expr("""CAST(a + b + c + d AS DOUBLE) * (a*d - b*c) * (a*d - b*c)
+               / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))""")
+          .as("chi2"))
+  }
+
   /** D70 — calendar gaps-and-islands over per-type daily activity: the
     * data-completeness question every ingestion mart must answer
     * ("which date ranges are solid, where are the holes, how big") as

@@ -732,6 +732,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E61 — dedup IMPACT report: what the E60 canonicalization would
+    * cost each source's slice of the training mixture — docs dropped,
+    * tokens dropped, both in exact ppm of the source's mass. The
+    * number a curator actually reviews before applying a dedup pass:
+    * a source losing 40% of its tokens to near-dups is a crawler
+    * configuration bug surfacing as data, not a cleaning win.
+    * Synthetic-universe members (injected re-crawl copies) are
+    * excluded from the report — it describes the REAL corpus.
+    *
+    * Scale: the canonical mapping is cluster-member-sized; the left
+    * join against it costs one doc-keyed exchange and the report
+    * contracts to the source domain. */
+  def dedupImpact(docs: DataFrame, dupMod: Long = 250): DataFrame = {
+    val keepMap = canonicalize(docs, dupMod)
+      .filter(col("doc_id") < SyntheticDupBase)
+      .select(col("doc_id"), col("keep"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast(LongType).as("n_tok"))
+      .join(keepMap, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("keep")).as("n_dropped"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum((lit(1L) - col("keep")) * col("n_tok")).as("tokens_dropped"))
+      .withColumn("doc_drop_ppm", expr("1000000 * n_dropped div n_docs"))
+      .withColumn("token_drop_ppm",
+        expr("1000000 * tokens_dropped div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** E58 — sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95),
     * the classic sort-based alternative to LSH blocking: records sorted
     * by a similarity-preserving key propose only their w−1 sort

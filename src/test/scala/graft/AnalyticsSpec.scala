@@ -301,6 +301,23 @@ class AnalyticsSpec extends SparkSpec {
       (9L, 9L, 1L, 1L, 0L)))  // the last island carries gap 0
   }
 
+  test("D71: contingency chi2 is the exact rational of the four cells") {
+    // variant 0 (even ids): 2 of 5 convert; variant 1: 3 of 5.
+    // chi2 = 10·(2·2 − 3·3)² / (5·5·5·5) = 10·25/625 = 0.4
+    val ev = (0L until 10L).flatMap { u =>
+      val converts = (u % 2 == 0 && u < 4) || (u % 2 == 1 && u < 6)
+      Seq((u, if (converts) "purchase" else "view",
+        if (converts) 200.0 else 5.0),
+        (u, "purchase", 10.0))   // a LOW-value purchase never converts
+    }.toDF("user_id", "event_type", "value")
+    val r = Analytics.abContingency(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 3L, 3L, 2L))
+    assert(r.getLong(4) == 10L)
+    assert(r.getLong(5) == 400000L && r.getLong(6) == 600000L)
+    assert(math.abs(r.getDouble(7) - 0.4) < 1e-12)
+  }
+
   test("D65: a Benford-conforming sample scores near zero, a uniform one high") {
     // 1000 amounts whose first-digit histogram matches Benford to the ppm
     val benford = Analytics.BenfordPpm.toSeq.flatMap { case (d, p) =>

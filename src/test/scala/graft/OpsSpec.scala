@@ -155,6 +155,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("E61: impact report reconciles exactly with the canonical election") {
+    val docs = Tables.documents(spark, sf)
+    val impact = Dedup.dedupImpact(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val droppedReal = Dedup.canonicalize(docs).collect()
+      .filter(r => r.getLong(0) < 10000000L && r.getLong(5) == 0L)
+      .map(_.getLong(0)).toSet
+    assert(impact.values.map(_._2).sum == droppedReal.size,
+      "per-source dropped docs must sum to the real keep=0 members")
+    // doc totals reconcile with the raw table per source
+    val bySource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(impact.keySet == bySource.keySet)
+    impact.foreach { case (s, (nDocs, nDropped, nTok, tokDropped)) =>
+      assert(nDocs == bySource(s))
+      assert(nDropped >= 0 && nDropped <= nDocs)
+      assert(tokDropped >= 0 && tokDropped <= nTok)
+    }
+  }
+
   test("LSH clusters assign every injected dup to its base doc's cluster") {
     val docs = Tables.documents(spark, sf)
     val clusters = Dedup.lshClusters(docs, dupMod = 250).collect()
