@@ -1244,6 +1244,16 @@ object SparkEntry {
             when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
             Seq("doc_id")),
         score = "margin", label = "is_en")),
+    // H11: min-money-lost operating point (review 100c, miss 900c)
+    "q_cost_threshold" -> ((s, d) =>
+      ml.Evaluation.costThreshold(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        fpCostCents = 100L, fnCostCents = 900L,
+        score = "margin", label = "is_en")),
 
     // B21: incremental join-view maintenance — the maintained view is
     // built from the DELTA ALGEBRA (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) while the
@@ -5183,6 +5193,47 @@ object SparkEntry {
         |SELECT threshold, tp, pp - tp AS fp, n_pos - tp AS fn, f1_pico
         |FROM pts
         |WHERE f1_pico = (SELECT MAX(f1_pico) FROM pts)
+        |ORDER BY threshold DESC LIMIT 1""".stripMargin,
+
+    "q_cost_threshold" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(SUM(lab) AS BIGINT) AS np
+        |        FROM sc GROUP BY s),
+        |cum AS (SELECT s,
+        |          CAST(SUM(np) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |          CAST(SUM(n) OVER (ORDER BY s DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |        FROM bys),
+        |t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |        CAST(MAX(s) + 1 AS BIGINT) AS none_t FROM bys),
+        |pts AS (
+        |  SELECT s AS threshold, tp, pp, n_pos FROM cum, t
+        |  UNION ALL
+        |  SELECT none_t, 0, 0, n_pos FROM t),
+        |costs AS (
+        |  SELECT threshold, tp, pp - tp AS fp, n_pos - tp AS fn,
+        |    CAST((pp - tp) * 100 + (n_pos - tp) * 900 AS BIGINT)
+        |      AS cost_cents
+        |  FROM pts)
+        |SELECT threshold, tp, fp, fn, cost_cents
+        |FROM costs
+        |WHERE cost_cents = (SELECT MIN(cost_cents) FROM costs)
         |ORDER BY threshold DESC LIMIT 1""".stripMargin,
 
     // IVM twin: the FULL join recompute — matching hashes prove the

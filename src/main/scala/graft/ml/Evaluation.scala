@@ -248,4 +248,47 @@ object Evaluation {
         expr("cum_pos * ntot * 1000000 div (cum_n * ptot)").as("lift_ppm"))
       .orderBy(col("bucket"))
   }
+
+  /** H11 — COST-optimal operating point: the threshold fraud ops
+    * actually deploy is not best-F1 but min-money-lost — each false
+    * positive costs a review (`fpCostCents`), each missed fraud costs
+    * the loss (`fnCostCents`), and the chosen threshold minimizes
+    * `fp·fpCost + fn·fnCost` in exact cents. The candidate set is
+    * every distinct score PLUS the explicit FLAG-NOTHING point
+    * (threshold max(s)+1: tp=fp=0, all positives missed) — without it
+    * the search can only recommend flagging at least the top score
+    * even when reviews cost more than the fraud they catch. Ties
+    * break to the HIGHER threshold (fewer flags, same money).
+    *
+    * Scale: the H7/H8 distinct-score contraction — one corpus pass,
+    * cumulative windows over the score domain, argmin via a broadcast
+    * 1-row aggregate join. Integer scores by the §5 discipline. */
+  def costThreshold(scored: DataFrame, fpCostCents: Long, fnCostCents: Long,
+                    score: String = "score", label: String = "label")
+      : DataFrame = {
+    val byScore = scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byScore.agg(sum(col("np")).as("n_pos"),
+      (max(col("s")) + 1L).as("none_t"))
+    val pts = byScore
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"), col("pp"), col("n_pos"))
+    val flagNone = tot.select(col("none_t").as("threshold"),
+      lit(0L).as("tp"), lit(0L).as("pp"), col("n_pos"))
+    val costs = pts.unionByName(flagNone)
+      .select(col("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"))
+      .withColumn("cost_cents",
+        col("fp") * fpCostCents + col("fn") * fnCostCents)
+    costs.join(broadcast(costs.agg(min(col("cost_cents")).as("cost_cents"))),
+        Seq("cost_cents"))
+      .orderBy(col("threshold").desc).limit(1)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("cost_cents"))
+  }
 }

@@ -230,4 +230,25 @@ class MlSpec extends SparkSpec {
     assert(out(2L) == (2L, 2L, 4L, 3L, 750000L, 1500000L))
     assert(out(3L) == (4L, 1L, 8L, 4L, 1000000L, 1000000L))
   }
+
+  test("H11: cost threshold minimizes money, not F1") {
+    import spark.implicits._
+    // t=3: fn 1 → 10c; t=2: +fp → 11c; t=1: fp 1 → 1c (min); none: 20c
+    val scored = Seq((3L, 1L), (2L, 0L), (1L, 1L)).toDF("score", "label")
+    val r = graft.ml.Evaluation
+      .costThreshold(scored, fpCostCents = 1L, fnCostCents = 10L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (1L, 2L, 1L, 0L, 1L))
+  }
+
+  test("H11: flag-nothing wins when every flag is a false positive") {
+    import spark.implicits._
+    val scored = Seq((2L, 0L), (1L, 0L)).toDF("score", "label")
+    val r = graft.ml.Evaluation
+      .costThreshold(scored, fpCostCents = 100L, fnCostCents = 900L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(2), r.getLong(4)) == (3L, 0L, 0L),
+      "the max(s)+1 sentinel must be electable and chosen")
+  }
 }
