@@ -70,18 +70,29 @@ object Survival {
       .withColumn("n_risk", col("n0") - col("left_before"))
       .filter(col("d") > 0)
 
-    // per-group day-ordered packed (t, d, n) list; struct sort orders by t
+    // per-group day-ordered packed (t, d, n) list; struct sort orders by t.
+    // The WHOLE curve folds once per GROUP into a prefix-product array
+    // (a per-ROW prefix fold re-filters the n-element list n times —
+    // O(n²) interpreted HOF steps; at a 2,500-day lag domain that was
+    // a measured 44 s query, vs O(n) lambda steps here); rows then pick
+    // their prefix by rank. The DuckDB twin keeps the per-row fold —
+    // identical math, and oracle runtime doesn't ride the bench.
     val packed = risk
       .groupBy(col("grp"))
       .agg(sort_array(collect_list(
         struct(col("t"), col("d"), col("n_risk").as("n")))).as("xs"))
-    risk.join(packed, Seq("grp"))
-      .withColumn("surv_ppm", expr(
-        """aggregate(
-          |  transform(filter(xs, e -> e.t <= t), e -> e.d * 4294967296L + e.n),
-          |  CAST(1000000 AS BIGINT),
-          |  (acc, x) -> (acc * ((x % 4294967296L) - (x div 4294967296L)))
-          |              div (x % 4294967296L))""".stripMargin))
+    val curve = packed.select(col("grp"), expr(
+      """aggregate(
+        |  transform(xs, e -> e.d * 4294967296L + e.n),
+        |  CAST(array(1000000) AS ARRAY<BIGINT>),
+        |  (acc, x) -> concat(acc, array(
+        |    (element_at(acc, -1) * ((x % 4294967296L) - (x div 4294967296L)))
+        |    div (x % 4294967296L))))""".stripMargin).as("sv"))
+    val wr = Window.partitionBy(col("grp")).orderBy(col("t"))
+    risk
+      .withColumn("rn", row_number().over(wr))
+      .join(curve, Seq("grp"))
+      .withColumn("surv_ppm", element_at(col("sv"), col("rn") + 1))
       .select(col("grp"), col("t"), col("d").as("n_event"),
         col("c").as("n_censored"), col("n_risk"), col("surv_ppm"))
       .orderBy(col("grp"), col("t"))
