@@ -33,6 +33,29 @@ class CdcSpec extends SparkSpec {
     assert(out(4L) == (1L, 2L, 400L), "redelivered op folds to one row")
   }
 
+  test("B23: the fold is invariant to arrival order and partitioning") {
+    // a generated op log applied in four different physical layouts
+    // must produce identical snapshots — the at-least-once transport
+    // guarantees NOTHING about order, so the operator must
+    val rnd = new scala.util.Random(11)
+    val ops = (0 until 400).map { i =>
+      val k = (i % 37).toLong
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 => "D"; case 2 => "I"; case _ => "U"
+      }
+      (k, i.toLong, op, rnd.nextInt(100000).toLong)
+    }
+    def snap(rows: Seq[(Long, Long, String, Long)], parts: Int) =
+      Cdc.applyLog(rows.toDF("k", "lsn", "op", "price_cents")
+        .repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val base = snap(ops, 4)
+    assert(base == snap(rnd.shuffle(ops), 1))
+    assert(base == snap(ops.reverse, 13))
+    assert(base == snap(rnd.shuffle(ops), 32))
+  }
+
   test("B23: payload columns pass through generically") {
     val out = Cdc.applyLog(
       Seq((9L, 1L, "I", 10L, "x", 7.5)).toDF("k", "lsn", "op", "a", "b", "c"))

@@ -437,6 +437,17 @@ class OpsSpec extends SparkSpec {
       (2L, 3L) -> 666666L))     // (3,4) proposed by the seam, jac 0 → cut
   }
 
+  test("E58: SNM output is deterministic under input partitioning") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhood(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    val base = pairs(docs)
+    assert(base.nonEmpty)
+    assert(base == pairs(docs.repartition(17)))
+    assert(base == pairs(docs.repartition(1, col("doc_id"))))
+  }
+
   test("E58: the pair set is invariant to block granularity on covered data") {
     import spark.implicits._
     val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "a b c"), (4L, "z z y"))
