@@ -99,7 +99,11 @@ class PlansSpec extends SparkSpec {
       "q_curate_full"     -> (1, 1),
       "q_copurchase"      -> (0, 5),
       "q_ann_ivf_learned" -> (0, 5),
-      "q_containment"     -> (2, 5))
+      "q_containment"     -> (2, 5),
+      // r6 additions to the bench top tier (audited via graft.Explain
+      // at round close: km bhj=7 smj=1, impact bhj=3 smj=1)
+      "q_km"              -> (1, 6),
+      "q_dedup_impact"    -> (1, 3))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
