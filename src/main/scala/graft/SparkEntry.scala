@@ -358,6 +358,21 @@ object SparkEntry {
         .select(col("media_id"),
           col("frame_idx").cast(LongType).as("frame_idx"))
         .orderBy(col("media_id"), col("frame_idx"))),
+    // ---- G5 end-to-end (r7): temporal frame-sequence near-dup. G3's
+    // sampler fans each synthetic video into frames, each frame pHashes
+    // per-partition (payloads never shuffle), then the E55-style
+    // shingle join + D70 diagonal islands find shared RUNS — the
+    // re-upload/clip shape per-frame equality can't see. DuckDB
+    // replays the stub decode per frame exactly like q_phash_dups.
+    "q_video_dups" -> ((s, d) => {
+      val m = multimodal.Multimodal
+      val vids = m.syntheticVideos(s, 60)
+      val frames = m.sampleFrames(
+        m.extractFeatures(vids, m.StubDecoder), stride = 1)
+      m.videoRunDups(
+        m.framePhashes(m.syntheticFramePayloads(frames), m.StubDecoder)
+          .toDF())
+    }),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -1545,7 +1560,10 @@ object SparkEntry {
     * trade graph at sf0.01/sf0.1; rounds past fixpoint are idempotent,
     * so the generous constant is pure safety margin — and the Spark
     * side *requires* convergence, so a graph needing more rounds fails
-    * loudly there instead of hash-mismatching here). */
+    * loudly there instead of hash-mismatching here). The SQL carries
+    * its OWN convergence sentinel too — the final SELECT error()s if
+    * the last two peel rounds still differ — so the oracle is valid
+    * standalone, not only alongside the Spark require(). */
   private def sqlKCore: String = {
     val k = 24
     val rounds = 12
@@ -1567,7 +1585,12 @@ object SparkEntry {
        |$peels
        |SELECT CAST(src AS BIGINT) AS node,
        |  CAST(count(*) AS BIGINT) AS core_deg
-       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+       |FROM e$rounds
+       |WHERE (SELECT CASE WHEN (SELECT count(*) FROM e${rounds - 1})
+       |         = (SELECT count(*) FROM e$rounds) THEN 1
+       |       ELSE error('q_kcore oracle: peel not converged after '
+       |         || '$rounds rounds — raise rounds') END) = 1
+       |GROUP BY src ORDER BY node""".stripMargin
   }
 
   /** DuckDB twins, same column names/aliases as the Spark plans. */
@@ -1852,7 +1875,8 @@ object SparkEntry {
          |  CAST(cum_n AS BIGINT) AS cum_n,
          |  CAST(cum_pos AS BIGINT) AS cum_pos,
          |  CAST(cum_pos * 1000000 // ptot AS BIGINT) AS gain_ppm,
-         |  CAST(cum_pos * ntot * 1000000 // (cum_n * ptot) AS BIGINT)
+         |  CAST(CAST(cum_pos AS HUGEINT) * ntot * 1000000
+         |    // (CAST(cum_n AS HUGEINT) * ptot) AS BIGINT)
          |    AS lift_ppm
          |FROM cu ORDER BY bucket""".stripMargin,
 
@@ -2731,6 +2755,102 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN x.bs <> y.bs THEN 1 ELSE 0 END) <= 8
         |ORDER BY 1, 2""".stripMargin,
+
+    // G5 twin: the whole video pipeline replayed — padded video
+    // payloads → stub frame counts → per-frame payload derivation
+    // (re-upload rule) → per-frame stub decode (same recursive scan as
+    // q_phash_dups, keyed by (media, frame)) → signed 64-bit phash →
+    // 3-frame shingles (lead window) → shared-sig join → diagonal
+    // islands → per-pair run aggregates.
+    "q_video_dups" ->
+      """WITH RECURSIVE vids AS (
+        |  SELECT i AS media_id, 'media-' || i || '-video' AS base
+        |  FROM range(60) t(i)),
+        |pv AS (
+        |  SELECT media_id, base || repeat('x',
+        |    CAST((6 - length(base) % 7 + 7) % 7 + 7 * (media_id % 3)
+        |      AS INTEGER)) AS vp
+        |  FROM vids),
+        |meta AS (
+        |  SELECT media_id, 1 + length(vp) % 7 AS n_frames FROM pv),
+        |frames AS (
+        |  SELECT m.media_id, f.i AS frame_idx
+        |  FROM meta m JOIN range(7) f(i) ON f.i < m.n_frames),
+        |fp AS (
+        |  SELECT media_id, frame_idx,
+        |    'frame-' || (CASE WHEN media_id % 5 = 4 AND frame_idx >= 2
+        |      THEN CAST(media_id - 4 AS VARCHAR) || ':' ||
+        |           CAST(frame_idx - 2 AS VARCHAR)
+        |      ELSE CAST(media_id AS VARCHAR) || ':' ||
+        |           CAST(frame_idx AS VARCHAR) END) AS pay
+        |  FROM frames),
+        |f2 AS (
+        |  SELECT media_id, frame_idx, pay, length(pay) AS len,
+        |    (4 + length(pay) % 8) * (3 + length(pay) % 5) AS n_luma
+        |  FROM fp),
+        |scan AS (
+        |  SELECT media_id, frame_idx, pay, len, n_luma,
+        |    CAST(0 AS BIGINT) AS i,
+        |    CAST((17*31 + ascii(substr(pay, 1, 1))) % 4294967296
+        |      AS BIGINT) AS acc
+        |  FROM f2
+        |  UNION ALL
+        |  SELECT media_id, frame_idx, pay, len, n_luma, i + 1,
+        |    (acc * 31 + ascii(substr(pay,
+        |      CAST((i + 1) % len AS INTEGER) + 1, 1))) % 4294967296
+        |  FROM scan WHERE i + 1 < n_luma),
+        |luma AS (
+        |  SELECT media_id, frame_idx, i, acc % 256 AS v FROM scan),
+        |stats AS (
+        |  SELECT media_id, frame_idx, count(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s
+        |  FROM luma GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT st.media_id, st.frame_idx, b.i AS bit,
+        |    CASE WHEN l.v > st.s / st.n THEN 1 ELSE 0 END AS bs
+        |  FROM stats st CROSS JOIN range(64) b(i)
+        |  JOIN luma l ON l.media_id = st.media_id
+        |    AND l.frame_idx = st.frame_idx AND l.i = b.i % st.n),
+        |ph AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(CASE WHEN hv >= 9223372036854775808
+        |      THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)
+        |      AS phash
+        |  FROM (
+        |    SELECT media_id, frame_idx,
+        |      SUM(CAST(bs AS HUGEINT) *
+        |        (CAST(1 AS HUGEINT) << CAST(bit AS INTEGER))) AS hv
+        |    FROM bits GROUP BY 1, 2)),
+        |sh AS (
+        |  SELECT media_id, frame_idx AS sidx,
+        |    md5(CAST(phash AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+        |      || ':' || CAST(h2 AS VARCHAR)) AS sig
+        |  FROM (
+        |    SELECT media_id, frame_idx, phash,
+        |      lead(phash, 1) OVER (PARTITION BY media_id
+        |        ORDER BY frame_idx) AS h1,
+        |      lead(phash, 2) OVER (PARTITION BY media_id
+        |        ORDER BY frame_idx) AS h2
+        |    FROM ph)
+        |  WHERE h1 IS NOT NULL AND h2 IS NOT NULL),
+        |shared AS (
+        |  SELECT a.media_id AS vid1, b.media_id AS vid2,
+        |    a.sidx AS i1, a.sidx - b.sidx AS diag
+        |  FROM sh a JOIN sh b
+        |    ON a.sig = b.sig AND a.media_id < b.media_id),
+        |runs AS (
+        |  SELECT vid1, vid2, diag, grp,
+        |    CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM (SELECT vid1, vid2, diag, i1,
+        |          i1 - row_number() OVER (PARTITION BY vid1, vid2, diag
+        |            ORDER BY i1) AS grp
+        |        FROM shared)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(vid1 AS BIGINT) AS vid1, CAST(vid2 AS BIGINT) AS vid2,
+        |  CAST(SUM(n_shingles) AS BIGINT) AS n_shared_shingles,
+        |  CAST(MAX(n_shingles) + 2 AS BIGINT) AS longest_run_frames,
+        |  CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1, 2 ORDER BY vid1, vid2""".stripMargin,
 
     // G2 twin: decoder replay (same recursive CTE as q_phash_dups,
     // without the dup injection), then per-media feature aggregates.
@@ -4326,7 +4446,8 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          |      AS BIGINT) AS keep
          |  FROM j),
-         |km AS (SELECT doc_id, keep FROM canon WHERE doc_id < 10000000),
+         |km AS (SELECT doc_id, keep FROM canon
+         |       WHERE doc_id % 1000000000 < 10000000),
          |docs2 AS (
          |  SELECT doc_id, source,
          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -245,7 +245,13 @@ object Evaluation {
       .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
         col("cum_pos"),
         expr("cum_pos * 1000000 div ptot").as("gain_ppm"),
-        expr("cum_pos * ntot * 1000000 div (cum_n * ptot)").as("lift_ppm"))
+        // widen to decimal(38,0): the int64 form overflows once
+        // cum_pos·ntot ≳ 9.2e12 — far below the ~3e9-row H4 bound.
+        // IntegralDivide on decimals returns BIGINT, exact for any
+        // corpus the sibling metrics admit (product < 1e25 ≪ 1e38).
+        expr("""cast(cast(cum_pos as decimal(38,0)) * ntot * 1000000
+                div (cast(cum_n as decimal(38,0)) * ptot) as bigint)""")
+          .as("lift_ppm"))
       .orderBy(col("bucket"))
   }
 

@@ -147,6 +147,123 @@ object Multimodal {
       .orderBy(col("id1"), col("id2"))
   }
 
+  final case class FrameHashed(media_id: Long, frame_idx: Long, phash: Long)
+
+  /** G5 — per-FRAME perceptual hashing, the fan-out step G3's sampler
+    * feeds: each (video, frame) payload decodes once inside the same
+    * per-partition discipline as [[perceptualHash]] and only the
+    * (video_id, frame_idx, 8-byte hash) triple moves on. In production
+    * the payload column is the frame image the video decoder emitted;
+    * the stub keeps the byte-deterministic contract. */
+  def framePhashes(frames: DataFrame, decoder: MediaDecoder): Dataset[FrameHashed] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("media_id"), col("frame_idx"), col("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, payload) =>
+          val d = decoder.decode("image", payload)
+          val mean = if (d.luma.isEmpty) 0d else d.luma.sum / d.luma.length
+          var h = 0L
+          var i = 0
+          while (i < 64 && d.luma.nonEmpty) {
+            if (d.luma(i % d.luma.length) > mean) h |= (1L << i)
+            i += 1
+          }
+          FrameHashed(id, idx, h)
+        }
+      }
+  }
+
+  /** G5 — temporal frame-sequence near-dup: which video PAIRS share a
+    * RUN of consecutive matching frames (a re-upload, a clip, a
+    * re-encode with intro/outro edits) — per-frame pHash equality alone
+    * (G4) can't tell a shared still from a shared sequence.
+    *
+    * Shape: the E55/D59 shingling discipline on the frame-hash STREAM —
+    * every `shingleLen` consecutive frame hashes collapse to one md5
+    * shingle signature; equal signatures across videos are the banded
+    * candidates (bucket-join on the signature, never all-pairs); and
+    * shared shingles on the same alignment DIAGONAL (i1 − i2) with
+    * consecutive indices are one run (the D70 gaps-and-islands
+    * contraction). Output per pair: total shared shingles, the longest
+    * run in frames, and the number of distinct runs.
+    *
+    * Scale: shingle volume = frame volume (one row per frame minus
+    * edge effects); candidates are signature-bucket-bounded like every
+    * LSH path in ops/Dedup; runs contract candidates to
+    * (pair, diagonal) groups. Only 8-byte hashes and md5 strings
+    * shuffle — frame payloads never leave the decode stage. */
+  def videoRunDups(framesHashed: DataFrame, shingleLen: Int = 3): DataFrame = {
+    require(shingleLen >= 2, "shingleLen must be at least 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val leadCols = (1 until shingleLen).map(i => s"__h$i")
+    val withLeads = (1 until shingleLen).foldLeft(framesHashed) { (df, i) =>
+      df.withColumn(s"__h$i", lead(col("phash"), i).over(w))
+    }
+    val sh = withLeads
+      .filter(leadCols.map(col(_).isNotNull).reduce(_ && _)) // full shingles only
+      .select(col("media_id"), col("frame_idx").as("sidx"),
+        md5(concat_ws(":",
+          (col("phash") +: leadCols.map(col)).map(_.cast(StringType)): _*))
+          .as("sig"))
+    val a = sh.select(col("sig"), col("media_id").as("vid1"),
+      col("sidx").as("i1"))
+    val b = sh.select(col("sig"), col("media_id").as("vid2"),
+      col("sidx").as("i2"))
+    val shared = a.join(b, Seq("sig"))
+      .filter(col("vid1") < col("vid2"))
+      .select(col("vid1"), col("vid2"), col("i1"), col("i2"),
+        (col("i1") - col("i2")).as("diag"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid1"), col("vid2"), col("diag"))
+      .orderBy(col("i1"))
+    val runs = shared
+      .withColumn("grp", col("i1") - row_number().over(wr))
+      .groupBy(col("vid1"), col("vid2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("n_shingles"))
+    runs.groupBy(col("vid1"), col("vid2"))
+      .agg(sum(col("n_shingles")).as("n_shared_shingles"),
+        (max(col("n_shingles")) + (shingleLen - 1).toLong)
+          .as("longest_run_frames"),
+        count(lit(1)).as("n_runs"))
+      .orderBy(col("vid1"), col("vid2"))
+  }
+
+  /** Deterministic synthetic frame payloads for [[framePhashes]] in
+    * this codec-less container: the payload models WHAT THE VIDEO
+    * DECODER WOULD EMIT for each sampled frame, so two videos that
+    * share upstream content share frame bytes. Videos with
+    * `media_id % 5 == 4` are synthetic re-uploads: from frame 2 on
+    * they replay video (id−4)'s frames 0,1,2,… — a shared run with a
+    * 2-frame edited intro, the exact shape [[videoRunDups]] exists to
+    * catch. */
+  def syntheticFramePayloads(frames: DataFrame): DataFrame =
+    frames.withColumn("content",
+      when(col("media_id") % 5 === 4 && col("frame_idx") >= 2,
+        concat_ws(":", (col("media_id") - 4).cast(StringType),
+          (col("frame_idx") - 2).cast(StringType)))
+        .otherwise(concat_ws(":", col("media_id").cast(StringType),
+          col("frame_idx").cast(StringType))))
+      .withColumn("payload",
+        encode(concat(lit("frame-"), col("content")), "UTF-8"))
+      .drop("content")
+
+  /** Deterministic synthetic VIDEO corpus: payload lengths are padded
+    * so the stub decode yields 7 frames for every video (≡ 6 mod 7),
+    * with residual length variation so luma dims still differ. The
+    * re-upload content sharing lives in [[syntheticFramePayloads]]. */
+  def syntheticVideos(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val base = s"media-$i-video"
+      val pad = (6 - base.length % 7 + 7) % 7 + 7 * (i % 3)
+      (i.toLong, "video",
+        (base + "x" * pad).getBytes(StandardCharsets.UTF_8))
+    }.toDF("media_id", "kind", "payload")
+  }
+
   /** Deterministic synthetic media table built from any keyed source —
     * lets the plumbing run in a container with no real media files. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -745,8 +745,12 @@ object Dedup {
     * join against it costs one doc-keyed exchange and the report
     * contracts to the source domain. */
   def dedupImpact(docs: DataFrame, dupMod: Long = 250): DataFrame = {
+    // replica-aware real-corpus test: fold scale_up replicas back onto
+    // the base id range (same idiom as incrementalLsh's isNew), so a
+    // replica-r real doc is still reported and only injected synthetic
+    // copies are excluded
     val keepMap = canonicalize(docs, dupMod)
-      .filter(col("doc_id") < SyntheticDupBase)
+      .filter(col("doc_id") % ReplicaShift < SyntheticDupBase)
       .select(col("doc_id"), col("keep"))
     docs
       .select(col("doc_id"), col("source"),

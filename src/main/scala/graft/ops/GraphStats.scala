@@ -231,13 +231,28 @@ object GraphStats {
     *
     * `rawEdges` must be the symmetric (both-direction) edge list;
     * output is each core node with its degree INSIDE the core. */
-  def kCore(rawEdges: DataFrame, k: Int = 24, maxRounds: Int = 12): DataFrame = {
+  /** Choosing the round budget: each peel round removes every node
+    * whose CURRENT degree is < k, so the rounds needed equal the
+    * longest "peel cascade" — a chain where each removal drops the
+    * next node under k. Dense cores converge in a handful of rounds
+    * (2 on the trade graph at every tested scale); the pathological
+    * bound is O(n) (a path graph with k=2 peels one layer per round
+    * from each end). `maxRounds` is the cheap first budget;
+    * `escalateTo` lets a STILL-SHRINKING peel continue with doubling
+    * budgets (progress is provable — the node count strictly
+    * decreases — so extra rounds are never wasted on a stuck state),
+    * and only a peel still shedding at `escalateTo` fails loudly.
+    * Paired oracle runs stay safe: the SQL twin carries its own
+    * convergence sentinel at its fixed round count. */
+  def kCore(rawEdges: DataFrame, k: Int = 24, maxRounds: Int = 12,
+            escalateTo: Int = 96): DataFrame = {
     var edges = rawEdges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     var nNodes = -1L
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    var budget = maxRounds
+    while (!converged && round < budget) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
         .localCheckpoint(true)
@@ -249,10 +264,17 @@ object GraphStats {
       converged = m == nNodes
       nNodes = m
       round += 1
+      if (!converged && round == budget && budget < escalateTo) {
+        // still strictly shrinking at the budget edge: double it (a
+        // deep cascade needs more rounds, not a different algorithm)
+        budget = math.min(budget * 2, escalateTo)
+        rawEdges.sparkSession.sparkContext.setJobDescription(
+          s"kCore: escalating round budget to $budget")
+      }
     }
     require(converged || nNodes == 0L,
-      s"k-core peel did not converge within $maxRounds rounds " +
-        s"($nNodes nodes still shedding) — raise maxRounds")
+      s"k-core peel did not converge within $budget rounds " +
+        s"($nNodes nodes still shedding) — raise escalateTo")
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
       .orderBy(col("node"))

@@ -6,6 +6,7 @@ import scala.io.Source
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -154,13 +155,18 @@ object FixedWidth {
     override def planInputPartitions(): Array[InputPartition] =
       listFiles(path, driverConf).map(f => FwPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new FwReaderFactory(fieldsOpt, required.fieldNames)
+      // the SESSION's Hadoop conf rides to executors in a
+      // SerializableConfiguration — a reader built from a bare `new
+      // Configuration()` loses S3 credentials / defaultFS / kerberos
+      new FwReaderFactory(fieldsOpt, required.fieldNames,
+        new SerializableConfiguration(driverConf))
   }
 
   private case class FwPartition(file: String) extends InputPartition
 
   private class FwReaderFactory(fieldsOpt: String,
-                                requiredNames: Array[String])
+                                requiredNames: Array[String],
+                                conf: SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val file = p.asInstanceOf[FwPartition].file
@@ -170,12 +176,14 @@ object FixedWidth {
         // pruning: only the REQUIRED fields are sliced and decoded
         private val picked = requiredNames.map(n => fields.find(_.name == n).get)
         private var lineNo = 0
+        // stream lazily: a multi-GB daily drop must not materialize in
+        // one Vector; the open stream is released in close()
+        private var src: Source = _
         private lazy val lines: Iterator[String] = {
           val pth = new Path(file)
-          val in = pth.getFileSystem(new Configuration()).open(pth)
-          val all = try Source.fromInputStream(in, "UTF-8").getLines().toVector
-          finally in.close()
-          all.iterator
+          src = Source.fromInputStream(
+            pth.getFileSystem(conf.value).open(pth), "UTF-8")
+          src.getLines()
         }
         private var cur: InternalRow = _
 
@@ -210,7 +218,7 @@ object FixedWidth {
         }
 
         override def get(): InternalRow = cur
-        override def close(): Unit = ()
+        override def close(): Unit = if (src != null) src.close()
       }
     }
   }
@@ -230,9 +238,11 @@ object FixedWidth {
           f.width, " ")
         case "long" => lpad(c.cast(StringType), f.width, "0")
         case "cents" =>
-          // |v| → digits; last digit folds into the overpunch letter
+          // |v| → digits; last digit folds into the overpunch letter.
+          // `div`, not `/`: Column `/` is IEEE double division, which
+          // silently rounds head digits above 2^53 in wide money fields
           val a = abs(c)
-          val head = lpad((a.cast(LongType) / 10L).cast(LongType)
+          val head = lpad(expr(s"abs(`${f.name}`) div 10")
             .cast(StringType), f.width - 1, "0")
           val lastD = (a % 10L).cast("int")
           val over = when(c >= 0,

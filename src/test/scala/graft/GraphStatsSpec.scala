@@ -154,11 +154,24 @@ class GraphStatsSpec extends SparkSpec {
     assert(GraphStats.kCore(g, k = 4, maxRounds = 10).count() == 0L)
   }
 
-  test("D64: loud failure when maxRounds is too small for the cascade") {
+  test("D64: loud failure when the full escalation budget is exhausted") {
     val chain = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
     val ex = intercept[IllegalArgumentException] {
-      GraphStats.kCore(sym(chain), k = 2, maxRounds = 2).count()
+      GraphStats.kCore(sym(chain), k = 2, maxRounds = 2, escalateTo = 2)
+        .count()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("D64: a still-shrinking peel escalates past maxRounds and converges") {
+    // The 12-node chain peels over ~6 rounds; with maxRounds=2 the
+    // budget doubles (2→4→8) because the node count keeps strictly
+    // decreasing, and the peel finishes instead of failing. Attach a
+    // 4-cycle to prove the escalated run still lands on the true core.
+    val chain = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    val out = GraphStats.kCore(sym(chain ++ cycle), k = 2, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(20L -> 2L, 21L -> 2L, 22L -> 2L, 23L -> 2L))
   }
 }

@@ -38,6 +38,41 @@ class MultimodalSpec extends SparkSpec {
       java.lang.Long.bitCount(h(a) ^ h(b)) <= 4)
   }
 
+  test("G5: video run-dup finds shared frame runs, not scattered singles") {
+    import spark.implicits._
+    // Hand-built frame hashes (no decode): videos A=1,B=2,C=3 with 8
+    // frames each. B's frames 3..7 replay A's frames 0..4 (one clean
+    // run); C shares ONE isolated frame with A (hash 100 at C idx 6) —
+    // below shingle length, so C must not pair with anyone.
+    def hashes(v: Long, f: Long => Long) =
+      (0L until 8L).map(i => (v, i, f(i)))
+    val a = hashes(1L, i => 100L + i)            // 100..107
+    val b = hashes(2L, i => if (i >= 3) 100L + (i - 3) else 900L + i)
+    val c = hashes(3L, i => if (i == 6) 100L else 700L + i)
+    val frames = (a ++ b ++ c).toDF("media_id", "frame_idx", "phash")
+    val out = Multimodal.videoRunDups(frames, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // A↔B: shared shingles at A idx 0,1,2 (frames 0..4 = B 3..7), one
+    // run, longest 3+2 = 5 frames. No other pair.
+    assert(out.toSeq == Seq((1L, 2L, 3L, 5L, 1L)), out.toSeq.toString)
+  }
+
+  test("G5: two disjoint shared runs stay two runs (diagonal islands)") {
+    import spark.implicits._
+    // B replays A's frames 0..2 at 0..2 (same diagonal 0) AND A's
+    // frames 5..7 at 5..7 — same diagonal, but a gap at 3..4 splits
+    // them into TWO islands of one shingle each.
+    val a = (0L until 8L).map(i => (1L, i, 10L + i))
+    val b = (0L until 8L).map(i =>
+      (2L, i, if (i <= 2 || i >= 5) 10L + i else 500L + i))
+    val out = Multimodal.videoRunDups((a ++ b).toDF("media_id", "frame_idx", "phash"),
+      shingleLen = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 3L, 2L)), out.toSeq.toString)
+  }
+
   test("frame sampling explodes stride-spaced frame indices") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)

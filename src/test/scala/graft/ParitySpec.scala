@@ -884,4 +884,172 @@ class ParitySpec extends SparkSpec {
         ("__late__", "__late__") -> 1L), agg.toString)
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------------
+  // Checkpoint-restart recovery (VERDICT r6 #2): kill each stateful
+  // maintainer mid-stream, restart the SAME plan from its checkpoint,
+  // feed the remainder, and assert the final state still equals the
+  // batch twin over ALL rows. This is the production contract a
+  // streaming engine sells: executor loss or redeploy between triggers
+  // must not corrupt or drop state. One case per state family —
+  //   agg (F13)  heap (F14/I20)  sketch (F15)  bitset (F18)
+  //   history (F19)  last-event (F21)
+  // — because each family recovers a DIFFERENT thing from the store:
+  // algebraic tuples, a custom aggregate's serialized buffer, counter
+  // tables, bit words, a keyed event log, a keyed frontier.
+  // ------------------------------------------------------------------
+
+  private def ckDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ck-$tag-").toString
+
+  /** Run `plan` in complete mode against `ck`, feed `feed`, stop. */
+  private def completeRun[A](in: MemoryStream[A],
+                             plan: => org.apache.spark.sql.DataFrame,
+                             name: String, ck: String, feed: Seq[A]): Unit = {
+    val q = plan.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck).outputMode("complete").start()
+    try { in.addData(feed: _*); q.processAllAvailable() } finally q.stop()
+  }
+
+  test("restart/agg: F13 state survives a mid-stream restart (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val ck = ckDir("agg")
+    val b1 = Seq((1L, 10L), (1L, 5L), (2L, 7L))
+    val b2 = Seq((1L, 20L), (3L, 1L), (2L, 3L))
+    def plan = StreamingOps.aggMaintenanceStream(in.toDS().toDF("user_id", "v"))
+    completeRun(in, plan, "agg_rs1", ck, b1) // incarnation 1, then "kill"
+    completeRun(in, plan, "agg_rs2", ck, b2) // incarnation 2 recovers state
+    val streamed = spark.table("agg_rs2")
+    val full = (b1 ++ b2).toDF("user_id", "v").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+  }
+
+  test("restart/heap: F14 custom top-k aggregate buffer round-trips the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ck = ckDir("topk")
+    // k=2 smallest per type; the post-restart batch REPLACES one heap
+    // member (1 < 3), proving the recovered buffer keeps merging, not
+    // just surviving
+    val b1 = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 7L))
+    val b2 = Seq(("a", 1L), ("b", 2L), ("b", 8L))
+    def plan = StreamingOps.topKStream(
+      in.toDS().toDF("event_type", "v"), k = 2)
+    completeRun(in, plan, "topk_rs1", ck, b1)
+    completeRun(in, plan, "topk_rs2", ck, b2)
+    val streamed = spark.table("topk_rs2")
+      .select(col("event_type"), col("tk"))
+      .as[(String, Seq[Long])].collect()
+      .map { case (t, v) => t -> v.sorted }.toMap
+    assert(streamed == Map("a" -> Seq(1L, 3L), "b" -> Seq(2L, 7L)), streamed)
+  }
+
+  test("restart/sketch: F15 count-min counters recover and keep folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val ck = ckDir("cms")
+    val b1 = Seq("x", "y", "x", "z")
+    val b2 = Seq("x", "w", "y")
+    def plan = StreamingOps.cmsMaintenanceStream(
+      in.toDS().toDF("tok"), depth = 3, width = 64)
+    completeRun(in, plan, "cms_rs1", ck, b1)
+    completeRun(in, plan, "cms_rs2", ck, b2)
+    val streamed = spark.table("cms_rs2")
+    val batch = graft.ops.Sketches.cmsCounters(
+      (b1 ++ b2).toDF("tok"), 3, 64)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("restart/bitset: F18 exact-distinct bit words recover across the restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val ck = ckDir("bits")
+    // id 5 repeats after the restart: the recovered word must absorb it
+    // idempotently (bit_or), keeping the count exact
+    val b1 = Seq((1L, 5L), (1L, 70L), (2L, 5L))
+    val b2 = Seq((1L, 5L), (1L, 200L), (2L, 6L), (3L, 1L))
+    def plan = StreamingOps.bitsetMaintenanceStream(
+      in.toDS().toDF("g", "v"))
+    completeRun(in, plan, "bits_rs1", ck, b1)
+    completeRun(in, plan, "bits_rs2", ck, b2)
+    val streamed = graft.ops.Sketches.bitsetFinish(spark.table("bits_rs2"), "g")
+      .select(col("g"), col("n_distinct"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), streamed)
+  }
+
+  test("restart/history: F19 keyed event log recovers; a cross-restart episode forms") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SeqCounts, SeqEvent}
+    val in = MemoryStream[SeqEvent]
+    val ck = ckDir("hist")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SeqCounts]
+    def start() = StreamingOps.episodeStream(in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[SeqCounts], _: Long) =>
+        val rows = ds.collect(); buf.synchronized { buf ++= rows }; ()
+      }.start()
+    // user 1's funnel v..c..p STRADDLES the restart: v,c before the
+    // kill, p after — only recovered history state can complete it
+    val b1 = Seq(SeqEvent(1L, 10L, 1L, "view"), SeqEvent(1L, 20L, 2L, "click"),
+      SeqEvent(2L, 10L, 3L, "view"))
+    val b2 = Seq(SeqEvent(1L, 30L, 4L, "purchase"), SeqEvent(2L, 20L, 5L, "purchase"))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val streamed = buf.synchronized {
+      buf.groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).values
+        .map(c => (c.user_id, c.n_events, c.seq, c.n_funnel, c.n_direct)).toSet
+    }
+    val batch = graft.ops.Analytics.patternEpisodes(
+      (b1 ++ b2).map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+        .toDF("user_id", "ts_us", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.exists(t => t._1 == 1L && t._3 == "vcp" && t._4 == 1L))
+  }
+
+  test("restart/last-event: F21 frontier recovers; a cross-restart transition pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}
+    val in = MemoryStream[MarkovEvent]
+    val ck = ckDir("markov")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[TransitionDelta]
+    def start() = StreamingOps.markovStream(in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TransitionDelta], _: Long) =>
+        val rows = ds.collect(); buf.synchronized { buf ++= rows }; ()
+      }.start()
+    // click@20 → purchase@30 pairs ACROSS the restart: only the
+    // recovered last-event frontier can emit it (deltas are
+    // append-only facts, so the recovered state must also NOT re-emit
+    // the pre-restart pair — the sum check catches double counting)
+    val b1 = Seq(MarkovEvent(1L, 10L, 1L, "view"),
+      MarkovEvent(1L, 20L, 2L, "click"), MarkovEvent(2L, 10L, 3L, "view"))
+    val b2 = Seq(MarkovEvent(1L, 30L, 4L, "purchase"),
+      MarkovEvent(2L, 20L, 5L, "click"))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val deltas = buf.synchronized { buf.toList }
+    assert(!deltas.exists(_.from_state == "__late__"))
+    val streamed = deltas.groupBy(d => (d.from_state, d.to_state)).view
+      .mapValues(_.map(_.n).sum).toMap
+    val batch = graft.ops.Analytics.markovTransitions(
+      (b1 ++ b2).map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+        .toDF("user_id", "ts_us", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }

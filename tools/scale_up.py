@@ -21,11 +21,24 @@ seeded noise (±10% of the dim's value plus a small absolute term),
 so SRP signatures, KMeans cells and quantization grids all see ~R×
 distinct vectors instead of R-replica cliques.
 
+With --skew zipf:ALPHA, replica r>0's FOREIGN keys are re-drawn from a
+Zipf(alpha) distribution over the replica's own dimension-key domain
+instead of inheriting the base's uniform pattern: a few hot customers
+own most orders, a few hot parts/suppliers dominate lineitems, a few
+hot users emit most events. Referential integrity is preserved (every
+drawn key exists in the replica's dimension; primary keys keep the
+plain +r*BASE shift so uniqueness and the orders↔lineitem linkage are
+untouched). Rank→key goes through a seeded permutation so the hot key
+is arbitrary, not systematically key 0 (which several queries treat
+specially, e.g. BFS seeds at user_id % 211 == 0). Everything is
+seeded → byte-reproducible.
+
 Usage: python3 tools/scale_up.py <srcSfDir> <outDir> [R=10]
-       [--unique-docs] [--unique-embeddings]
+       [--unique-docs] [--unique-embeddings] [--skew zipf:ALPHA]
 """
 import random
 import sys
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -44,6 +57,43 @@ SHIFTS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+
+
+# FK column -> the dimension table whose key domain it draws from.
+# Dimension key domains are contiguous 0..N-1 in the generated data
+# (asserted below against the actual dim at runtime).
+FK_DOMAINS = {
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+    ("events", "user_id"): ("events", "user_id"),  # self-domain (actor ids)
+}
+
+
+def _seed(s):
+    """str -> stable int seed (hash() is per-process randomized)."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def zipf_ranks(n_draws, domain, alpha, seed):
+    """n_draws Zipf(alpha) ranks over 0..domain-1, deterministic."""
+    p = 1.0 / np.power(np.arange(1, domain + 1, dtype=np.float64), alpha)
+    p /= p.sum()
+    rng = np.random.default_rng(_seed(seed))
+    return rng.choice(domain, size=n_draws, p=p)
+
+
+def skewed_fk(t, table, col, r, alpha, dims):
+    """Replica r's FK column re-drawn Zipf-skewed over the dim domain."""
+    dim_table, dim_key = FK_DOMAINS[(table, col)]
+    domain = dims[(dim_table, dim_key)]
+    ranks = zipf_ranks(t.num_rows, domain, alpha, f"skew:{table}:{col}:{r}")
+    # seeded rank->key permutation: the hot key is arbitrary per replica
+    perm = np.arange(domain, dtype=np.int64)
+    np.random.default_rng(_seed(f"skewperm:{table}:{col}:{r}")).shuffle(perm)
+    keys = perm[ranks] + r * BASE
+    return pa.array(keys, type=t.schema.field(col).type)
 
 
 def shuffled_texts(t, r):
@@ -71,13 +121,34 @@ def perturbed_embeddings(t, r):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = []
+    alpha = None
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--skew":
+            spec = next(it)
+            assert spec.startswith("zipf:"), f"unknown skew spec {spec}"
+            alpha = float(spec.split(":")[1])
+        elif not a.startswith("--"):
+            args.append(a)
     unique_docs = "--unique-docs" in sys.argv
     unique_embs = "--unique-embeddings" in sys.argv
     src, out = args[0], args[1]
     r_total = int(args[2]) if len(args) > 2 else 10
     import os
     os.makedirs(out, exist_ok=True)
+    # dimension-domain sizes for --skew, asserted contiguous 0..N-1
+    dims = {}
+    if alpha is not None:
+        for dim_table, dim_key in set(FK_DOMAINS.values()):
+            col = pq.read_table(f"{src}/{dim_table}.parquet",
+                                columns=[dim_key]).column(dim_key)
+            lo = pc.min(col).as_py()
+            hi = pc.max(col).as_py()
+            n = len(pc.unique(col))
+            assert lo == 0 and hi == n - 1, \
+                f"{dim_table}.{dim_key} domain not contiguous 0..N-1"
+            dims[(dim_table, dim_key)] = n
     for table, keys in SHIFTS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
         if not keys:  # shared dims: copy once
@@ -89,8 +160,12 @@ def main():
             shifted = t
             for k in keys:
                 idx = shifted.schema.get_field_index(k)
-                shifted = shifted.set_column(
-                    idx, k, pc.add(shifted.column(k), r * BASE))
+                if alpha is not None and (table, k) in FK_DOMAINS:
+                    shifted = shifted.set_column(
+                        idx, k, skewed_fk(t, table, k, r, alpha, dims))
+                else:
+                    shifted = shifted.set_column(
+                        idx, k, pc.add(shifted.column(k), r * BASE))
             if unique_docs and table == "documents":
                 idx = shifted.schema.get_field_index("text")
                 shifted = shifted.set_column(
