@@ -87,7 +87,7 @@ class PlansSpec extends SparkSpec {
     * wall-clock at the next bench. Counts are for sf0.001 under the
     * shared test session; a LEGITIMATE plan improvement updates this
     * table in the same commit that changes the plan. */
-  test("top-10 bench query join strategies hold their audited shape") {
+  test("every ≥2s bench query's join strategies hold their audited shape") {
     // query -> (max sort-merge joins, min broadcast joins)
     val audited = Seq(
       "q_pagerank"        -> (0, 0),
@@ -103,7 +103,28 @@ class PlansSpec extends SparkSpec {
       // r6 additions to the bench top tier (audited via graft.Explain
       // at round close: km bhj=7 smj=1, impact bhj=3 smj=1)
       "q_km"              -> (1, 6),
-      "q_dedup_impact"    -> (1, 3))
+      "q_dedup_impact"    -> (1, 3),
+      // r7 (VERDICT r6 #6): coverage extended to EVERY query ≥2 s in
+      // BENCH_SF01_r06.json; counts audited via graft.Explain at
+      // sf0.001. q_kcore/q_dedup_clusters truncate at localCheckpoint
+      // lineage cuts, so their counters only see the final stage.
+      "q_kcore"             -> (0, 0),
+      "q_approx_stats"      -> (0, 2),
+      "q_minhash_calib"     -> (2, 12),
+      "q_canon"             -> (0, 2),
+      "q_winnow_pairs"      -> (0, 11),
+      "q_dedup_clusters"    -> (0, 0),
+      "q_semdedup"          -> (2, 7),
+      "q_lm_buckets"        -> (8, 41),
+      "q_dedup_verify"      -> (2, 8),
+      "q_scd2_pit"          -> (0, 18),
+      "q_dedup_incremental" -> (2, 18),
+      "q_dsir"              -> (0, 2),
+      "q_dupspan_removal"   -> (0, 6),
+      "q_rrf_fusion"        -> (3, 9),
+      "q_outliers"          -> (0, 2),
+      "q_drift"             -> (0, 6),
+      "q_snm"               -> (0, 10))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
