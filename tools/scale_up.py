@@ -176,7 +176,12 @@ def main():
                     idx, "embedding", perturbed_embeddings(t, r))
             parts.append(shifted)
         big = pa.concat_tables(parts)
-        pq.write_table(big, f"{out}/{table}.parquet")
+        # bounded row groups: one giant row group makes the whole file a
+        # single Spark map task, which (a) serializes the scan and (b)
+        # makes AQE's skew-join split a no-op (a skewed reduce partition
+        # can only split along map-block boundaries). Real lake files
+        # carry many row groups; mirror that.
+        pq.write_table(big, f"{out}/{table}.parquet", row_group_size=100_000)
         print(f"{table}: {t.num_rows} -> {big.num_rows}")
 
 
