@@ -24,10 +24,12 @@ object Explain {
       // Counting the df's own toRdd executes the same QueryExecution
       // the counters below are read from, shipping one long per
       // partition instead of the result set.
+      val t0 = System.nanoTime()
       df.queryExecution.toRdd.count()
+      val driveSec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       def n(s: String) = plan.linesIterator.count(_.contains(s))
-      println(s"== $name: exchanges=${n("Exchange")} " +
+      println(f"== $name: drive_s=$driveSec%.2f exchanges=${n("Exchange")} " +
         s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
         s"shj=${n("ShuffledHashJoin")} cartesian=${n("Cartesian")} " +
         s"codegen_ops=${n("*(")}") // `*(id)` marks whole-stage-codegen'd operators

@@ -141,27 +141,92 @@ object Analytics {
   def attribution(events: DataFrame, conv: String = "purchase",
                   channels: Seq[String] = Seq("view", "click"),
                   lookbackUs: Long = 604800000000L): DataFrame = {
+    // LINEAR plan (r7): the naive form — touches ⋈ conversions on the
+    // user key, then windows over the pair frame — materializes the
+    // semantic pair volume, which is QUADRATIC in per-user activity
+    // (the Zipf-skew tier measured 70× pairs for 10× data; the one
+    // >3×-share grower in that bench). But every emitted metric is a
+    // per-conversion aggregate over a time RANGE of the user's own
+    // timeline, so none of those pairs need to exist as rows — and the
+    // naive fix, a sliding RANGE window frame, re-scans the frame per
+    // row in Spark (non-invertible aggregates can't retract), which is
+    // the same quadratic wearing a window (measured: no gain). The
+    // O(n log n) shape is PREFIX SUMS WITH PROBES, the D67/KM lesson:
+    //   - one timeline per user: touch rows, conversion rows, and one
+    //     PROBE row per conversion planted at (conv_ts − lookback);
+    //   - a single grow-only frame (unbounded preceding → current row,
+    //     incremental in Spark) computes per-channel running touch
+    //     counts and the running last-touch struct;
+    //   - per conversion, the windowed count is prefix(conv) −
+    //     prefix(its probe) — one conv_id-keyed join of two
+    //     conversion-sized frames (maximal key spread, never the
+    //     touch volume);
+    //   - the windowed LAST touch needs no lower-bound subtraction:
+    //     whenever the window holds ≥1 touch, the latest touch overall
+    //     IS inside the window (n_touch = 0 rows are dropped anyway,
+    //     matching the old inner-join semantics). Struct max over
+    //     (ts, id, type) replays the old (ts desc, id desc) tie order;
+    //     ids are unique so the comparison never reaches the type.
+    // Tie discipline at equal ts: probe(0) < conversion(1) < touch(2),
+    // so a touch AT the window's lower bound counts (old >= bound) and
+    // a touch AT conv_ts does not (old < conv_ts). All integer math is
+    // unchanged, so the DuckDB twin (which still states the spec as
+    // the pair join) hashes identically. One user-keyed sort, one
+    // conv-keyed join, zero pair rows.
     val e = events.select(col("user_id"), col("ts_us"), col("event_id"),
       col("event_type"))
-    val convs = e.filter(col("event_type") === conv)
-      .select(col("user_id"), col("ts_us").as("conv_ts"),
-        col("event_id").as("conv_id"))
-    val touches = e.filter(col("event_type").isin(channels: _*))
-      .select(col("user_id"), col("ts_us").as("touch_ts"),
-        col("event_id").as("touch_id"), col("event_type").as("channel"))
-    val pairs = touches.join(convs, Seq("user_id"))
-      .filter(col("touch_ts") < col("conv_ts") &&
-        col("touch_ts") >= col("conv_ts") - lookbackUs)
-    val wc = Window.partitionBy(col("conv_id"))
-    val sized = pairs
-      .withColumn("n_touch", count(lit(1)).over(wc))
-      .withColumn("lt_rank", row_number().over(
-        wc.orderBy(col("touch_ts").desc, col("touch_id").desc)))
-    sized.groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_touchpoints"),
-        countDistinct(col("conv_id")).as("n_conversions"),
-        sum(expr("1000000 div n_touch")).as("linear_credit_ppm"),
-        sum(when(col("lt_rank") === 1, 1L).otherwise(0L)).as("last_touch_convs"))
+      .filter(col("event_type") === conv ||
+        col("event_type").isin(channels: _*))
+    val timeline = e
+      .select(col("user_id"), col("ts_us"),
+        when(col("event_type") === conv, 1).otherwise(2).as("kind"),
+        col("event_id"), col("event_type"))
+      .unionByName(e.filter(col("event_type") === conv)
+        .select(col("user_id"),
+          (col("ts_us") - lookbackUs).as("ts_us"),
+          lit(0).as("kind"), col("event_id"),
+          lit("__probe__").as("event_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("kind") === 2
+    val chCounts = channels.map(ch =>
+      sum(when(col("event_type") === ch, 1L).otherwise(0L)).over(w)
+        .as(s"n_$ch"))
+    val lastTouch = max(when(isTouch,
+      struct(col("ts_us"), col("event_id"), col("event_type")))).over(w)
+      .as("last_touch")
+    val prefixed = timeline
+      .select((Seq(col("user_id"), col("kind"), col("event_id"),
+        col("event_type")) ++ chCounts :+ lastTouch): _*)
+    val probes = prefixed.filter(col("kind") === 0)
+      .select((col("event_id").as("conv_id") +:
+        channels.map(ch => col(s"n_$ch").as(s"lo_$ch"))): _*)
+    val convRows = prefixed.filter(col("kind") === 1)
+      .select((Seq(col("event_id").as("conv_id"), col("last_touch")) ++
+        channels.map(ch => col(s"n_$ch"))): _*)
+    val perConv = convRows.join(probes, Seq("conv_id"))
+      .select((Seq(col("conv_id"), col("last_touch")) ++
+        channels.map(ch => (col(s"n_$ch") - col(s"lo_$ch")).as(s"n_$ch"))): _*)
+      .withColumn("n_touch", channels.map(ch => col(s"n_$ch"))
+        .reduce(_ + _))
+      .filter(col("n_touch") > 0L)
+    val perChannel = perConv.select(
+      col("n_touch"), col("last_touch"),
+      explode(array(channels.map(ch =>
+        struct(lit(ch).as("channel"), col(s"n_$ch").as("n_ch"))): _*))
+        .as("c"))
+      .select(col("c.channel").as("channel"), col("c.n_ch").as("n_ch"),
+        col("n_touch"), col("last_touch.event_type").as("lt_channel"))
+    perChannel
+      .groupBy(col("channel"))
+      .agg(sum(col("n_ch")).as("n_touchpoints"),
+        sum(when(col("n_ch") > 0L, 1L).otherwise(0L)).as("n_conversions"),
+        sum(col("n_ch") * expr("1000000 div n_touch"))
+          .as("linear_credit_ppm"),
+        sum(when(col("lt_channel") === col("channel"), 1L).otherwise(0L))
+          .as("last_touch_convs"))
+      .filter(col("n_touchpoints") > 0L)
       .orderBy(col("channel"))
   }
 
