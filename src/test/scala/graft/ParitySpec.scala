@@ -1017,6 +1017,30 @@ class ParitySpec extends SparkSpec {
     assert(streamed.exists(t => t._1 == 1L && t._3 == "vcp" && t._4 == 1L))
   }
 
+  test("restart/session: F10 open session state recovers; a straddling session merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMin = 30L
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val ck = ckDir("sess")
+    def plan = StreamingOps.sessionizedCounts(
+      in.toDF().toDF("ts_t", "user_id", "amt_cents"),
+      gap = s"$gapMin minutes", watermark = "10 minutes")
+    // user 1's single session STRADDLES the restart: events at minutes
+    // 0/12 before the kill, 29 after (within the 30-min gap of 12) —
+    // only a recovered open-session state can merge them into ONE
+    // session of 3 events. User 2's post-restart event at minute 200
+    // opens a separate session (gap exceeded).
+    val b1 = Seq((ts(0), 1L, 10L), (ts(12), 1L, 20L), (ts(5), 2L, 5L))
+    val b2 = Seq((ts(29), 1L, 30L), (ts(200), 2L, 7L))
+    completeRun(in, plan, "sess_rs1", ck, b1)
+    completeRun(in, plan, "sess_rs2", ck, b2)
+    val streamed = spark.table("sess_rs2")
+      .select(col("user_id"), col("n_events"), col("sum_cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 3L, 60L), (2L, 1L, 5L), (2L, 1L, 7L)),
+      streamed.toString)
+  }
+
   test("restart/last-event: F21 frontier recovers; a cross-restart transition pairs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{MarkovEvent, TransitionDelta}

@@ -124,7 +124,11 @@ class PlansSpec extends SparkSpec {
       "q_rrf_fusion"        -> (3, 9),
       "q_outliers"          -> (0, 2),
       "q_drift"             -> (0, 6),
-      "q_snm"               -> (0, 10))
+      "q_snm"               -> (0, 10),
+      // r7: pin the attribution rewrite — the prefix-sum shape joins
+      // conversion-sized frames (broadcastable at test scale); a pair
+      // materialization regressing back would surface as smj growth
+      "q_attribution"       -> (1, 2))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
