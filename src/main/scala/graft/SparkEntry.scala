@@ -1068,6 +1068,16 @@ object SparkEntry {
         ops.GraphStats.weightedTradeEdges(
           Tables.orders(s, d), Tables.lineitem(s, d)))),
 
+    // D72: log-linear mergeable quantile sketch — p50/p90/p99 of
+    // line-item price per return flag with a ≤2^-7 relative-error
+    // contract; octave via integer bit-smear (no log2), rank walk in
+    // exact ppm arithmetic, so the ESTIMATES hash-verify cross-engine
+    "q_qsketch" -> ((s, d) =>
+      ops.QuantileSketch.groupQuantiles(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("price_cents")),
+        grp = "flag", c = "price_cents")),
+
     // E47: inverted index — stats for every term, postings only under
     // the df cap (the posting-skew guard)
     "q_inverted" -> ((s, d) =>
@@ -4982,6 +4992,54 @@ object SparkEntry {
         |    AS est_distinct,
         |  CAST(64 - np AS BIGINT) AS v_zero
         |FROM a ORDER BY 1""".stripMargin,
+
+    // D72 twin: identical staged bit-smear octave, bucket id, exact
+    // ppm rank walk, and integer midpoint inverse — the estimates
+    // (not just the rows) are bit-identical cross-engine.
+    "q_qsketch" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    greatest(CAST(round(l_extendedprice * 100) AS BIGINT),
+        |             CAST(1 AS BIGINT)) AS c0
+        |  FROM lineitem),
+        |m1 AS (SELECT flag, c0, c0 | (c0 >> 1) AS s FROM v),
+        |m2 AS (SELECT flag, c0, s | (s >> 2) AS s FROM m1),
+        |m3 AS (SELECT flag, c0, s | (s >> 4) AS s FROM m2),
+        |m4 AS (SELECT flag, c0, s | (s >> 8) AS s FROM m3),
+        |m5 AS (SELECT flag, c0, s | (s >> 16) AS s FROM m4),
+        |m6 AS (SELECT flag, c0, s | (s >> 32) AS s FROM m5),
+        |b AS (
+        |  SELECT flag,
+        |    CASE WHEN c0 < 64 THEN c0
+        |         ELSE (CAST(bit_count(s) AS BIGINT) - 1 - 6) * 64
+        |              + c0 // ((s + 1) // 128) END AS bid
+        |  FROM m6),
+        |sk AS (SELECT flag, bid, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, bid, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bid)
+        |      AS BIGINT) AS cum
+        |  FROM sk),
+        |tot AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n,
+        |          CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |        FROM sk GROUP BY 1),
+        |g AS (SELECT flag, n, n_buckets, q_ppm FROM tot
+        |      CROSS JOIN (SELECT UNNEST([500000, 900000, 990000])
+        |                    AS q_ppm)),
+        |sel AS (
+        |  SELECT c.flag, g.q_ppm, g.n, g.n_buckets, MIN(c.bid) AS bid
+        |  FROM cum c JOIN g ON g.flag = c.flag
+        |  WHERE c.cum * 1000000 >= g.n * g.q_ppm
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT flag, CAST(q_ppm AS BIGINT) AS q_ppm, n, n_buckets,
+        |  CASE WHEN bid < 64 THEN bid
+        |       ELSE (bid - (bid // 64 - 1) * 64)
+        |            * (CAST(1 AS BIGINT) << CAST(bid // 64 - 1 AS INT))
+        |            + ((CAST(1 AS BIGINT) << CAST(bid // 64 - 1 AS INT))
+        |               - 1) // 2
+        |  END AS est_cents
+        |FROM sel ORDER BY 1, 2""".stripMargin,
 
     "q_ks_drift" ->
       """WITH s AS (

@@ -319,6 +319,23 @@ object StreamingOps {
                            v: String = "v", p: Int = 6): DataFrame =
     graft.ops.Sketches.hllRegisters(pairs, grp, v, p)
 
+  /** F24 — streaming quantile-sketch maintenance (D72 run live): the
+    * (group, bucket) → count frame of the log-linear quantile sketch
+    * as a complete-mode grouped aggregation. Counts merge by addition,
+    * so micro-batch folding provably lands on the same sketch as one
+    * batch build over the union of the batches — and state is bounded
+    * at groups·~3.8k rows regardless of stream length (an exact
+    * streaming percentile would buffer every value ever seen; this
+    * holds the 2^-7-relative-error summary instead). Each emitted
+    * snapshot finishes through D72's sketch-sized quantile rank walk
+    * ([[graft.ops.QuantileSketch.quantiles]]) — parity- and
+    * restart-pinned to the batch sketch in ParitySpec. */
+  def qsketchMaintenanceStream(rows: DataFrame, grp: String = "g",
+                               c: String = "v",
+                               p: Int = graft.ops.QuantileSketch.DefaultP)
+      : DataFrame =
+    graft.ops.QuantileSketch.buildSketch(rows, grp, c, p)
+
   /** F18 — streaming EXACT distinct maintenance (D58 run live): the
     * (group, word) → mask bitset as a complete-mode grouped
     * aggregation — bit_or merges associatively, so micro-batch folding

@@ -657,6 +657,35 @@ class ParitySpec extends SparkSpec {
     assert(se == want, "finished snapshot must be the exact distinct count")
   }
 
+  test("F24 streaming quantile-sketch maintenance equals the batch sketch and quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.qsketchMaintenanceStream(in.toDS().toDF("g", "v"))
+      .writeStream.format("memory").queryName("qskstream")
+      .outputMode("complete").start()
+    // long-tailed values over two groups with cross-batch repeats: the
+    // bucket counts must fold additively across batches
+    val all = (1L to 3000L).map(i => ((i % 2).toString, (i * i) % 500000L + 1L))
+    val (b1, rest) = all.splitAt(1000)
+    val (b2, b3) = rest.splitAt(1000)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2 ++ b1.take(300): _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val folded = all ++ b1.take(300)
+    val streamed = spark.table("qskstream")
+    val batch = graft.ops.QuantileSketch.buildSketch(
+      folded.toDF("g", "v"), "g", "v")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // state bounded by the log-linear grid, not the distinct values
+    assert(streamed.count() <= 2L * ((63 - 6 + 1) * 64 + 64))
+    // and the finished quantiles agree with the batch op end to end
+    val se = graft.ops.QuantileSketch.quantiles(streamed, "g")
+    val be = graft.ops.QuantileSketch.groupQuantiles(
+      folded.toDF("g", "v"), "g", "v")
+    assert(se.exceptAll(be).isEmpty && be.exceptAll(se).isEmpty)
+  }
+
   test("F17 streaming drift bins equal the batch monitor end to end") {
     import graft.etl.DataQuality
     implicit val sqlCtx = spark.sqlContext
@@ -980,6 +1009,24 @@ class ParitySpec extends SparkSpec {
       .select(col("g"), col("n_distinct"))
       .as[(Long, Long)].collect().toMap
     assert(streamed == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), streamed)
+  }
+
+  test("restart/qsketch: F24 bucket counts recover and keep folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ck = ckDir("qsk")
+    // values straddling the first octave boundary before and after the
+    // restart: the recovered counters must keep ADDING (64 lands in the
+    // same bucket twice across incarnations), not reset or double-fold
+    val b1 = Seq(("a", 63L), ("a", 64L), ("b", 5L))
+    val b2 = Seq(("a", 64L), ("a", 130L), ("b", 5L))
+    def plan = StreamingOps.qsketchMaintenanceStream(in.toDS().toDF("g", "v"))
+    completeRun(in, plan, "qsk_rs1", ck, b1)
+    completeRun(in, plan, "qsk_rs2", ck, b2)
+    val streamed = spark.table("qsk_rs2")
+    val batch = graft.ops.QuantileSketch.buildSketch(
+      (b1 ++ b2).toDF("g", "v"), "g", "v")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
   test("restart/history: F19 keyed event log recovers; a cross-restart episode forms") {

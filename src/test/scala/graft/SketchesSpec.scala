@@ -158,6 +158,55 @@ class SketchesSpec extends SparkSpec {
     assert(once == thrice, "register max is idempotent — duplicates must not move it")
   }
 
+  test("qsketch: bucket ids match the reference map exhaustively over 1..4096") {
+    // covers the exact range (c < 64), every octave boundary up to 2^12,
+    // and the monotone/contiguous contract the rank walk depends on
+    def refBid(c: Long): Long =
+      if (c < 64) c
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(c)
+        (e - 6).toLong * 64 + (c >> (e - 6))
+      }
+    val df = (1L to 4096L).map(v => (v, v)).toDF("g", "v")
+    val got = graft.ops.QuantileSketch.buildSketch(df, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 4096L).foreach { v =>
+      assert(got(v) == refBid(v), s"bid($v): got ${got(v)} want ${refBid(v)}")
+    }
+    assert((1L until 4096L).forall(v => refBid(v) <= refBid(v + 1) &&
+      refBid(v + 1) - refBid(v) <= 1), "monotone and contiguous")
+  }
+
+  test("qsketch: per-shard partial sketches merge losslessly into the global sketch") {
+    val df = (1L to 5000L).map(i =>
+      ((i % 2).toString, i * 37 % 100000 + 1, i % 3)).toDF("g", "v", "shard")
+    val parts = (0L until 3L).map(s => graft.ops.QuantileSketch
+      .buildSketch(df.filter(col("shard") === s), "g", "v"))
+    val merged = graft.ops.QuantileSketch.mergeSketches("g", parts)
+    val global = graft.ops.QuantileSketch.buildSketch(df, "g", "v")
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty,
+      "bucket-wise count addition must equal the single-pass build")
+  }
+
+  test("qsketch: every estimate within the 2^-7 relative-error bound of the exact quantile") {
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_returnflag").as("flag"),
+      graft.functions.GraftFunctions.cents(col("l_extendedprice")).as("c"))
+    val est = graft.ops.QuantileSketch.groupQuantiles(li, "flag", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val vals = li.collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    est.foreach { case ((flag, qppm), e) =>
+      val v = vals(flag)
+      val n = v.length.toLong
+      // the walk's rank: smallest r with r·10^6 ≥ n·q
+      val rank = ((n * qppm + 999999L) / 1000000L).toInt
+      val exact = v(rank - 1)
+      assert(math.abs(e - exact) * 128 <= exact,
+        s"$flag q=$qppm: est $e vs exact $exact breaks the bound")
+    }
+  }
+
   test("HLL: estimate lands inside the theoretical error band, v_zero empties out") {
     // m=64 → σ = 1.04/√64 ≈ 13%; a fixed hash makes the draw
     // deterministic, so a 2.5σ band is a stable assertion, not a flake
