@@ -464,6 +464,15 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       ops.GraphStats.triangles(
         ops.GraphStats.contentDupEdges(Tables.documents(s, d)))),
+    // D75: Watts–Strogatz local clustering coefficient over the same
+    // content-dup graph — per-node cohesion (clique vs hub-and-spoke)
+    "q_lcc" -> ((s, d) =>
+      ops.GraphStats.clusteringCoefficient(
+        ops.GraphStats.contentDupEdges(Tables.documents(s, d)))),
+    // E62: pairwise total-variation distance between source unigram
+    // distributions — the mixture designer's distance matrix
+    "q_tv_sources" -> ((s, d) =>
+      ops.CorpusStats.sourceTvMatrix(Tables.documents(s, d))),
     // E45: MinHash estimator calibration — signature-agreement estimate
     // (exact ppm) vs exact Jaccard on every LSH candidate pair
     "q_minhash_calib" -> ((s, d) =>
@@ -950,6 +959,24 @@ object SparkEntry {
       ops.Dedup.dedupImpact(Tables.documents(s, d))),
     // ---- D71: A/B contingency chi-square over per-user conversion
     "q_abtest" -> ((s, d) => ops.Analytics.abContingency(Tables.events(s, d))),
+    // ---- D73: structuring (smurfing) screen — trailing-window sums of
+    // sub-threshold purchases via prefix-sums-with-probes
+    "q_structuring" -> ((s, d) =>
+      ops.Analytics.structuring(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("amt_cents")))),
+    // ---- D74: exact ACF of the per-type daily volume series (lags 1..7)
+    "q_acf" -> ((s, d) => ops.Analytics.acfProfile(Tables.events(s, d))),
+    // ---- D76: Lorenz/Gini spend concentration per market segment
+    "q_gini" -> ((s, d) =>
+      ops.Analytics.giniProfile(
+        Tables.orders(s, d).select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amt_cents"))
+          .join(Tables.customer(s, d).select(col("c_custkey"),
+            col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey")),
+        group = "c_mktsegment", user = "o_custkey")),
     // ---- D70: calendar gaps-and-islands; dow==3 days are dropped in
     // BOTH engines so the oracle exercises real multi-island runs
     "q_islands" -> ((s, d) =>
@@ -1137,6 +1164,17 @@ object SparkEntry {
     // H5: calibration curve of the same scorer, fixed-width margin bins
     "q_calibration" -> ((s, d) =>
       ml.Evaluation.calibration(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
+    // H12: Murphy decomposition of the Brier score on the same frame —
+    // reliability vs resolution vs base-rate uncertainty, one-row verdict
+    "q_brier" -> ((s, d) =>
+      ml.Evaluation.brierDecomposition(
         ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
           .select(col("doc_id"), col("margin"))
           .join(Tables.documents(s, d).select(col("doc_id"),
@@ -1913,6 +1951,58 @@ object SparkEntry {
         |  CAST(SUM(margin) AS BIGINT) AS sum_score,
         |  CAST((SUM(lab) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // H12: Murphy decomposition — clamped-linear link (slope 25) to
+    // ppm, 50000-ppm forecast bins at midpoints, all terms e-12 with
+    // the floor-rounding identity gap emitted as a self-check
+    "q_brier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bb AS (
+        |  SELECT (least(999999, greatest(0, 500000 + margin * 25))
+        |      // 50000) * 50000 + 25000 AS phat,
+        |    CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(lab) AS BIGINT) AS np_k
+        |  FROM sc GROUP BY 1),
+        |tt AS (
+        |  SELECT phat, n_k, np_k,
+        |    CAST(sum(n_k) OVER () AS BIGINT) AS nn,
+        |    CAST(sum(np_k) OVER () AS BIGINT) AS pp
+        |  FROM bb),
+        |ob AS (
+        |  SELECT *, 1000000 * pp // nn AS obar,
+        |    1000000 * np_k // n_k AS obark
+        |  FROM tt),
+        |ag AS (
+        |  SELECT max(nn) AS n, max(pp) AS n_pos, max(obar) AS obar_ppm,
+        |    sum(CAST(np_k AS HUGEINT) * (phat - 1000000) * (phat - 1000000)
+        |      + CAST(n_k - np_k AS HUGEINT) * phat * phat) AS bsum,
+        |    sum(CAST(n_k AS HUGEINT) * (phat - obark) * (phat - obark))
+        |      AS rsum,
+        |    sum(CAST(n_k AS HUGEINT) * (obark - obar) * (obark - obar))
+        |      AS ssum
+        |  FROM ob)
+        |SELECT n, n_pos, obar_ppm,
+        |  CAST(bsum // n AS BIGINT) AS brier_e12,
+        |  CAST(rsum // n AS BIGINT) AS reliability_e12,
+        |  CAST(ssum // n AS BIGINT) AS resolution_e12,
+        |  obar_ppm * (1000000 - obar_ppm) AS uncertainty_e12,
+        |  CAST(bsum // n AS BIGINT) - (CAST(rsum // n AS BIGINT)
+        |    - CAST(ssum // n AS BIGINT)
+        |    + obar_ppm * (1000000 - obar_ppm)) AS identity_gap_e12
+        |FROM ag""".stripMargin,
 
     "q_kmv_setops" ->
       """WITH t AS (
@@ -2939,6 +3029,32 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    // E62: TV by the Σmin identity — inner join only (one-sided words
+    // contribute zero to Σmin); cross-multiplied, never divides early
+    "q_tv_sources" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(f) AS BIGINT) AS t
+        |  FROM cnt GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared_words,
+        |    sum(least(CAST(a.f AS HUGEINT) * tb.t,
+        |      CAST(b.f AS HUGEINT) * ta.t)) AS smin,
+        |    max(ta.t) AS ta, max(tb.t) AS tb
+        |  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+        |  JOIN tt ta ON ta.source = a.source
+        |  JOIN tt tb ON tb.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared_words,
+        |  CAST(1000000 * (CAST(ta AS HUGEINT) * tb - smin)
+        |    // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tv_ppm
+        |FROM pairs ORDER BY source_a, source_b""".stripMargin,
+
     "q_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
         |c AS (
@@ -3680,6 +3796,38 @@ object SparkEntry {
         |SELECT CAST(node AS BIGINT) AS node,
         |  CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // D75: same dup graph; lcc = 2·tri/(deg·(deg−1)) in ppm, deg≥2
+    // nodes only, triangle-free nodes grid-completed at 0
+    "q_lcc" ->
+      """WITH sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 125 = 0),
+        |u AS (
+        |  SELECT doc_id, md5(text) AS ch FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, md5(text) FROM sd
+        |  UNION ALL SELECT doc_id + 20000000, md5(text) FROM sd),
+        |e AS (
+        |  SELECT l.doc_id AS id1, r.doc_id AS id2
+        |  FROM u l JOIN u r ON l.ch = r.ch AND l.doc_id < r.doc_id),
+        |t AS (
+        |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.id2 = e2.id1
+        |  JOIN e e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+        |tri AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT id1 AS node FROM e UNION ALL SELECT id2 FROM e)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT d.node, d.degree,
+        |    coalesce(tri.n_triangles, 0) AS n_triangles
+        |  FROM deg d LEFT JOIN tri USING (node) WHERE d.degree >= 2)
+        |SELECT CAST(node AS BIGINT) AS node, degree, n_triangles,
+        |  CAST(1000000 * 2 * n_triangles // (degree * (degree - 1))
+        |    AS BIGINT) AS lcc_ppm
+        |FROM j ORDER BY node""".stripMargin,
 
     "q_winsorize" ->
       """WITH ev AS (
@@ -4432,6 +4580,115 @@ object SparkEntry {
         |  CAST(a + b + c + d AS DOUBLE) * (a*d - b*c) * (a*d - b*c)
         |    / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)) AS chi2
         |FROM cells""".stripMargin,
+
+    // D73: the probe construction is replayed verbatim (not a RANGE
+    // window — RANGE frames include ALL peers at the current ts, the
+    // probe prefix does not, so only the shared construction is
+    // tie-robust on replica corpora with duplicated timestamps)
+    "q_structuring" ->
+      """WITH sub AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS amt_cents
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(round(value*100) AS BIGINT) > 0
+        |    AND CAST(round(value*100) AS BIGINT) < 10000),
+        |timeline AS (
+        |  SELECT user_id, ts_us, 1 AS kind, event_id, amt_cents FROM sub
+        |  UNION ALL
+        |  SELECT user_id, ts_us - 259200000000, 0, event_id, 0 FROM sub),
+        |prefixed AS (
+        |  SELECT user_id, ts_us, kind, event_id,
+        |    sum(CASE WHEN kind = 1 THEN amt_cents ELSE 0 END) OVER w AS ps,
+        |    sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) OVER w AS pc
+        |  FROM timeline
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |flags AS (
+        |  SELECT r.user_id, r.ts_us,
+        |    r.ps - p.ps AS win_sum, r.pc - p.pc AS win_cnt
+        |  FROM (SELECT * FROM prefixed WHERE kind = 1) r
+        |  JOIN (SELECT event_id, ps, pc FROM prefixed WHERE kind = 0) p
+        |    USING (event_id)
+        |  WHERE r.pc - p.pc >= 4 AND r.ps - p.ps >= 15000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_flagged,
+        |  CAST(max(win_sum) AS BIGINT) AS peak_sum_cents,
+        |  CAST(max(win_cnt) AS BIGINT) AS peak_n_txn,
+        |  min(ts_us) AS first_flag_ts_us
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // D74: ×n-centered integer ACF; zero days completed; HUGEINT
+    // products; sign-split final ppm (truncate == floor on |num|)
+    "q_acf" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM span),
+        |daily AS (
+        |  SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+        |  FROM grid g LEFT JOIN daily0 d USING (event_type, day)),
+        |cent AS (
+        |  SELECT event_type, day,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * x
+        |      - sum(x) OVER (PARTITION BY event_type) AS c
+        |  FROM daily),
+        |den AS (SELECT event_type, sum(c * c) AS den, max(n) AS n_days
+        |  FROM cent GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag, sum(a.c * b.c) AS num
+        |  FROM cent a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN cent b ON b.event_type = a.event_type
+        |    AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+        |  CAST(d.n_days AS BIGINT) AS n_days,
+        |  CAST(CASE WHEN d.den = 0 THEN 0
+        |    WHEN n.num >= 0 THEN 1000000 * n.num // d.den
+        |    ELSE -(1000000 * (-n.num) // d.den) END AS BIGINT) AS acf_ppm
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // D76: sample-normalized Gini ((n-1)·Σx denominator) + Lorenz
+    // bottom-half / top-decile shares; tie order pinned by (x, u)
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT c.c_mktsegment AS grp, o.o_custkey AS u,
+        |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT grp, u, x,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY x, u)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM per),
+        |ag AS (
+        |  SELECT grp, max(n) AS n_users, max(tot) AS total_cents,
+        |    sum(CAST((2 * i - n - 1) * x AS HUGEINT)) AS gnum,
+        |    CAST(sum(CASE WHEN i <= n // 2 THEN x ELSE 0 END) AS BIGINT)
+        |      AS bottom_half_cents,
+        |    CAST(sum(CASE WHEN i > (9 * n) // 10 THEN x ELSE 0 END)
+        |      AS BIGINT) AS top_decile_cents
+        |  FROM rk GROUP BY grp)
+        |SELECT grp, n_users, total_cents,
+        |  CAST(CASE WHEN n_users <= 1 OR total_cents = 0 THEN 0
+        |    ELSE 1000000 * gnum
+        |      // (CAST(n_users - 1 AS HUGEINT) * total_cents)
+        |    END AS BIGINT) AS gini_ppm,
+        |  CAST(CASE WHEN total_cents = 0 THEN 0
+        |    ELSE 1000000 * bottom_half_cents // total_cents
+        |    END AS BIGINT) AS bottom50_share_ppm,
+        |  CAST(CASE WHEN total_cents = 0 THEN 0
+        |    ELSE 1000000 * top_decile_cents // total_cents
+        |    END AS BIGINT) AS top10_share_ppm
+        |FROM ag ORDER BY grp""".stripMargin,
 
     "q_dedup_impact" ->
       s"""WITH RECURSIVE $sqlLshCtes,

@@ -297,4 +297,63 @@ object Evaluation {
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
         col("cost_cents"))
   }
+
+  /** H12 — Murphy decomposition of the Brier score (Murphy, J. Appl.
+    * Meteor. 1973): BS = reliability − resolution + uncertainty — the
+    * one-row verdict on WHY a probabilistic scorer is good or bad
+    * (H5's reliability diagram is the picture; this is the number:
+    * mis-calibration mass vs discrimination mass vs base-rate floor).
+    * The margin becomes a forecast probability through a fixed
+    * CLAMPED-LINEAR link (`p_ppm = clamp₀^999999(500000 +
+    * margin·linkSlope)` — the integer-exact stand-in for a fitted
+    * sigmoid; any monotone ppm link slots in), then discretizes to
+    * `binPpm`-wide forecast categories at their midpoints — the H5
+    * geometry, and the finite-category setting the decomposition is
+    * stated for. All terms in e-12 units (ppm², e.g. BS·10¹²):
+    * per-category observed rates are ppm floors, so the identity
+    * holds to floor rounding — `identity_gap_e12` is EMITTED as a
+    * self-check column (|gap| ≤ a few e3 ≪ the ~e11 terms; both
+    * engines floor identically so even the gap hashes).
+    *
+    * Scale: one map pass assigns categories, one grouped aggregation
+    * contracts the corpus to ≤ 10⁶/binPpm category rows; everything
+    * after runs on that contraction. Sums in decimal(38,0) (HUGEINT
+    * twin): n_k·10¹² would cap int64 at ~9·10⁶ rows. */
+  def brierDecomposition(scored: DataFrame, score: String = "score",
+                         label: String = "label", linkSlope: Long = 25L,
+                         binPpm: Long = 50000L): DataFrame = {
+    val byBin = scored
+      .withColumn("phat", expr(
+        s"""(least(999999, greatest(0, 500000 + $score * $linkSlope))
+            div $binPpm) * $binPpm + ${binPpm / 2}"""))
+      .groupBy(col("phat"))
+      .agg(count(lit(1)).as("n_k"), sum(col(label)).as("np_k"))
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byBin
+      .withColumn("nn", sum(col("n_k")).over(tot))
+      .withColumn("pp", sum(col("np_k")).over(tot))
+      .withColumn("obar", expr("1000000 * pp div nn"))
+      .withColumn("obark", expr("1000000 * np_k div n_k"))
+      .groupBy()
+      .agg(max(col("nn")).as("n"), max(col("pp")).as("n_pos"),
+        max(col("obar")).as("obar_ppm"),
+        sum(expr("""cast(np_k as decimal(38,0))
+            * (phat - 1000000) * (phat - 1000000)
+            + cast(n_k - np_k as decimal(38,0)) * phat * phat"""))
+          .as("bsum"),
+        sum(expr("""cast(n_k as decimal(38,0))
+            * (phat - obark) * (phat - obark)""")).as("rsum"),
+        sum(expr("""cast(n_k as decimal(38,0))
+            * (obark - obar) * (obark - obar)""")).as("ssum"))
+      .select(col("n"), col("n_pos"), col("obar_ppm"),
+        expr("cast(bsum div n as bigint)").as("brier_e12"),
+        expr("cast(rsum div n as bigint)").as("reliability_e12"),
+        expr("cast(ssum div n as bigint)").as("resolution_e12"),
+        (col("obar_ppm") * (lit(1000000L) - col("obar_ppm")))
+          .as("uncertainty_e12"))
+      .withColumn("identity_gap_e12",
+        col("brier_e12") - (col("reliability_e12") - col("resolution_e12")
+          + col("uncertainty_e12")))
+  }
 }

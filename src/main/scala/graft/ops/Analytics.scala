@@ -650,4 +650,189 @@ object Analytics {
         col("exp_ppm"), col("dev_ppm"), col("chi2_scaled"))
       .orderBy(col("grp"), col("digit"))
   }
+
+  /** D73 — structuring ("smurfing") detection, the classic AML screen
+    * (31 USC §5324; Welling, *Smurfs, Money Laundering and the Federal
+    * Criminal Law*, 41 Fla. L. Rev. 287 (1989)): a reportable transfer
+    * split into several just-under-threshold pieces close together in
+    * time. Per user, every SUB-threshold transaction is a candidate
+    * window END; a window is flagged when the trailing `windowUs` span
+    * holds ≥ `minTxn` sub-threshold transactions summing ≥
+    * `minSumCents`. Emitted as a per-user mart row: flag count, peak
+    * windowed sum/count, first flagged instant.
+    *
+    * Plan shape: the D61/D67 PREFIX-SUMS-WITH-PROBES discipline — a
+    * naive trailing-window formulation is semantically quadratic in
+    * per-user activity (a Zipf-hot account with 10k sub-threshold
+    * txns would own ~10k² pair touches; Spark re-scans sliding RANGE
+    * frames per row because sums can't retract under its
+    * non-invertible window machinery). Instead each candidate end
+    * plants one PROBE row at (ts − windowUs); a single grow-only
+    * frame computes running sub-threshold sum/count; the windowed
+    * figures are prefix(end) − prefix(probe), recovered by ONE
+    * event_id-keyed join of two candidate-sized frames. O(n log n)
+    * per user, zero pair rows, one user-keyed sort plus one
+    * maximal-spread join — the exact shape the r7 skew tier promoted
+    * for D61.
+    *
+    * Tie discipline at equal ts: probe(kind 0) sorts before the real
+    * row(kind 1), so a transaction AT the lower bound ts−W is inside
+    * the window — the span is inclusive [ts−W, ts] — and the running
+    * sums count only kind-1 rows, so probe-vs-probe order is
+    * irrelevant. The window end's own amount is included (a flagged
+    * window is ≥ minTxn transactions INCLUDING its end). The oracle
+    * twin replays this construction verbatim, so equal-ts corpora
+    * (replica tiers) cannot diverge.
+    *
+    * Overflow: running per-user cent sums — bounded by a user's total
+    * sub-threshold volume, the D31 bound class (loud under ANSI). */
+  def structuring(txns: DataFrame,
+                  thresholdCents: Long = 10000L,
+                  windowUs: Long = 259200000000L,
+                  minTxn: Long = 4L,
+                  minSumCents: Long = 15000L): DataFrame = {
+    val sub = txns
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("amt_cents"))
+      .filter(col("amt_cents") > 0L && col("amt_cents") < thresholdCents)
+    val timeline = sub
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+        col("event_id"), col("amt_cents"))
+      .unionByName(sub.select(col("user_id"),
+        (col("ts_us") - windowUs).as("ts_us"), lit(0).as("kind"),
+        col("event_id"), lit(0L).as("amt_cents")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixed = timeline
+      .withColumn("ps",
+        sum(when(col("kind") === 1, col("amt_cents")).otherwise(0L)).over(w))
+      .withColumn("pc",
+        sum(when(col("kind") === 1, 1L).otherwise(0L)).over(w))
+    val probes = prefixed.filter(col("kind") === 0)
+      .select(col("event_id"), col("ps").as("lo_s"), col("pc").as("lo_c"))
+    prefixed.filter(col("kind") === 1)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("ps"), col("pc"))
+      .join(probes, Seq("event_id"))
+      .withColumn("win_sum", col("ps") - col("lo_s"))
+      .withColumn("win_cnt", col("pc") - col("lo_c"))
+      .filter(col("win_cnt") >= minTxn && col("win_sum") >= minSumCents)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_flagged"),
+        max(col("win_sum")).as("peak_sum_cents"),
+        max(col("win_cnt")).as("peak_n_txn"),
+        min(col("ts_us")).as("first_flag_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D74 — exact autocorrelation profile (ACF at lags 1..maxLag) of the
+    * per-type daily volume series — the diagnostic that separates
+    * "traffic has a weekly pulse" (spike at lag 7, the D69 seasonal
+    * model's premise) from "traffic is drifting" (slow decay, D68's
+    * premise) before either model is fit. Standard estimator
+    * r_k = Σ c_t·c_{t+k} / Σ c_t² with c_t = x_t − x̄, made integer by
+    * the ×n trick: c_t := n·x_t − S is n·(x_t − x̄), and the n² factors
+    * cancel in the ratio — no rational mean anywhere. Zero-activity
+    * days are REAL observations: the day grid [min_day, max_day] is
+    * completed per type (sequence+explode over the bounded day domain)
+    * before centering, so a dead day pulls the ACF exactly as it
+    * should. The ppm ratio is sign-split (the D68 idiom: Spark's `div`
+    * truncates, DuckDB's `//` floors — computing on |num| keeps both
+    * engines on the same floor).
+    *
+    * Scale: one scan contracts the corpus to (type, day) counts — the
+    * only corpus-sized work; the grid completion, centering windows,
+    * and the lag self-join (day+k equi-join, lags exploded from a
+    * ≤maxLag literal array) all run on the day-domain frame. Products
+    * are decimal(38,0) (HUGEINT in the twin): |c_t| ≤ n·x_max, so
+    * int64 would cap the series at n_days·daily_volume < 3·10⁹ —
+    * real at 100 TB; decimal holds to ~10¹⁹ daily rows. */
+  def acfProfile(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily0 = events
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily0.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wt = Window.partitionBy(col("event_type"))
+    val centered = grid.join(daily0, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("x")).over(wt))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("c"))
+    val den = centered.groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("den"), max(col("n")).as("n_days"))
+    val num = centered
+      .select(col("event_type"), col("day"), col("c"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .join(centered.select(col("event_type"), col("day").as("day2"),
+          col("c").as("c2")),
+        Seq("event_type"))
+      .filter(col("day2") === col("day") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("c") * col("c2")).as("num"))
+    num.join(den, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_days"),
+        when(col("den") === 0, lit(0L))
+          .when(col("num") >= 0, expr("1000000 * num div den"))
+          .otherwise(-expr("1000000 * (-num) div den"))
+          .cast("long").as("acf_ppm"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** D76 — Lorenz/Gini spend-concentration profile per segmentation
+    * group (Gini 1912; Lorenz 1905) — the inequality mart behind both
+    * "is revenue one-whale-deep" risk reads and the D63 RFM cutoffs'
+    * sanity check. Per group, users are ordered by lifetime cents
+    * ascending ((spend, user_id) — deterministic under ties, and the
+    * Gini sum Σ(2i−n−1)·xᵢ is invariant to tie order since equal x
+    * swap freely); `gini_ppm = 10⁶·Σ(2i−n−1)xᵢ div ((n−1)·Σx)` is the
+    * sample-normalized form (=1 when one user owns everything),
+    * n=1 groups emit 0. Alongside: the Lorenz bottom-half share
+    * (`bottom50_share_ppm`, cumulative spend of the first ⌊n/2⌋ users
+    * over total) and the top-decile share (`top10_share_ppm`, last
+    * n−⌊9n/10⌋ users) — the two points a curator actually quotes.
+    *
+    * Scale: one corpus-scan contraction to per-(group, user) totals;
+    * every window after that runs on the user-domain frame partitioned
+    * by group. Σ(2i−n−1)x ≤ n·Σx: decimal(38,0) (HUGEINT twin) keeps
+    * the product exact past int64's n·Σcents ≈ 10¹⁸ ceiling. */
+  def giniProfile(txns: DataFrame, group: String = "grp",
+                  user: String = "user_id",
+                  amt: String = "amt_cents"): DataFrame = {
+    val per = txns.groupBy(col(group).as("grp"), col(user).as("u"))
+      .agg(sum(col(amt)).as("x"))
+    val wo = Window.partitionBy(col("grp"))
+      .orderBy(col("x"), col("u"))
+    val wg = Window.partitionBy(col("grp"))
+    per
+      .withColumn("i", row_number().over(wo).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("tot", sum(col("x")).over(wg))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_users"), max(col("tot")).as("total_cents"),
+        sum(((lit(2L) * col("i") - col("n") - 1L) * col("x"))
+          .cast("decimal(38,0)")).as("gnum"),
+        sum(when(col("i") <= expr("n div 2"), col("x")).otherwise(0L))
+          .as("bottom_half_cents"),
+        sum(when(col("i") > expr("(9 * n) div 10"), col("x")).otherwise(0L))
+          .as("top_decile_cents"))
+      .select(col("grp"), col("n_users"), col("total_cents"),
+        when(col("n_users") <= 1L || col("total_cents") === 0L, lit(0L))
+          .otherwise(expr(
+            "1000000 * gnum div (cast(n_users - 1 as decimal(38,0)) * total_cents)")
+            .cast("long")).as("gini_ppm"),
+        when(col("total_cents") === 0L, lit(0L))
+          .otherwise(expr("1000000 * bottom_half_cents div total_cents"))
+          .as("bottom50_share_ppm"),
+        when(col("total_cents") === 0L, lit(0L))
+          .otherwise(expr("1000000 * top_decile_cents div total_cents"))
+          .as("top10_share_ppm"))
+      .orderBy(col("grp"))
+  }
 }

@@ -102,4 +102,51 @@ object CorpusStats {
           .as("new_rate_ppm"))
       .orderBy(col("k"))
   }
+
+  /** E62 — pairwise total-variation distance between per-source unigram
+    * distributions: the E36 mixture designer's distance matrix ("are
+    * src3 and src7 the same crawl wearing two names? is src12 an
+    * outlier worth upweighting?"), and the metric DSIR-style domain
+    * weighting implicitly optimizes against. TV is the one f-divergence
+    * computable EXACTLY in integers: by the Σmin identity,
+    * TV(p,q) = 1 − Σ_w min(p_w, q_w), so with per-source counts f and
+    * totals T, `tv_ppm = 10⁶·(T_a·T_b − Σ_w min(f_aw·T_b, f_bw·T_a))
+    * div (T_a·T_b)` — no logs (KL/JS would put transcendentals in the
+    * oracle path), no floored per-word shares (the cross-multiplied
+    * form never divides until the final ppm). Words absent from one
+    * side need no outer join: they contribute zero to Σmin by
+    * construction — the identity absorbs the asymmetric mass.
+    *
+    * Scale: one tokenize pass contracts the corpus to (source, word)
+    * counts — the only corpus-sized shuffle; the distance matrix is a
+    * word-keyed self-join of that contraction (each word fans out to
+    * ≤|sources|² pairs, |sources| is bounded — cap or bucket first if
+    * it isn't) folding straight into |sources|²/2 rows. Products are
+    * decimal(38,0) (HUGEINT twin): f·T overflows int64 once
+    * token-count² > 9·10¹⁸ — i.e. at ~3·10⁹ tokens, real at scale. */
+  def sourceTvMatrix(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val wt = Window.partitionBy(col("source"))
+    val sided = counts.withColumn("t", sum(col("f")).over(wt))
+    val a = sided.select(col("w"), col("source").as("source_a"),
+      col("f").as("fa"), col("t").as("ta"))
+    val b = sided.select(col("w"), col("source").as("source_b"),
+      col("f").as("fb"), col("t").as("tb"))
+    a.join(b, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        count(lit(1)).as("n_shared_words"),
+        sum(least(col("fa").cast("decimal(38,0)") * col("tb"),
+          col("fb").cast("decimal(38,0)") * col("ta"))).as("smin"))
+      .select(col("source_a"), col("source_b"), col("n_shared_words"),
+        expr("""1000000 * (cast(ta as decimal(38,0)) * tb - smin)
+          div (cast(ta as decimal(38,0)) * tb)""").cast("long")
+          .as("tv_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -34,6 +34,36 @@ object GraphStats {
       .orderBy(col("node"))
   }
 
+  /** D75 — local clustering coefficient (Watts–Strogatz, Nature 1998):
+    * per node, the fraction of its neighbour pairs that are themselves
+    * connected — `lcc_ppm = 10⁶·2·tri(v) div (deg(v)·(deg(v)−1))` —
+    * the node-level cohesion read that separates a clique-like dup
+    * cluster (lcc→1: members are mutually interchangeable, D44's
+    * premise made per-node) from a hub-and-spoke one (lcc→0: one
+    * template document stitching unrelated near-dups together, a
+    * candidate for the E60 election to split). Nodes of degree ≥ 2
+    * only (the coefficient is undefined below); triangle-free nodes
+    * surface with lcc 0 via the degree-frame left join — their ABSENCE
+    * from D44's output is exactly what this mart exists to show.
+    *
+    * Scale: the D44 oriented wedge join (its cost dominates) plus one
+    * edge-scan degree aggregation; the join and grid completion run on
+    * graph-sized frames. Integer ppm throughout — hash-exact. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    val deg = edges
+      .select(explode(array(col("id1"), col("id2"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 2L)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm",
+        expr("1000000 * 2 * n_triangles div (degree * (degree - 1))"))
+      .orderBy(col("node"))
+  }
+
   /** D47 — fixed-iteration PageRank in EXACT integer ppm arithmetic.
     *
     * The web-corpus curation use: rank crawl URLs by link authority and

@@ -330,4 +330,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("b") < 100L, s"conforming chi2=${out("b")}")
     assert(out("u") > 50000L, s"uniform chi2=${out("u")}")
   }
+
+  test("D73: structuring flags trailing windows, inclusive lower bound") {
+    // threshold 100, window 100us, flag at >=3 txns summing >=150
+    val ev = Seq(
+      // user 1: window ending at ts=100 spans [0,100] INCLUSIVE — the
+      // txn AT exactly ts-100=0 must count (probe sorts before it)
+      (1L, 0L, 10L, 50L), (1L, 50L, 11L, 60L), (1L, 100L, 12L, 70L),
+      (1L, 250L, 13L, 80L),
+      // user 2: an over-threshold txn is NOT a smurf piece; remaining
+      // two can't reach the count gate
+      (2L, 0L, 20L, 120L), (2L, 10L, 21L, 30L), (2L, 20L, 22L, 40L),
+      // user 3: two overlapping flagged windows; peak over both
+      (3L, 0L, 30L, 60L), (3L, 10L, 31L, 60L), (3L, 20L, 32L, 60L),
+      (3L, 30L, 33L, 60L))
+      .toDF("user_id", "ts_us", "event_id", "amt_cents")
+    val out = Analytics.structuring(ev, thresholdCents = 100L,
+        windowUs = 100L, minTxn = 3L, minSumCents = 150L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 180L, 3L, 100L)),
+      3L -> ((2L, 240L, 4L, 20L))))
+  }
+
+  test("D74: ACF of an alternating series is negative at lag 1, " +
+      "positive at lag 2; zero days are completed into the grid") {
+    val day = 86400000000L
+    // type a: x = [1,3,1,3,1,3] over days 0..5
+    val a = Seq(0, 1, 2, 3, 4, 5).flatMap(d =>
+      Seq.fill(if (d % 2 == 0) 1 else 3)(("a", d * day)))
+    // type b: days 0 and 2 only -> grid completes day 1 as x=0:
+    // x = [2,0,2], c = 3x-4 = [2,-4,2], den=24, lag1 num=-16, lag2 num=4
+    val b = Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 2 * day))
+    val ev = (a ++ b).toDF("event_type", "ts_us")
+    val out = Analytics.acfProfile(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // a: c = 6x-12 = [-6,6,...], den=216; lag1: 5*(-36) -> -833333;
+    // lag2: 4*36=144 -> 666666
+    assert(out(("a", 1L)) == -833333L)
+    assert(out(("a", 2L)) == 666666L)
+    assert(out(("b", 1L)) == -666666L)
+    assert(out(("b", 2L)) == 166666L)
+  }
+
+  test("D76: Gini is 0 for equal spend, 1 for one-owner, exact between") {
+    val t = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L),
+      ("eq", 1L, 5L), ("eq", 2L, 5L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 5L))
+      .toDF("grp", "user_id", "amt_cents")
+    val out = Analytics.giniProfile(t).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // g: sorted [1,1,2], gnum = -2+0+4 = 2, gini = 2e6/(2*4) = 250000;
+    // bottom50 (i<=1): 1/4; top10 (i>2): 2/4
+    assert(out("g") == ((250000L, 250000L, 500000L)))
+    assert(out("eq")._1 == 0L)
+    assert(out("one")._1 == 1000000L)
+  }
 }

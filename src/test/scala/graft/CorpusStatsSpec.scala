@@ -42,4 +42,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.last.getLong(6) == 0L)        // deep slabs add nothing
     assert(rows.map(_.getLong(3)).max == 5L)  // vocab pinned at 5
   }
+
+  test("E62: TV distance matches the hand rational; identical sources 0") {
+    // a: p=(x:2/3, y:1/3); b: q=(x:1/2, z:1/2)
+    // TV = (|2/3-1/2| + 1/3 + 1/2)/2 = 1/2; via Σmin: 1 - 3/6
+    val docs = Seq(("a", "x x y"), ("b", "x z"), ("c", "x x y"))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceTvMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) == ((1L, 500000L)))
+    assert(out(("a", "c")) == ((2L, 0L)))   // identical distributions
+    assert(out(("b", "c")) == ((1L, 500000L)))
+  }
 }

@@ -174,4 +174,24 @@ class GraphStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(20L -> 2L, 21L -> 2L, 22L -> 2L, 23L -> 2L))
   }
+
+  test("D75: clustering coefficient — clique saturates, star stays zero, " +
+      "degree-1 nodes excluded") {
+    import spark.implicits._
+    // triangle {1,2,3} plus a 3-star at 10 plus a pendant off node 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (1L, 4L))
+      .toDF("id1", "id2")
+    val out = GraphStats.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node 1: deg 3 (2,3,4), 1 triangle -> 2*1/(3*2) = 1/3
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    // hub of the triangle-free star: lcc exactly 0, present in the mart
+    assert(out(10L) == ((3L, 0L, 0L)))
+    // leaves (deg 1) are excluded: the coefficient is undefined there
+    assert(!out.contains(11L) && !out.contains(4L))
+  }
 }

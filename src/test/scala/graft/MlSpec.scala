@@ -251,4 +251,18 @@ class MlSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(2), r.getLong(4)) == (3L, 0L, 0L),
       "the max(s)+1 sentinel must be electable and chosen")
   }
+
+  test("H12: Brier decomposition matches the hand case and its identity") {
+    import spark.implicits._
+    // margins 0 -> phat 525000 (labels 1,0); -10000 -> phat 275000 (0,0)
+    val scored = Seq((0L, 1L), (0L, 0L), (-10000L, 0L), (-10000L, 0L))
+      .toDF("score", "label")
+    val r = graft.ml.Evaluation.brierDecomposition(scored).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 1L, 250000L))
+    assert(r.getLong(3) == 163125000000L, s"brier=${r.getLong(3)}")
+    assert(r.getLong(4) == 38125000000L)    // reliability
+    assert(r.getLong(5) == 62500000000L)    // resolution
+    assert(r.getLong(6) == 187500000000L)   // uncertainty = .25*.75
+    assert(r.getLong(7) == 0L, "identity exact when ppm floors are exact")
+  }
 }
