@@ -473,6 +473,10 @@ object SparkEntry {
     // distributions — the mixture designer's distance matrix
     "q_tv_sources" -> ((s, d) =>
       ops.CorpusStats.sourceTvMatrix(Tables.documents(s, d))),
+    // E63: cross-source shingle-containment leakage matrix — do two
+    // sources literally CARRY the same text (mirrors/syndication)?
+    "q_leakage" -> ((s, d) =>
+      ops.CorpusStats.sourceLeakageMatrix(Tables.documents(s, d))),
     // E45: MinHash estimator calibration — signature-agreement estimate
     // (exact ppm) vs exact Jaccard on every LSH candidate pair
     "q_minhash_calib" -> ((s, d) =>
@@ -968,6 +972,13 @@ object SparkEntry {
           expr("CAST(round(value * 100) AS BIGINT)").as("amt_cents")))),
     // ---- D74: exact ACF of the per-type daily volume series (lags 1..7)
     "q_acf" -> ((s, d) => ops.Analytics.acfProfile(Tables.events(s, d))),
+    // ---- D77: trailing 1h/24h/7d velocity features per purchase —
+    // the at-auth-time fraud feature block, three probes one frame
+    "q_velocity" -> ((s, d) =>
+      ops.Analytics.velocityFeatures(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("amt_cents")))),
     // ---- D76: Lorenz/Gini spend concentration per market segment
     "q_gini" -> ((s, d) =>
       ops.Analytics.giniProfile(
@@ -3055,6 +3066,35 @@ object SparkEntry {
         |    // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tv_ppm
         |FROM pairs ORDER BY source_a, source_b""".stripMargin,
 
+    // E63: the dedup pipeline's exact shingle units (word 3-grams,
+    // md5-prefix hash), distinct per source, directional containment
+    "q_leakage" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT source, list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM t),
+        |hx AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
+        |  FROM (SELECT source, unnest(sh) AS s FROM sh)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+        |  FROM hx GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM hx a JOIN hx b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, za.n_sh AS n_a,
+        |  zb.n_sh AS n_b,
+        |  CAST(1000000 * n_shared // za.n_sh AS BIGINT) AS leak_a_ppm,
+        |  CAST(1000000 * n_shared // zb.n_sh AS BIGINT) AS leak_b_ppm
+        |FROM pr JOIN sz za ON za.source = pr.source_a
+        |JOIN sz zb ON zb.source = pr.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
         |c AS (
@@ -4616,6 +4656,48 @@ object SparkEntry {
         |  CAST(max(win_cnt) AS BIGINT) AS peak_n_txn,
         |  min(ts_us) AS first_flag_ts_us
         |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // D77: the D73 probe construction with three horizons on one
+    // frame; probes pivot back via conditional max per event
+    "q_velocity" ->
+      """WITH sub AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS amt_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |timeline AS (
+        |  SELECT user_id, ts_us, 3 AS kind, event_id, amt_cents FROM sub
+        |  UNION ALL
+        |  SELECT user_id, ts_us - 3600000000, 0, event_id, 0 FROM sub
+        |  UNION ALL
+        |  SELECT user_id, ts_us - 86400000000, 1, event_id, 0 FROM sub
+        |  UNION ALL
+        |  SELECT user_id, ts_us - 604800000000, 2, event_id, 0 FROM sub),
+        |prefixed AS (
+        |  SELECT user_id, ts_us, kind, event_id, amt_cents,
+        |    sum(CASE WHEN kind = 3 THEN amt_cents ELSE 0 END) OVER w AS ps,
+        |    sum(CASE WHEN kind = 3 THEN 1 ELSE 0 END) OVER w AS pc
+        |  FROM timeline
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |probes AS (
+        |  SELECT event_id,
+        |    max(CASE WHEN kind = 0 THEN ps END) AS lo_s_1h,
+        |    max(CASE WHEN kind = 0 THEN pc END) AS lo_c_1h,
+        |    max(CASE WHEN kind = 1 THEN ps END) AS lo_s_24h,
+        |    max(CASE WHEN kind = 1 THEN pc END) AS lo_c_24h,
+        |    max(CASE WHEN kind = 2 THEN ps END) AS lo_s_7d,
+        |    max(CASE WHEN kind = 2 THEN pc END) AS lo_c_7d
+        |  FROM prefixed WHERE kind < 3 GROUP BY event_id)
+        |SELECT r.user_id, r.ts_us, r.event_id, r.amt_cents,
+        |  CAST(r.pc - p.lo_c_1h AS BIGINT) AS cnt_1h,
+        |  CAST(r.ps - p.lo_s_1h AS BIGINT) AS sum_1h,
+        |  CAST(r.pc - p.lo_c_24h AS BIGINT) AS cnt_24h,
+        |  CAST(r.ps - p.lo_s_24h AS BIGINT) AS sum_24h,
+        |  CAST(r.pc - p.lo_c_7d AS BIGINT) AS cnt_7d,
+        |  CAST(r.ps - p.lo_s_7d AS BIGINT) AS sum_7d
+        |FROM (SELECT * FROM prefixed WHERE kind = 3) r
+        |JOIN probes p USING (event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // D74: ×n-centered integer ACF; zero days completed; HUGEINT
     // products; sign-split final ppm (truncate == floor on |num|)

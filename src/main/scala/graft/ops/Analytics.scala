@@ -726,6 +726,65 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** D77 — trailing-window VELOCITY features, the classic realtime
+    * fraud feature block (count/sum of the user's transactions in the
+    * last 1h / 24h / 7d as of EACH transaction — what a scoring model
+    * reads at auth time): per transaction row the six features, exact
+    * integers. Same prefix-sums-with-probes shape as D73, with THREE
+    * probe rows per transaction (one per horizon) amortized over ONE
+    * grow-only per-user frame — the per-user sort is paid once for
+    * all horizons, and the probe recovery is a single event-keyed
+    * join against a conditional-aggregation pivot of the probe frame
+    * (one shuffle for all three horizons, never one join per window).
+    * Window spans are inclusive [ts−W, ts] with the D73 tie
+    * discipline (probes sort before real rows; same-ts upper ties by
+    * event_id) — replayed verbatim in the oracle, tie-robust on
+    * replica corpora. Output is transaction-sized by construction
+    * (a feature mart, not a report). O(n log n) per user where the
+    * naive per-horizon RANGE windows are each quadratic in Zipf-hot
+    * accounts. */
+  def velocityFeatures(txns: DataFrame,
+                       windowsUs: Seq[(String, Long)] = Seq(
+                         ("1h", 3600000000L),
+                         ("24h", 86400000000L),
+                         ("7d", 604800000000L))): DataFrame = {
+    val real = txns.select(col("user_id"), col("ts_us"), col("event_id"),
+      col("amt_cents"))
+    val timeline = windowsUs.zipWithIndex.foldLeft(
+      real.select(col("user_id"), col("ts_us"),
+        lit(windowsUs.size).as("kind"), col("event_id"), col("amt_cents"))) {
+      case (acc, ((_, w), i)) =>
+        acc.unionByName(real.select(col("user_id"),
+          (col("ts_us") - w).as("ts_us"), lit(i).as("kind"),
+          col("event_id"), lit(0L).as("amt_cents")))
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isReal = col("kind") === windowsUs.size
+    val prefixed = timeline
+      .withColumn("ps", sum(when(isReal, col("amt_cents")).otherwise(0L))
+        .over(w))
+      .withColumn("pc", sum(when(isReal, 1L).otherwise(0L)).over(w))
+    val pivotAggs = windowsUs.zipWithIndex.flatMap { case ((nm, _), i) =>
+      Seq(max(when(col("kind") === i, col("ps"))).as(s"lo_s_$nm"),
+        max(when(col("kind") === i, col("pc"))).as(s"lo_c_$nm"))
+    }
+    val probePivot = prefixed.filter(!isReal)
+      .groupBy(col("event_id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    prefixed.filter(isReal)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("amt_cents"), col("ps"), col("pc"))
+      .join(probePivot, Seq("event_id"))
+      .select((Seq(col("user_id"), col("ts_us"), col("event_id"),
+        col("amt_cents")) ++ windowsUs.flatMap { case (nm, _) =>
+          Seq((col("pc") - col(s"lo_c_$nm")).as(s"cnt_$nm"),
+            (col("ps") - col(s"lo_s_$nm")).as(s"sum_$nm"))
+        }): _*)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** D74 — exact autocorrelation profile (ACF at lags 1..maxLag) of the
     * per-type daily volume series — the diagnostic that separates
     * "traffic has a weekly pulse" (spike at lag 7, the D69 seasonal

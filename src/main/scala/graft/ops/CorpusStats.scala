@@ -149,4 +149,49 @@ object CorpusStats {
           .as("tv_ppm"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** E63 — cross-source CONTENT-leakage matrix: for each source pair
+    * the shared distinct word-3-gram shingles and both directional
+    * containments (`leak_a_ppm = 10⁶·|Sₐ∩S_b| div |Sₐ|`) — the E62
+    * matrix's complement: TV says whether two sources SOUND alike
+    * (unigram distributions), this says whether they literally CARRY
+    * the same text (mirrors, syndication, one crawl re-labeled as
+    * two) — directional, because a small source fully contained in a
+    * big one is the "re-labeled subset" signature that symmetric
+    * measures dilute (the E48 containment argument at source
+    * granularity). Shingles are the dedup pipeline's exact
+    * definition (E3's word 3-grams, I1's md5-prefix hash) so a pair
+    * flagged here is made of the SAME units E2/E41 verify on.
+    *
+    * Scale: one shingle pass contracts the corpus to distinct
+    * (source, shingle-hash) — corpus-sized work, the only big
+    * shuffle; the matrix is a hash-keyed self-join fanning each
+    * shingle to ≤|sources|² pairs (bounded source domain, the E62
+    * contract) and folding straight to |sources|²/2 rows. */
+  def sourceLeakageMatrix(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.h32
+    val perSrc = graft.ops.Dedup
+      .withShingles(docs.select(col("source"), col("text")),
+        distinct = false)
+      .select(col("source"), explode(col("sh")).as("s"))
+      .select(col("source"), h32(col("s")).as("x"))
+      .distinct()
+    val sizes = perSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = perSrc.select(col("x"), col("source").as("source_a"))
+    val b = perSrc.select(col("x"), col("source").as("source_b"))
+    a.join(b, Seq("x"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("1000000 * n_shared div n_a").as("leak_a_ppm"),
+        expr("1000000 * n_shared div n_b").as("leak_b_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

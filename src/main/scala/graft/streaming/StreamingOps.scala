@@ -546,4 +546,109 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(step)
   }
+
+  /** One sub-threshold transaction for [[structuringStream]] (callers
+    * pre-filter to `0 < amt_cents < threshold`, exactly like the batch
+    * op's input contract). */
+  case class StructTxn(user_id: Long, ts_us: Long, event_id: Long,
+                       amt_cents: Long)
+  /** Keyed state: finalized counters + the still-mutable txn window.
+    * `fin_up_to` is the exclusive finalization frontier (= max seen ts
+    * − W): ends below it can never gain members, so their flag verdict
+    * is folded into the counters and the row is dropped once it also
+    * can't be a MEMBER of any admissible future end (ts < frontier−2W).
+    * `first_ts` uses Long.MaxValue as the "no flag yet" sentinel. */
+  case class StructState(n_flagged: Long, peak_sum: Long, peak_cnt: Long,
+                         first_ts: Long, frontier: Long, n_late: Long,
+                         buf: List[(Long, Long, Long)])
+  case class StructFlags(user_id: Long, n_flagged: Long,
+                         peak_sum_cents: Long, peak_n_txn: Long,
+                         first_flag_ts_us: Long, n_late: Long)
+
+  /** F25 — streaming structuring monitor (D73 live): per user the
+    * trailing-window smurfing screen as keyed state with a BOUNDED
+    * buffer — unlike F19's grow-forever history, the state here is the
+    * finalized counters plus only the transactions still inside
+    * 2·windowUs of the user's frontier. The 2W bound is exact, not a
+    * heuristic, and rests on two monotonicity facts: (1) a window
+    * ending at `e` only admits members in [e−W, e], and once the
+    * frontier passes e+W no accepted arrival (all ≥ frontier−W) can
+    * join it — so ends below frontier−W are FINAL and fold into the
+    * counters; (2) a window's (sum, count) only GROWS as late members
+    * arrive, so a flag never retracts and finalization commits each
+    * end's verdict exactly once. Rows below frontier−2W can't be
+    * members of any admissible end and are evicted. Arrivals behind
+    * frontier−W are dropped LOUDLY into an `n_late` column (the F21
+    * price-of-bounded-state contract): parity with batch D73 is exact
+    * whenever n_late = 0.
+    *
+    * Each trigger re-evaluates the ≤2W buffer with the batch tie
+    * discipline (member iff ts ∈ [e−W, e], same-ts upper ties by
+    * event_id ≤ e's) via an in-memory prefix-sum pass — O(b log b) per
+    * touched user per trigger, b bounded by 2W of per-user activity.
+    * Update mode: one refreshed mart row per touched user. */
+  def structuringStream(txns: Dataset[StructTxn],
+                        windowUs: Long = 259200000000L,
+                        minTxn: Long = 4L,
+                        minSumCents: Long = 15000L): Dataset[StructFlags] = {
+    import txns.sparkSession.implicits._
+    def flagsOf(buf: Vector[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+      // buf sorted by (ts, id); returns (end_ts, win_sum, win_cnt) of
+      // FLAGGED ends only. Prefix sums + a moving lower bound: both
+      // pointers only advance, so the pass is linear after the sort.
+      val pre = new Array[Long](buf.length + 1)
+      var i = 0
+      while (i < buf.length) { pre(i + 1) = pre(i) + buf(i)._3; i += 1 }
+      var lo = 0
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var e = 0
+      while (e < buf.length) {
+        val endTs = buf(e)._1
+        while (buf(lo)._1 < endTs - windowUs) lo += 1
+        val s = pre(e + 1) - pre(lo)
+        val c = (e + 1 - lo).toLong
+        if (c >= minTxn && s >= minSumCents) out += ((endTs, s, c))
+        e += 1
+      }
+      out.result()
+    }
+    def step(u: Long, rows: Iterator[StructTxn],
+             st: GroupState[StructState]): StructFlags = {
+      val prev = st.getOption.getOrElse(
+        StructState(0L, 0L, 0L, Long.MaxValue, Long.MinValue, 0L, Nil))
+      val (accepted, late) = rows.toSeq.partition(t =>
+        prev.frontier == Long.MinValue || t.ts_us >= prev.frontier - windowUs)
+      val buf = (prev.buf.map(x => (x._1, x._2, x._3)) ++
+        accepted.map(t => (t.ts_us, t.event_id, t.amt_cents)))
+        .sortBy(x => (x._1, x._2)).toVector
+      val frontier = math.max(prev.frontier,
+        if (buf.isEmpty) Long.MinValue else buf.last._1)
+      val flags = flagsOf(buf)
+      // finalize ONLY the band [prevFinUpTo, finUpTo): ends below it
+      // were folded into the counters by an earlier trigger (their
+      // rows may still sit in the buffer as MEMBERS of newer windows —
+      // recounting them would double-charge the mart)
+      val finUpTo = frontier - windowUs
+      val prevFinUpTo =
+        if (prev.frontier == Long.MinValue) Long.MinValue
+        else prev.frontier - windowUs
+      val fresh = flags.filter(_._1 >= prevFinUpTo)
+      val (done, live) = fresh.partition(_._1 < finUpTo)
+      val nf = prev.n_flagged + done.size
+      val ps = (prev.peak_sum +: (done ++ live).map(_._2)).max
+      val pc = (prev.peak_cnt +: (done ++ live).map(_._3)).max
+      val ft = (prev.first_ts +: (done ++ live).map(_._1)).min
+      val nl = prev.n_late + late.size
+      st.update(StructState(nf, math.max(prev.peak_sum, done.map(_._2)
+          .foldLeft(0L)(math.max)),
+        math.max(prev.peak_cnt, done.map(_._3).foldLeft(0L)(math.max)),
+        math.min(prev.first_ts, done.map(_._1)
+          .foldLeft(Long.MaxValue)(math.min)),
+        frontier, nl,
+        buf.filter(_._1 >= frontier - 2 * windowUs).toList))
+      StructFlags(u, nf + live.size, ps, pc, ft, nl)
+    }
+    txns.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
 }

@@ -354,6 +354,19 @@ class AnalyticsSpec extends SparkSpec {
       3L -> ((2L, 240L, 4L, 20L))))
   }
 
+  test("D77: velocity features — per-horizon inclusive trailing windows") {
+    val ev = Seq((1L, 0L, 1L, 5L), (1L, 8L, 2L, 7L), (1L, 50L, 3L, 11L))
+      .toDF("user_id", "ts_us", "event_id", "amt_cents")
+    val out = Analytics.velocityFeatures(ev,
+        windowsUs = Seq(("a", 10L), ("b", 100L)))
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // (cnt_a, sum_a, cnt_b, sum_b); each window includes the txn itself
+    assert(out(1L) == ((1L, 5L, 1L, 5L)))
+    assert(out(2L) == ((2L, 12L, 2L, 12L)))   // ts 0 inside [-2, 8]
+    assert(out(3L) == ((1L, 11L, 3L, 23L)))   // short window resets
+  }
+
   test("D74: ACF of an alternating series is negative at lag 1, " +
       "positive at lag 2; zero days are completed into the grid") {
     val day = 86400000000L

@@ -55,4 +55,14 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("a", "c")) == ((2L, 0L)))   // identical distributions
     assert(out(("b", "c")) == ((1L, 500000L)))
   }
+
+  test("E63: leakage containments are directional; disjoint pairs absent") {
+    // b's single shingle is fully contained in a's two; c shares none
+    val docs = Seq(("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3"), ("c", "x y z"))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceLeakageMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(("a", "b") -> ((1L, 500000L, 1000000L))))
+  }
 }

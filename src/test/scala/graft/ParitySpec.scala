@@ -1123,4 +1123,64 @@ class ParitySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("F25 streaming structuring monitor ≡ batch D73 across restart, " +
+      "finalization, eviction, and a late member; stragglers counted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{StructFlags, StructTxn}
+    val in = MemoryStream[StructTxn]
+    val ck = ckDir("struct")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, StructFlags)]
+    def start() = StreamingOps.structuringStream(in.toDS(),
+        windowUs = 100L, minTxn = 3L, minSumCents = 150L)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StructFlags], bid: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows.map(bid -> _) }; ()
+      }.start()
+    // user 1: the window ending at ts=100 STRADDLES the restart (txns
+    // 0,50 before; 100 after — only a recovered buffer can flag it);
+    // then a LATE member at ts=90 (behind the frontier but inside W)
+    // grows windows 90 and 100 retroactively; then ts=350 finalizes
+    // both ends and evicts their rows; a fresh flag forms at ts=420
+    // entirely after the eviction. Batch: flags at 90,100,420 —
+    // n=3, peak 240/4, first 90.
+    // user 3: a straggler at ts=10 behind frontier(500)−W must be
+    // DROPPED and surface in n_late, never silently.
+    val b1 = Seq(StructTxn(1L, 0L, 1L, 60L), StructTxn(1L, 50L, 2L, 60L),
+      StructTxn(2L, 0L, 10L, 60L), StructTxn(3L, 0L, 20L, 60L))
+    val b2 = Seq(StructTxn(1L, 100L, 3L, 60L), StructTxn(3L, 500L, 21L, 60L))
+    val b3 = Seq(StructTxn(1L, 90L, 4L, 60L), StructTxn(1L, 350L, 5L, 60L),
+      StructTxn(3L, 10L, 22L, 60L))
+    val b4 = Seq(StructTxn(1L, 400L, 6L, 60L), StructTxn(1L, 420L, 7L, 60L))
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(b2: _*); q2.processAllAvailable()
+      in.addData(b3: _*); q2.processAllAvailable()
+      in.addData(b4: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val last = buf.synchronized {
+      buf.groupBy(_._2.user_id).view.mapValues(_.maxBy(_._1)._2).toMap
+    }
+    assert(last(3L).n_late == 1L, s"straggler not counted: ${last(3L)}")
+    val streamed = last.values.filter(f => f.n_flagged > 0)
+      .map(f => (f.user_id, f.n_flagged, f.peak_sum_cents, f.peak_n_txn,
+        f.first_flag_ts_us)).toSet
+    // everything except user 3's late-DROPPED straggler (ts=10)
+    val batchIn = b1 ++ b2 ++ b3.filterNot(_.user_id == 3L) ++ b4
+    val batch = graft.ops.Analytics.structuring(
+      batchIn.map(t => (t.user_id, t.ts_us, t.event_id, t.amt_cents))
+        .toDF("user_id", "ts_us", "event_id", "amt_cents"),
+      thresholdCents = 100L, windowUs = 100L, minTxn = 3L,
+      minSumCents = 150L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.exists(t => t._1 == 1L && t._2 == 3L && t._3 == 240L
+      && t._4 == 4L && t._5 == 90L))
+  }
 }
