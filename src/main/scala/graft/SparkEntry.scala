@@ -477,6 +477,10 @@ object SparkEntry {
     // sources literally CARRY the same text (mirrors/syndication)?
     "q_leakage" -> ((s, d) =>
       ops.CorpusStats.sourceLeakageMatrix(Tables.documents(s, d))),
+    // E64: per-doc novelty profile — unique-shingle share, max df,
+    // mean df doubling-bucket (integer stand-in for self-information)
+    "q_novelty" -> ((s, d) =>
+      ops.CorpusStats.docNovelty(Tables.documents(s, d))),
     // E45: MinHash estimator calibration — signature-agreement estimate
     // (exact ppm) vs exact Jaccard on every LSH candidate pair
     "q_minhash_calib" -> ((s, d) =>
@@ -979,6 +983,10 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("amt_cents")))),
+    // ---- D78: Theil–Sen robust daily-volume trend (median of pairwise
+    // slopes off the count-of-counts contraction; outlier-immune D68)
+    "q_theilsen" -> ((s, d) =>
+      ops.Analytics.theilSenTrend(Tables.events(s, d))),
     // ---- D76: Lorenz/Gini spend concentration per market segment
     "q_gini" -> ((s, d) =>
       ops.Analytics.giniProfile(
@@ -1181,6 +1189,17 @@ object SparkEntry {
             when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
             Seq("doc_id")),
         score = "margin", label = "is_en")),
+
+    // H13: Kendall tau-b between the binned margin and binned doc
+    // length — the is-the-scorer-just-a-ruler confound check
+    "q_kendall" -> ((s, d) =>
+      ml.Evaluation.kendallTauB(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars")), Seq("doc_id"))
+          .select(expr("(margin + 1000000000) div 500").as("va"),
+            expr("n_chars div 200").as("vb")))),
 
     // H12: Murphy decomposition of the Brier score on the same frame —
     // reliability vs resolution vs base-rate uncertainty, one-row verdict
@@ -1962,6 +1981,46 @@ object SparkEntry {
         |  CAST(SUM(margin) AS BIGINT) AS sum_score,
         |  CAST((SUM(lab) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // H13: cell-contracted Kendall tau-b; one orientation per
+    // unordered cell pair; sqrt is IEEE-correctly-rounded both engines
+    "q_kendall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT (margin + 1000000000) // 500 AS va, n_chars // 200 AS vb
+        |  FROM m JOIN documents d USING (doc_id)),
+        |cells AS (SELECT va AS i, vb AS j, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1, 2),
+        |conc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+        |    AS c_pairs
+        |  FROM cells a JOIN cells b ON b.i > a.i AND b.j > a.j),
+        |disc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+        |    AS d_pairs
+        |  FROM cells a JOIN cells b ON b.i > a.i AND b.j < a.j),
+        |ma AS (SELECT CAST(sum(t) AS BIGINT) AS ntot,
+        |    CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_a
+        |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY i)),
+        |mb AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_b
+        |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY j))
+        |SELECT ntot AS n, c_pairs, d_pairs,
+        |  ntot * (ntot - 1) // 2 AS n0, ties_a, ties_b,
+        |  CASE WHEN ntot * (ntot - 1) // 2 = ties_a
+        |         OR ntot * (ntot - 1) // 2 = ties_b THEN 0.0
+        |  ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+        |    / sqrt(CAST(ntot * (ntot - 1) // 2 - ties_a AS DOUBLE)
+        |         * CAST(ntot * (ntot - 1) // 2 - ties_b AS DOUBLE))
+        |  END AS tau_b
+        |FROM conc, disc, ma, mb""".stripMargin,
 
     // H12: Murphy decomposition — clamped-linear link (slope 25) to
     // ppm, 50000-ppm forecast bins at midpoints, all terms e-12 with
@@ -3065,6 +3124,32 @@ object SparkEntry {
         |  CAST(1000000 * (CAST(ta AS HUGEINT) * tb - smin)
         |    // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tv_ppm
         |FROM pairs ORDER BY source_a, source_b""".stripMargin,
+
+    // E64: per-doc novelty — distinct shingles, df=1 share, max df,
+    // mean df bit-length (the E56 doubling-bucket idiom)
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM t),
+        |hx AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh0)),
+        |df AS (SELECT x, CAST(count(*) AS BIGINT) AS df FROM hx GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(1000000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS unique_ppm,
+        |  max(df) AS max_df,
+        |  CAST(1000000 * sum(length(to_base(df, 2))) // count(*)
+        |    AS BIGINT) AS mean_df_bits_e6
+        |FROM hx JOIN df USING (x)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // E63: the dedup pipeline's exact shingle units (word 3-grams,
     // md5-prefix hash), distinct per source, directional containment
@@ -4735,6 +4820,40 @@ object SparkEntry {
         |    ELSE -(1000000 * (-n.num) // d.den) END AS BIGINT) AS acf_ppm
         |FROM num n JOIN den d USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
+
+    // D78: slopes quantized sign-split to e-6/day BEFORE the median;
+    // lower median read off the count-of-counts contraction
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.n >= a.n
+        |      THEN 1000000 * (b.n - a.n) // (b.day - a.day)
+        |      ELSE -(1000000 * (a.n - b.n) // (b.day - a.day))
+        |    END AS slope_e6
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day > a.day),
+        |cc AS (SELECT event_type, slope_e6, CAST(count(*) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, slope_e6, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_pairs,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY slope_e6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cc),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT cum.event_type, nd.n_days, cum.n_pairs,
+        |  cum.slope_e6 AS sen_slope_e6
+        |FROM cum JOIN nd USING (event_type)
+        |WHERE cum >= (n_pairs + 1) // 2
+        |  AND cum - c < (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     // D76: sample-normalized Gini ((n-1)·Σx denominator) + Lorenz
     // bottom-half / top-decile shares; tie order pinned by (x, u)

@@ -298,6 +298,59 @@ object Evaluation {
         col("cost_cents"))
   }
 
+  /** H13 — Kendall τ-b rank correlation between two BINNED integer
+    * columns (Kendall 1938; tie-corrected τ-b 1945) — here the
+    * score-confound check an eval suite owes its users: is the scorer
+    * ranking quality, or just re-measuring length? (A |τ| near 1
+    * against n_chars means the "quality" scorer is a ruler.) Callers
+    * bin both sides first (the H5 fixed-width discipline) — that is
+    * what makes the computation cell-contracted AND what bounds it:
+    * concordant/discordant pair masses come from a strict-dominance
+    * self-join of the (binA, binB) contingency cells, each unordered
+    * pair of distinct cells counted in exactly one orientation, so
+    * the work is |cells|² with |cells| bounded by the bin grid —
+    * never N². Tie terms Σt(t−1)/2 come off the two marginals. C, D,
+    * n0, and both tie terms are exact BIGINTs; τ-b itself is the one
+    * IEEE step — (C−D)/√((n0−n1)(n0−n2)) assembled in identical
+    * literal order from exact integers (sqrt is correctly rounded in
+    * IEEE 754, so both engines produce the same double — the q_abtest
+    * χ² precedent). Degenerate marginals (all mass in one bin) emit
+    * τ-b = 0 with the tie terms showing why, never NULL.
+    *
+    * Scale: one corpus pass to the cell contraction; the dominance
+    * join broadcasts the cell frame (grid-bounded by contract). Exact
+    * while N² < 2⁶³ — the H4 stratify-beyond caveat. */
+  def kendallTauB(binned: DataFrame, a: String = "va", b: String = "vb")
+      : DataFrame = {
+    val cells = binned.groupBy(col(a).as("i"), col(b).as("j"))
+      .agg(count(lit(1)).as("n"))
+    val c2 = cells.select(col("i").as("i2"), col("j").as("j2"),
+      col("n").as("n2"))
+    val conc = cells.join(broadcast(c2),
+        col("i2") > col("i") && col("j2") > col("j"))
+      .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("c_pairs"))
+    val disc = cells.join(broadcast(c2),
+        col("i2") > col("i") && col("j2") < col("j"))
+      .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("d_pairs"))
+    val margA = cells.groupBy(col("i")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t")).as("ntot"),
+        sum(expr("t * (t - 1) div 2")).as("ties_a"))
+    val margB = cells.groupBy(col("j")).agg(sum(col("n")).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("ties_b"))
+    conc.crossJoin(broadcast(disc)).crossJoin(broadcast(margA))
+      .crossJoin(broadcast(margB))
+      .withColumn("n0", expr("ntot * (ntot - 1) div 2"))
+      .select(col("ntot").as("n"), col("c_pairs"), col("d_pairs"),
+        col("n0"), col("ties_a"), col("ties_b"),
+        when(col("n0") === col("ties_a") || col("n0") === col("ties_b"),
+          lit(0.0))
+          .otherwise(
+            (col("c_pairs") - col("d_pairs")).cast("double") /
+              sqrt((col("n0") - col("ties_a")).cast("double") *
+                (col("n0") - col("ties_b")).cast("double")))
+          .as("tau_b"))
+  }
+
   /** H12 — Murphy decomposition of the Brier score (Murphy, J. Appl.
     * Meteor. 1973): BS = reliability − resolution + uncertainty — the
     * one-row verdict on WHY a probabilistic scorer is good or bad

@@ -575,6 +575,58 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** D78 — Theil–Sen robust trend of the daily volume (Theil '50, Sen
+    * JASA '68): the median of all pairwise slopes — the estimator that
+    * shrugs off the outlier days OLS (D68) chases (one flash-crowd day
+    * can own an OLS slope; it is one vote among n² here; 29.3%
+    * breakdown point). Slopes are quantized to integer e-6/day by the
+    * sign-split division BEFORE the median (comparing raw rationals
+    * cross-engine would need cross-multiplied sort keys; a fixed e-6
+    * grid loses < 1e-6/day and keeps everything integer), and the
+    * median is the LOWER median at rank ⌈n_pairs/2⌉ read off the
+    * D19/D49 count-of-counts contraction — never a row sort over the
+    * pair frame. Days with no observations are ABSENT observations
+    * here, not zeros (the D74 grid-completion choice inverted, and
+    * deliberately: a robust slope over observed days answers "what is
+    * the typical day-over-day drift where we HAVE data"; zero-filling
+    * would let ingestion gaps vote as real collapse — use D70 to
+    * find the gaps first).
+    *
+    * Scale: the (type, day) contraction first (the only corpus-sized
+    * work), then pairs over the bounded day domain (n ≤ 3650 days →
+    * ≤ 6.7M pairs per type), contracted again to distinct slope
+    * values before the cumulative window. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = cusumDaily(events)
+    val a = daily.select(col("event_type"), col("day").as("t"),
+      col("n").as("xt"))
+    val b = daily.select(col("event_type"), col("day").as("u"),
+      col("n").as("xu"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("u") > col("t"))
+      .select(col("event_type"),
+        when(col("xu") >= col("xt"),
+          expr("1000000 * (xu - xt) div (u - t)"))
+          .otherwise(-expr("1000000 * (xt - xu) div (u - t)"))
+          .as("slope_e6"))
+    val cc = pairs.groupBy(col("event_type"), col("slope_e6"))
+      .agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("slope_e6"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nd = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    cc
+      .withColumn("n_pairs", sum(col("c")).over(wt))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .filter(col("cum") >= expr("(n_pairs + 1) div 2") &&
+        col("cum") - col("c") < expr("(n_pairs + 1) div 2"))
+      .join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_e6").as("sen_slope_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** Benford's-law expected first-significant-digit shares in ppm
     * (Newcomb 1881 / Benford 1938: P(d) = log10(1 + 1/d)). Published
     * constants rounded to ppm — they sum to exactly 1,000,000, so the

@@ -194,4 +194,42 @@ object CorpusStats {
         expr("1000000 * n_shared div n_b").as("leak_b_ppm"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** E64 — per-document NOVELTY profile against the whole corpus: how
+    * much of each document's shingle set exists nowhere else
+    * (`unique_ppm`), how common its most-common shingle is (`max_df`),
+    * and the mean document-frequency DOUBLING BUCKET of its shingles
+    * (`mean_df_bits_e6` — the E56 bit-length idiom: an integer-exact
+    * stand-in for mean log₂ df, i.e. for the self-information a
+    * KenLM-style filter would estimate). The three numbers separate
+    * the corpus a curator wants (high unique share, low df mass —
+    * genuinely novel text) from boilerplate carriers (low unique
+    * share, high-df shingles — template text E59 then localizes) —
+    * per DOCUMENT, where E56/E59 profile the corpus and source.
+    *
+    * Scale: one shingle pass to distinct (doc, hash) — the corpus-
+    * sized shuffle; one hash-keyed df aggregation; one join back.
+    * The same units as E3/E63 (word 3-grams, I1 md5-prefix hash). */
+  def docNovelty(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.h32
+    val sh = graft.ops.Dedup
+      .withShingles(docs.select(col("doc_id"), col("text")),
+        distinct = false)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("x"))
+      .distinct()
+    val df = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("x"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"),
+        max(col("df")).as("max_df"),
+        sum(bl(col("df"))).as("sum_df_bits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("1000000 * n_unique div n_shingles").as("unique_ppm"),
+        col("max_df"),
+        expr("1000000 * sum_df_bits div n_shingles")
+          .as("mean_df_bits_e6"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -387,6 +387,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("b", 2L)) == 166666L)
   }
 
+  test("D78: Theil-Sen slope ignores the outlier day OLS would chase") {
+    val day = 86400000000L
+    // days 0..3 grow by exactly 1/day; day 4 is a 50-count flash crowd.
+    // 6 of the 10 pairwise slopes are 1e6; the 4 outlier pairs are all
+    // larger; the lower median (rank 5 of 10) stays 1e6.
+    val counts = Seq(1, 2, 3, 4, 50)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("a", d * day)) }.toDF("event_type", "ts_us")
+    val r = Analytics.theilSenTrend(ev).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (5L, 10L, 1000000L))
+  }
+
   test("D76: Gini is 0 for equal spend, 1 for one-owner, exact between") {
     val t = Seq(
       ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L),

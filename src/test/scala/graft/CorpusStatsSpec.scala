@@ -65,4 +65,16 @@ class CorpusStatsSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
     assert(out == Map(("a", "b") -> ((1L, 500000L, 1000000L))))
   }
+
+  test("E64: novelty separates unique, shared, and singleton documents") {
+    // shingles: d0 {abc, bcd}, d1 {abc}, d2 {xyz}; df: abc=2, bcd=1, xyz=1
+    val docs = Seq((0L, "a b c d"), (1L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 1L, 500000L, 2L, 1500000L)))
+    assert(out(1L) == ((1L, 0L, 0L, 2L, 2000000L)))
+    assert(out(2L) == ((1L, 1L, 1000000L, 1L, 1000000L)))
+  }
 }

@@ -252,6 +252,25 @@ class MlSpec extends SparkSpec {
       "the max(s)+1 sentinel must be electable and chosen")
   }
 
+  test("H13: Kendall tau-b — perfect concordance 1.0, ties corrected") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("va", "vb")
+    val p = graft.ml.Evaluation.kendallTauB(perfect).collect().head
+    assert((p.getLong(1), p.getLong(2), p.getLong(4), p.getLong(5)) ==
+      (3L, 0L, 0L, 0L))
+    assert(p.getDouble(6) == 1.0)
+    // one tie in va: C=2, D=0, n0=3, ties_a=1 -> tau = 2/sqrt(2*3)
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("va", "vb")
+    val t = graft.ml.Evaluation.kendallTauB(tied).collect().head
+    assert((t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4)) ==
+      (2L, 0L, 3L, 1L))
+    assert(math.abs(t.getDouble(6) - 2.0 / math.sqrt(6.0)) < 1e-15)
+    // degenerate marginal (all vb equal): tau pinned to 0, not NULL
+    val degen = Seq((1L, 9L), (2L, 9L)).toDF("va", "vb")
+    assert(graft.ml.Evaluation.kendallTauB(degen)
+      .collect().head.getDouble(6) == 0.0)
+  }
+
   test("H12: Brier decomposition matches the hand case and its identity") {
     import spark.implicits._
     // margins 0 -> phat 525000 (labels 1,0); -10000 -> phat 275000 (0,0)
