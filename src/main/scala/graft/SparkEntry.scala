@@ -637,6 +637,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // ---- D79: sweep-line session concurrency — per-day peak open
+    // sessions + starts; capacity-planning view of D17's sessions
+    "q_concurrency" -> ((s, d) =>
+      ops.Sessionize.concurrencyCurve(
+        ops.Sessionize.sessions(
+          Tables.events(s, d).select(col("user_id"), col("ts_us"),
+            cents(col("value")).as("v_cents")),
+          key = "user_id", tsUs = "ts_us", valueCents = "v_cents"))),
+
     // ---- D18: bounded-interval range join (same-user pairs ≤ 5 min
     // apart), banded: both sides join on (user_id, time_bucket) with
     // bucket width = the bound, the right side duplicated into its own
@@ -1189,6 +1198,22 @@ object SparkEntry {
             when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
             Seq("doc_id")),
         score = "margin", label = "is_en")),
+
+    // H14: McNemar's paired test — hashed scorer (margin>0) vs the
+    // E7 lexicon lang-id, judged on the discordant rows only
+    "q_mcnemar" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = ops.TextAnalysis.hashedLinearScore(docs)
+        .select(col("doc_id"),
+          when(col("margin") > 0L, 1L).otherwise(0L).as("pred_a"))
+      val b = ops.TextAnalysis.langId(docs)
+        .select(col("doc_id"),
+          when(col("pred_lang") === "en", 1L).otherwise(0L).as("pred_b"))
+      val lab = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      ml.Evaluation.mcnemar(
+        a.join(b, Seq("doc_id")).join(lab, Seq("doc_id")))
+    }),
 
     // H13: Kendall tau-b between the binned margin and binned doc
     // length — the is-the-scorer-just-a-ruler confound check
@@ -1982,6 +2007,66 @@ object SparkEntry {
         |  CAST((SUM(lab) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // H14: discordant-cell chi-square, no continuity correction
+    // (pinned); one double division of exact integers (D71 discipline)
+    "q_mcnemar" -> {
+      val lex = Map(
+        "de" -> "['join','merge','sort','order']",
+        "en" -> "['the','a','of','key']",
+        "es" -> "['data','row','table','column']",
+        "fr" -> "['query','filter','group','window']",
+        "zh" -> "['spark','stream','batch','vector']")
+      val scores = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"CAST(len(list_filter(toks2, x -> list_contains(${lex(c)}, x))) AS BIGINT) AS score_$c")
+        .mkString(",\n    ")
+      val cases = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"WHEN score_$c = g THEN '$c'").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+         |  FROM toks),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+         |  FROM f GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, lang, string_split(text,' ') AS toks2
+         |  FROM documents),
+         |s2 AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM t2),
+         |g2 AS (SELECT *, greatest(score_de, score_en, score_es,
+         |    score_fr, score_zh) AS g FROM s2),
+         |p AS (SELECT doc_id, lang,
+         |    CASE $cases ELSE 'und' END AS pred_lang FROM g2),
+         |j AS (
+         |  SELECT CASE WHEN m.margin > 0 THEN 1 ELSE 0 END AS pred_a,
+         |    CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS pred_b,
+         |    CASE WHEN p.lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM m JOIN p USING (doc_id)),
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pred_a = label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a_right,
+         |    CAST(sum(CASE WHEN pred_b = label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b_right,
+         |    CAST(sum(CASE WHEN pred_a = label AND pred_b != label
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+         |    CAST(sum(CASE WHEN pred_a != label AND pred_b = label
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c_cell
+         |  FROM j)
+         |SELECT n, n_a_right, n_b_right,
+         |  CAST(1000000 * n_a_right // n AS BIGINT) AS acc_a_ppm,
+         |  CAST(1000000 * n_b_right // n AS BIGINT) AS acc_b_ppm,
+         |  b_cell, c_cell,
+         |  CASE WHEN b_cell + c_cell = 0 THEN 0.0
+         |    ELSE CAST((b_cell - c_cell) * (b_cell - c_cell) AS DOUBLE)
+         |      / CAST(b_cell + c_cell AS DOUBLE) END AS chi2
+         |FROM cells""".stripMargin
+    },
+
     // H13: cell-contracted Kendall tau-b; one orientation per
     // unordered cell pair; sqrt is IEEE-correctly-rounded both engines
     "q_kendall" ->
@@ -2400,6 +2485,40 @@ object SparkEntry {
         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // D79: +1/-1 sweep over the D17 sessions; starts before ends at
+    // equal ts (closed intervals); greatest(open, open-d) carries the
+    // overnight plateau; per-day max is tie-order invariant
+    "q_concurrency" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, session_seq, min(ts_us) AS start_us,
+        |    max(ts_us) AS end_us
+        |  FROM s GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT start_us AS ts, 1 AS d FROM sess
+        |  UNION ALL SELECT end_us, -1 FROM sess),
+        |sweep AS (
+        |  SELECT ts, d,
+        |    sum(d) OVER (ORDER BY ts, d DESC ROWS UNBOUNDED PRECEDING)
+        |      AS open
+        |  FROM deltas)
+        |SELECT ts // 86400000000 AS day,
+        |  CAST(max(greatest(open, open - d)) AS BIGINT) AS peak_concurrent,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_starts
+        |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_range_join" ->
       """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)

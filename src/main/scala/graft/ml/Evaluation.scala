@@ -298,6 +298,40 @@ object Evaluation {
         col("cost_cents"))
   }
 
+  /** H14 — McNemar's paired test (Psychometrika 1947): did classifier
+    * B actually improve on classifier A, judged ONLY on the rows where
+    * they disagree? Accuracy deltas on the full corpus double-count
+    * the easy rows both get right; the paired statistic
+    * χ² = (b−c)²/(b+c) over the discordant cells (b = A right/B
+    * wrong, c = A wrong/B right) is the test that matches how model
+    * swaps are actually decided. No continuity correction (pinned —
+    * the uncorrected form is the one that is exact-rational). Cells
+    * and per-model accuracies are exact integers off ONE corpus pass
+    * (a single aggregation, no shuffle beyond it); the χ² is one
+    * double division of exactly-represented integers in identical
+    * literal order (the D71 discipline). b+c = 0 (never disagree)
+    * emits χ² = 0 with the cells showing why, never NULL/NaN. */
+  def mcnemar(paired: DataFrame, a: String = "pred_a",
+              b: String = "pred_b", label: String = "label"): DataFrame =
+    paired
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(a) === col(label), 1L).otherwise(0L)).as("n_a_right"),
+        sum(when(col(b) === col(label), 1L).otherwise(0L)).as("n_b_right"),
+        sum(when(col(a) === col(label) && col(b) =!= col(label), 1L)
+          .otherwise(0L)).as("b_cell"),
+        sum(when(col(a) =!= col(label) && col(b) === col(label), 1L)
+          .otherwise(0L)).as("c_cell"))
+      .select(col("n"), col("n_a_right"), col("n_b_right"),
+        expr("1000000 * n_a_right div n").as("acc_a_ppm"),
+        expr("1000000 * n_b_right div n").as("acc_b_ppm"),
+        col("b_cell"), col("c_cell"),
+        when(col("b_cell") + col("c_cell") === 0L, lit(0.0))
+          .otherwise(
+            ((col("b_cell") - col("c_cell")) *
+              (col("b_cell") - col("c_cell"))).cast("double") /
+              (col("b_cell") + col("c_cell")).cast("double"))
+          .as("chi2"))
+
   /** H13 — Kendall τ-b rank correlation between two BINNED integer
     * columns (Kendall 1938; tie-corrected τ-b 1945) — here the
     * score-confound check an eval suite owes its users: is the scorer

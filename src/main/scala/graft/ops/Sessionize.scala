@@ -32,4 +32,41 @@ object Sessionize {
         sum(col(valueCents)).as("sum_cents"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** D79 — session CONCURRENCY curve by sweep-line: per day the peak
+    * number of simultaneously-open sessions and the session-start
+    * count — the capacity-planning read (peak concurrent users sizes
+    * connection pools and state stores; D17 counts sessions, this
+    * counts their OVERLAP). Classic interval stabbing: +1 at each
+    * session start, −1 at each end, one global running sum ordered by
+    * (ts, +1-before-−1) — the tie order makes intervals CLOSED (a
+    * session ending exactly when another starts overlaps it for an
+    * instant, and a single-event session still counts while it lives).
+    * The carry-in plateau is captured without a calendar grid:
+    * `greatest(open, open − d)` at any row is the concurrency just
+    * before it, so a day whose first delta is an end still reports the
+    * level it inherited overnight. Within a run of identical (ts, d)
+    * rows the per-row prefix values permute but their MULTISET is
+    * fixed, so the per-day max is engine-order-invariant — the only
+    * reason the output hashes despite a non-total sort key.
+    *
+    * Scale: sessions are a contraction of events (D17's output, ~one
+    * row per user-visit); the sweep's global window runs over THAT
+    * frame — the H4 distinct-contraction posture, not an event sort.
+    * Days with no session boundary are absent (concurrency there is
+    * flat and readable off the neighbors). */
+  def concurrencyCurve(sess: DataFrame): DataFrame = {
+    val deltas = sess
+      .select(col("start_us").as("ts"), lit(1L).as("d"))
+      .unionByName(sess.select(col("end_us").as("ts"), lit(-1L).as("d")))
+    val w = Window.orderBy(col("ts"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("open", sum(col("d")).over(w))
+      .groupBy(expr("ts div 86400000000").as("day"))
+      .agg(max(greatest(col("open"), col("open") - col("d")))
+          .as("peak_concurrent"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy(col("day"))
+  }
 }

@@ -651,4 +651,82 @@ object StreamingOps {
     txns.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
+
+  case class VeloState(frontier: Long, n_late: Long,
+                       buf: List[(Long, Long, Long)])
+  case class VeloRow(user_id: Long, ts_us: Long, event_id: Long,
+                     amt_cents: Long, cnt_1h: Long, sum_1h: Long,
+                     cnt_24h: Long, sum_24h: Long, cnt_7d: Long,
+                     sum_7d: Long, late: Boolean)
+
+  /** F26 — the ONLINE serving path of the D77 velocity features, and
+    * the reason both exist: a fraud model is trained on the batch mart
+    * and scored against this stream — if the two disagree, the model
+    * sees TRAIN/SERVE SKEW, the classic silent killer of deployed
+    * scorers. This maintainer makes the agreement a THEOREM instead of
+    * a hope: per user the F25 state shape (frontier + the transactions
+    * inside 2·Wmax, the same exactness argument — an accepted arrival
+    * is ≥ frontier−Wmax, its deepest window reaches frontier−2·Wmax),
+    * each trigger merges arrivals into the sorted buffer FIRST and
+    * then computes every new transaction's features over the merged
+    * buffer with the batch operator's exact member rule ((ts, id) ≤
+    * end's, ts ≥ end−W) — so intra-trigger disorder is invisible and
+    * an in-order-per-key feed reproduces batch D77 row for row
+    * (ParitySpec pins it, across a checkpoint restart). Emitted rows
+    * are append-only facts (the F21 contract): a late-but-accepted
+    * arrival gets CORRECT event-time features itself, but does not
+    * retro-correct rows already served — exactly what a serving log
+    * would show. Stragglers behind frontier−Wmax emit a `late=true`
+    * tombstone row (zero features) — loud, never silent. */
+  def velocityStream(txns: Dataset[StructTxn],
+                     windowsUs: Seq[Long] = Seq(3600000000L, 86400000000L,
+                       604800000000L)): Dataset[VeloRow] = {
+    import txns.sparkSession.implicits._
+    require(windowsUs.size == 3, "VeloRow carries exactly three horizons")
+    val wmax = windowsUs.max
+    def step(u: Long, rows: Iterator[StructTxn],
+             st: GroupState[VeloState]): Iterator[VeloRow] = {
+      val prev = st.getOption.getOrElse(
+        VeloState(Long.MinValue, 0L, Nil))
+      val (accepted, dropped) = rows.toSeq.partition(t =>
+        prev.frontier == Long.MinValue || t.ts_us >= prev.frontier - wmax)
+      val buf = (prev.buf ++ accepted.map(t =>
+        (t.ts_us, t.event_id, t.amt_cents)))
+        .sortBy(x => (x._1, x._2)).toVector
+      val frontier = math.max(prev.frontier,
+        if (buf.isEmpty) Long.MinValue else buf.last._1)
+      val pre = new Array[Long](buf.length + 1)
+      var i = 0
+      while (i < buf.length) { pre(i + 1) = pre(i) + buf(i)._3; i += 1 }
+      def feats(t: StructTxn): Seq[Long] = {
+        // end position: last index with (ts, id) <= (t.ts, t.id) —
+        // binary search over the sorted buffer
+        var blo = 0; var bhi = buf.length - 1; var end = -1
+        while (blo <= bhi) {
+          val mid = (blo + bhi) >>> 1
+          val m = buf(mid)
+          if (m._1 < t.ts_us || (m._1 == t.ts_us && m._2 <= t.event_id)) {
+            end = mid; blo = mid + 1
+          } else bhi = mid - 1
+        }
+        windowsUs.flatMap { w =>
+          var lo = 0
+          while (lo <= end && buf(lo)._1 < t.ts_us - w) lo += 1
+          Seq((end + 1 - lo).toLong, pre(end + 1) - pre(lo))
+        }
+      }
+      st.update(VeloState(frontier, prev.n_late + dropped.size,
+        buf.filter(_._1 >= frontier - 2 * wmax).toList))
+      (accepted.sortBy(t => (t.ts_us, t.event_id)).map { t =>
+        val f = feats(t)
+        VeloRow(u, t.ts_us, t.event_id, t.amt_cents,
+          f(0), f(1), f(2), f(3), f(4), f(5), late = false)
+      } ++ dropped.map(t =>
+        VeloRow(u, t.ts_us, t.event_id, t.amt_cents,
+          0L, 0L, 0L, 0L, 0L, 0L, late = true))).iterator
+    }
+    txns.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(step)
+  }
 }

@@ -252,6 +252,20 @@ class MlSpec extends SparkSpec {
       "the max(s)+1 sentinel must be electable and chosen")
   }
 
+  test("H14: McNemar judges on discordant cells only; never-disagree is 0") {
+    import spark.implicits._
+    val paired = Seq((1L, 1L, 1L), (1L, 0L, 1L), (0L, 1L, 1L),
+      (0L, 0L, 1L), (1L, 1L, 0L), (1L, 0L, 1L))
+      .toDF("pred_a", "pred_b", "label")
+    val r = graft.ml.Evaluation.mcnemar(paired).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (6L, 3L, 2L))
+    assert((r.getLong(3), r.getLong(4)) == (500000L, 333333L))
+    assert((r.getLong(5), r.getLong(6)) == (2L, 1L))
+    assert(math.abs(r.getDouble(7) - 1.0 / 3.0) < 1e-15)
+    val agree = Seq((1L, 1L, 0L), (0L, 0L, 1L)).toDF("pred_a", "pred_b", "label")
+    assert(graft.ml.Evaluation.mcnemar(agree).collect().head.getDouble(7) == 0.0)
+  }
+
   test("H13: Kendall tau-b — perfect concordance 1.0, ties corrected") {
     import spark.implicits._
     val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("va", "vb")

@@ -459,4 +459,17 @@ class OpsSpec extends SparkSpec {
     assert(pairSet(1) == pairSet(8))
     assert(pairSet(100) == pairSet(8))
   }
+
+  test("D79: concurrency sweep — closed intervals, overnight carry-in") {
+    import spark.implicits._
+    val day = 86400000000L
+    // sA spans midnight; day 1's FIRST delta is sA's end, so its peak
+    // must come from greatest(open, open-d) — the carried-in plateau
+    val sess = Seq((0L, (1.2 * day).toLong), (day / 2, (0.6 * day).toLong),
+      ((1.25 * day).toLong, (1.3 * day).toLong))
+      .toDF("start_us", "end_us")
+    val out = graft.ops.Sessionize.concurrencyCurve(sess).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0L -> ((2L, 2L)), 1L -> ((1L, 1L))))
+  }
 }

@@ -1183,4 +1183,46 @@ class ParitySpec extends SparkSpec {
     assert(streamed.exists(t => t._1 == 1L && t._2 == 3L && t._3 == 240L
       && t._4 == 4L && t._5 == 90L))
   }
+
+  test("F26 streaming velocity features ≡ batch D77 row for row across " +
+      "a restart (train/serve agreement); straggler tombstoned") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{StructTxn, VeloRow}
+    val in = MemoryStream[StructTxn]
+    val ck = ckDir("velo")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[VeloRow]
+    def start() = StreamingOps.velocityStream(in.toDS(),
+        windowsUs = Seq(10L, 50L, 100L))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[VeloRow], _: Long) =>
+        val rows = ds.collect(); buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val b1 = Seq(StructTxn(1L, 0L, 1L, 5L), StructTxn(1L, 8L, 2L, 7L))
+    val b2 = Seq(StructTxn(1L, 50L, 3L, 11L), StructTxn(9L, 1000L, 90L, 9L))
+    val b3 = Seq(StructTxn(1L, 120L, 4L, 13L),
+      StructTxn(9L, 0L, 91L, 1L))   // 0 < 1000-100: must tombstone
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(b2: _*); q2.processAllAvailable()
+      in.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val (lateRows, served) = buf.synchronized { buf.toList }.partition(_.late)
+    assert(lateRows.map(r => (r.user_id, r.event_id)) == List((9L, 91L)))
+    val streamed = served.map(r => (r.user_id, r.ts_us, r.event_id,
+      r.amt_cents, r.cnt_1h, r.sum_1h, r.cnt_24h, r.sum_24h,
+      r.cnt_7d, r.sum_7d)).toSet
+    val batch = graft.ops.Analytics.velocityFeatures(
+      (b1 ++ b2 ++ b3.filterNot(_.user_id == 9L))
+        .map(t => (t.user_id, t.ts_us, t.event_id, t.amt_cents))
+        .toDF("user_id", "ts_us", "event_id", "amt_cents"),
+      windowsUs = Seq(("1h", 10L), ("24h", 50L), ("7d", 100L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
