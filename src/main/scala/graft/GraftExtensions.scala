@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new graft.functions.TopKMinL(children.head,
           children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      FunctionIdentifier("damerau_l"),
+      new ExpressionInfo(classOf[graft.functions.DamerauL].getName,
+        "damerau_l"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DamerauL(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("simhash_l"),
       new ExpressionInfo(classOf[SimHashL].getName, "simhash_l"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

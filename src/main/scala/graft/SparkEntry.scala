@@ -929,6 +929,10 @@ object SparkEntry {
     // ---- E27: blocked fuzzy lookup (entity resolution by edit distance)
     "q_fuzzy" -> ((s, d) =>
       ops.FuzzyMatch.fuzzyLookup(Tables.part(s, d), "p_partkey", "p_name")),
+    // ---- E65/I26: same lookup under native unrestricted Damerau-
+    // Levenshtein — transpositions are ONE error (fraud typo class)
+    "q_fuzzy_dl" -> ((s, d) =>
+      ops.FuzzyMatch.fuzzyLookupDL(Tables.part(s, d), "p_partkey", "p_name")),
 
     // ---- D34: Z-order clustering statistics (native ZValueL interleave;
     // tight per-bucket spans on BOTH dims = multi-dimensional file skipping)
@@ -4555,6 +4559,49 @@ object SparkEntry {
         |    CAST(levenshtein(q.q_name, n.name) AS BIGINT) AS dist, n.gsz
         |  FROM qn q JOIN nmb n USING (blk)
         |  WHERE levenshtein(q.q_name, n.name) <= 2),
+        |bd AS (SELECT q_name, dist, CAST(sum(gsz) AS BIGINT) AS msz
+        |  FROM pd GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT q_name, dist FROM (
+        |    SELECT q_name, dist,
+        |      COALESCE(SUM(msz) OVER (PARTITION BY q_name ORDER BY dist
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lower
+        |    FROM bd)
+        |  WHERE lower < 6),
+        |ex AS (
+        |  SELECT qi.q_id, m.rid AS match_id, kp.dist
+        |  FROM qi
+        |  JOIN (SELECT pd.* FROM pd JOIN cut USING (q_name, dist)) kp
+        |    ON kp.q_name = qi.q_name
+        |  JOIN p m ON m.name = kp.name
+        |  WHERE m.rid <> qi.q_id),
+        |ranked AS (
+        |  SELECT q_id, match_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dist, match_id) AS BIGINT) AS rn
+        |  FROM ex)
+        |SELECT q_id, match_id, dist, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // E65: DuckDB's damerau_levenshtein IS the unrestricted DL the
+    // native kernel computes (verified: dl('ca','abc') = 2, not OSA 3)
+    "q_fuzzy_dl" ->
+      """WITH p AS (SELECT p_partkey AS rid, p_name AS name FROM part),
+        |nmb AS (
+        |  SELECT name, count(*) AS gsz,
+        |    string_split(name,' ')[1] || '|' ||
+        |      substr(string_split(name,' ')[2],1,1) AS blk
+        |  FROM p GROUP BY name),
+        |qi AS (SELECT rid AS q_id, name AS q_name FROM p WHERE rid % 199 = 0),
+        |qn AS (
+        |  SELECT DISTINCT q.q_name, b.blk
+        |  FROM qi q JOIN nmb b ON b.name = q.q_name),
+        |pd AS (
+        |  SELECT q.q_name, n.name,
+        |    CAST(damerau_levenshtein(q.q_name, n.name) AS BIGINT) AS dist,
+        |    n.gsz
+        |  FROM qn q JOIN nmb n USING (blk)
+        |  WHERE damerau_levenshtein(q.q_name, n.name) <= 2),
         |bd AS (SELECT q_name, dist, CAST(sum(gsz) AS BIGINT) AS msz
         |  FROM pd GROUP BY 1, 2),
         |cut AS (

@@ -44,7 +44,30 @@ object FuzzyMatch {
     * only O(k + tie mass) rows per query reach the rank window. */
   def fuzzyLookup(records: DataFrame, idCol: String, nameCol: String,
                   queryMod: Long = 199, maxDist: Int = 2, k: Int = 5)
-      : DataFrame = {
+      : DataFrame =
+    lookupCore(records, idCol, nameCol, queryMod, k,
+      (a, b) => levenshtein(a, b, maxDist).cast(LongType))
+
+  /** E65 — the same blocked lookup under UNRESTRICTED Damerau–
+    * Levenshtein (the native codegen'd [[graft.functions.DamerauL]],
+    * I26): a transposed digit pair or swapped character is ONE error —
+    * the typo class fraud identity fields actually carry (passport
+    * numbers, names keyed by hand) that plain Levenshtein bills as
+    * two and pushes past the threshold. Same blocking, same two exact
+    * contractions, same −1-past-max kernel contract; only the metric
+    * changes, so any DL-vs-L difference in the mart is attributable
+    * to transpositions alone. */
+  def fuzzyLookupDL(records: DataFrame, idCol: String, nameCol: String,
+                    queryMod: Long = 199, maxDist: Int = 2, k: Int = 5)
+      : DataFrame =
+    lookupCore(records, idCol, nameCol, queryMod, k,
+      (a, b) => graft.functions.DamerauL(a, b, maxDist))
+
+  private def lookupCore(records: DataFrame, idCol: String, nameCol: String,
+                         queryMod: Long, k: Int,
+                         dist: (org.apache.spark.sql.Column,
+                           org.apache.spark.sql.Column) =>
+                           org.apache.spark.sql.Column): DataFrame = {
     val recs = records.select(col(idCol).as("rid"), col(nameCol).as("name"))
     val names = withBlock(
       recs.groupBy(col("name")).agg(count(lit(1)).as("gsz")), "name")
@@ -53,8 +76,7 @@ object FuzzyMatch {
     val qNames = qIds.select(col("q_name")).distinct()
       .join(names.select(col("name").as("q_name"), col("blk")), Seq("q_name"))
     val pairDist = qNames.join(names, Seq("blk"))
-      .withColumn("dist",
-        levenshtein(col("q_name"), col("name"), maxDist).cast(LongType))
+      .withColumn("dist", dist(col("q_name"), col("name")))
       .filter(col("dist") >= 0)
       .select(col("q_name"), col("name"), col("dist"), col("gsz"))
     val byDist = pairDist.groupBy(col("q_name"), col("dist"))

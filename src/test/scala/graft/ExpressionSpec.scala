@@ -281,4 +281,27 @@ class ExpressionSpec extends SparkSpec {
       .count()
     assert(none == 0L)
   }
+
+  test("I26: damerau_l — unrestricted DL, threshold contract, SQL path") {
+    import graft.functions.DamerauL
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // the OSA discriminator: unrestricted DL edits inside a transposed
+    // block ("ca"→"ac"→"abc" = 2); OSA forbids it and answers 3
+    assert(DamerauL.dist(u("ca"), u("abc"), 5) == 2L)
+    assert(DamerauL.dist(u("abcd"), u("acbd"), 5) == 1L)  // one swap
+    assert(DamerauL.dist(u("kitten"), u("sitting"), 5) == 3L)
+    assert(DamerauL.dist(u(""), u("ab"), 5) == 2L)
+    assert(DamerauL.dist(u("same"), u("same"), 0) == 0L)
+    // threshold: -1 past max, including the length-difference fast cut
+    assert(DamerauL.dist(u("kitten"), u("sitting"), 2) == -1L)
+    assert(DamerauL.dist(u("a"), u("abcdef"), 2) == -1L)
+    // column + SQL registration paths agree with the kernel
+    val df = Seq(("paspsort", "passport"), ("1234567", "1243567"))
+      .toDF("a", "b")
+    assert(df.select(DamerauL(col("a"), col("b"), 3)).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    df.createOrReplaceTempView("dl_t")
+    assert(spark.sql("SELECT damerau_l(a, b, 3) FROM dl_t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 1L))
+  }
 }
