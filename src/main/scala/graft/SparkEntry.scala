@@ -1203,6 +1203,27 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // ---- B24: inferred-member placeholders for late-arriving dims
+    // (dim rows with key%97==0 withheld in BOTH engines to simulate
+    // the straggler load; the op re-infers them from pending facts)
+    "q_inferred" -> ((s, d) =>
+      etl.DataQuality.inferredMembers(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate")),
+        "o_custkey",
+        Tables.customer(s, d).filter(col("c_custkey") % 97 =!= 0),
+        "c_custkey", "o_orderdate")),
+
+    // H15: exact average precision (the PR-curve scalar) on the same
+    // scored frame as q_auc — the rare-positive ranking verdict
+    "q_ap" -> ((s, d) =>
+      ml.Evaluation.averagePrecision(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
     // H14: McNemar's paired test — hashed scorer (margin>0) vs the
     // E7 lexicon lang-id, judged on the discordant rows only
     "q_mcnemar" -> ((s, d) => {
@@ -2010,6 +2031,59 @@ object SparkEntry {
         |  CAST(SUM(margin) AS BIGINT) AS sum_score,
         |  CAST((SUM(lab) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // B24: anti join on the key-domain contraction; %97 dims withheld
+    // in both engines
+    "q_inferred" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS inferred_key, o_orderdate AS ts FROM orders
+        |  WHERE o_custkey IS NOT NULL),
+        |agg AS (
+        |  SELECT inferred_key, CAST(count(*) AS BIGINT) AS n_pending_facts,
+        |    min(ts) AS first_seen, max(ts) AS last_seen
+        |  FROM f GROUP BY 1),
+        |dim AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey % 97 != 0)
+        |SELECT a.inferred_key, n_pending_facts, first_seen, last_seen,
+        |  CAST(1 AS BIGINT) AS inferred_flg
+        |FROM agg a LEFT JOIN dim d ON d.c_custkey = a.inferred_key
+        |WHERE d.c_custkey IS NULL
+        |ORDER BY inferred_key""".stripMargin,
+
+    // H15: tie groups contribute their positive mass at the group's
+    // own precision; per-level ppm floors identical both engines
+    "q_ap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bys AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lab) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1),
+        |cw AS (SELECT *,
+        |    CAST(sum(np) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tp,
+        |    CAST(sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_n
+        |  FROM bys),
+        |pp AS (SELECT *, 1000000 * cum_tp // cum_n AS prec_ppm FROM cw)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * prec_ppm) // sum(np) AS BIGINT) AS ap_ppm,
+        |  CAST(1000000 * sum(np) // (sum(np) + sum(n - np)) AS BIGINT)
+        |    AS prevalence_ppm
+        |FROM pp""".stripMargin,
 
     // H14: discordant-cell chi-square, no continuity correction
     // (pinned); one double division of exact integers (D71 discipline)

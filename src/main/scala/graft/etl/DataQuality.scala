@@ -136,6 +136,39 @@ object DataQuality {
     }.reduce(_ unionByName _)
       .orderBy(col("fk"))
 
+  /** B24 — INFERRED-MEMBER synthesis for late-arriving dimensions
+    * (Kimball's early-arriving-fact pattern, *DW Toolkit* ch. 6): when
+    * a fact references a dimension key the DWH hasn't loaded yet, the
+    * load must not drop the fact (revenue vanishes) nor fail the batch
+    * (one straggler key blocks the day) — it mints a PLACEHOLDER
+    * dimension row per orphan key, flagged `inferred_flg = 1`, which
+    * the normal B2-B5 SCD2 machinery later overwrites as a `changed`
+    * record when the real dimension row lands (no special repair path
+    * — that is the point of the pattern). This op emits the
+    * placeholder mart: one row per orphan key with the pending-fact
+    * blast radius (row count, first/last seen instant) — what the
+    * ops channel pages on, and exactly the rows to union into the
+    * dim. B20 reports the damage; this repairs it.
+    *
+    * Scale: the fact side contracts to (key, count, min, max) FIRST —
+    * the anti join compares key domains, never fact tables (B20's
+    * shape); NULL keys excluded (they reference nothing, B20
+    * semantics). */
+  def inferredMembers(facts: DataFrame, factKey: String,
+                      dim: DataFrame, dimKey: String,
+                      tsCol: String): DataFrame =
+    facts
+      .select(col(factKey).cast("long").as("inferred_key"),
+        col(tsCol).as("ts"))
+      .filter(col("inferred_key").isNotNull)
+      .groupBy(col("inferred_key"))
+      .agg(count(lit(1)).as("n_pending_facts"),
+        min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+      .join(dim.select(col(dimKey).cast("long").as("inferred_key"))
+        .distinct(), Seq("inferred_key"), "left_anti")
+      .withColumn("inferred_flg", lit(1L))
+      .orderBy(col("inferred_key"))
+
   /** B12 — key-skew profiler: the pre-flight diagnostic behind every
     * salting / skew-join decision (relational/Salting.scala) — is this
     * key safe to shuffle on, and how hot is the hottest key?

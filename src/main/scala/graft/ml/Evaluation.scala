@@ -298,6 +298,38 @@ object Evaluation {
         col("cost_cents"))
   }
 
+  /** H15 — exact AVERAGE PRECISION (AP, the scalar that summarizes
+    * H7's PR curve the way H4 summarizes ROC): AP = Σ_k ΔR_k·P_k over
+    * score levels descending — the ranking metric that, unlike AUC,
+    * collapses when positives are rare and the top of the list is
+    * wrong, which is why retrieval and fraud-triage evals quote it.
+    * Tie handling pinned: a tie group contributes its whole positive
+    * mass at the group's OWN precision (the "all-at-this-threshold"
+    * reading — thresholds live between distinct scores, so partial
+    * credit inside a group is not observable). Per-level precision is
+    * an exact ppm floor; AP_ppm = (Σ np_k·prec_ppm_k) div n_pos —
+    * deterministic cross-engine, alongside the no-skill baseline
+    * (prevalence) the number is read against.
+    *
+    * Scale: the H4/H7 distinct-score contraction — one corpus pass,
+    * one cumulative window over the score domain. */
+  def averagePrecision(scored: DataFrame, score: String = "score",
+                       label: String = "label"): DataFrame = {
+    val byScore = scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("cum_tp", sum(col("np")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("prec_ppm", expr("1000000 * cum_tp div cum_n"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * col("prec_ppm")).as("apsum"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("apsum div n_pos").as("ap_ppm"),
+        expr("1000000 * n_pos div (n_pos + n_neg)").as("prevalence_ppm"))
+  }
+
   /** H14 — McNemar's paired test (Psychometrika 1947): did classifier
     * B actually improve on classifier A, judged ONLY on the rows where
     * they disagree? Accuracy deltas on the full corpus double-count

@@ -252,6 +252,18 @@ class MlSpec extends SparkSpec {
       "the max(s)+1 sentinel must be electable and chosen")
   }
 
+  test("H15: average precision — exact hand case, perfect ranking 1.0") {
+    import spark.implicits._
+    val mixed = Seq((3L, 1L), (2L, 0L), (1L, 1L)).toDF("score", "label")
+    val r = graft.ml.Evaluation.averagePrecision(mixed).collect().head
+    // levels desc: prec 1e6, 500000, 666666; AP = (1e6 + 666666) div 2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 1L, 833333L, 666666L))
+    val perfect = Seq((3L, 1L), (2L, 1L), (1L, 0L)).toDF("score", "label")
+    assert(graft.ml.Evaluation.averagePrecision(perfect)
+      .collect().head.getLong(2) == 1000000L)
+  }
+
   test("H14: McNemar judges on discordant cells only; never-disagree is 0") {
     import spark.implicits._
     val paired = Seq((1L, 1L, 1L), (1L, 0L, 1L), (0L, 1L, 1L),

@@ -210,6 +210,20 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(3) == 3L, "three rows reference the dangling key")
   }
 
+  test("B24: inferred members mint one placeholder per orphan key with " +
+      "its pending blast radius; NULL and covered keys excluded") {
+    val facts = Seq((Some(1L), 10L), (Some(2L), 20L), (Some(2L), 5L),
+      (Some(9L), 7L), (None, 99L)).toDF("fk", "ts")
+    val dim = Seq(1L, 3L).toDF("pk")
+    val out = graft.etl.DataQuality
+      .inferredMembers(facts, "fk", dim, "pk", "ts").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      2L -> ((2L, 5L, 20L, 1L)),   // two pending facts, span [5, 20]
+      9L -> ((1L, 7L, 7L, 1L))))
+  }
+
   test("B21: delta-join algebra equals the full recompute on random splits") {
     import graft.etl.IncrementalJoin
     val rnd = new scala.util.Random(7L)
