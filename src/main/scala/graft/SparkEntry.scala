@@ -481,6 +481,10 @@ object SparkEntry {
     // mean df doubling-bucket (integer stand-in for self-information)
     "q_novelty" -> ((s, d) =>
       ops.CorpusStats.docNovelty(Tables.documents(s, d))),
+    // E66: per-source Gini–Simpson lexical diversity — the log-free
+    // concentration index (boilerplate shows as a diversity cliff)
+    "q_diversity" -> ((s, d) =>
+      ops.CorpusStats.sourceDiversity(Tables.documents(s, d))),
     // E45: MinHash estimator calibration — signature-agreement estimate
     // (exact ppm) vs exact Jaccard on every LSH candidate pair
     "q_minhash_calib" -> ((s, d) =>
@@ -3321,6 +3325,30 @@ object SparkEntry {
         |  CAST(1000000 * (CAST(ta AS HUGEINT) * tb - smin)
         |    // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tv_ppm
         |FROM pairs ORDER BY source_a, source_b""".stripMargin,
+
+    // E66: unbiased without-replacement Simpson; HUGEINT products
+    "q_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    sum(CAST(f AS HUGEINT) * (f - 1)) AS coll
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, n_vocab, n_tokens,
+        |  CAST(CASE WHEN n_tokens <= 1 THEN 0
+        |    ELSE 1000000 * coll
+        |      // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |    END AS BIGINT) AS simpson_ppm,
+        |  CAST(CASE WHEN n_tokens <= 1 THEN 0
+        |    ELSE 1000000 - 1000000 * coll
+        |      // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |    END AS BIGINT) AS diversity_ppm
+        |FROM ag ORDER BY source""".stripMargin,
 
     // E64: per-doc novelty — distinct shingles, df=1 share, max df,
     // mean df bit-length (the E56 doubling-bucket idiom)

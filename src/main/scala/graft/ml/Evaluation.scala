@@ -27,9 +27,14 @@ object Evaluation {
     * only. Exact while nPos·nNeg·10^6 fits a long — beyond ~3·10^9
     * scored rows, stratify (per-slice AUC) before this op. */
   def aucExact(scored: DataFrame, score: String = "score",
-               label: String = "label"): DataFrame = {
-    val byScore = scored.groupBy(col(score).as("s"))
-      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+               label: String = "label"): DataFrame =
+    finishAuc(scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np")))
+
+  /** The rank-sum back half over a (s, n, np) distinct-score frame —
+    * shared with the F27 streaming monitor so live and batch AUC are
+    * the same arithmetic applied to the same contraction shape. */
+  def finishAuc(byScore: DataFrame): DataFrame = {
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
@@ -314,9 +319,12 @@ object Evaluation {
     * Scale: the H4/H7 distinct-score contraction — one corpus pass,
     * one cumulative window over the score domain. */
   def averagePrecision(scored: DataFrame, score: String = "score",
-                       label: String = "label"): DataFrame = {
-    val byScore = scored.groupBy(col(score).as("s"))
-      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+                       label: String = "label"): DataFrame =
+    finishAp(scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np")))
+
+  /** The AP back half over a (s, n, np) frame — F27's other finisher. */
+  def finishAp(byScore: DataFrame): DataFrame = {
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     byScore

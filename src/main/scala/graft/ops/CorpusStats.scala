@@ -195,6 +195,45 @@ object CorpusStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** E66 — per-source Gini–Simpson lexical diversity (Simpson, Nature
+    * 1949): the probability two tokens drawn WITHOUT replacement are
+    * the same word — `simpson_ppm = 10⁶·Σf(f−1) div (T(T−1))` — and
+    * its complement `diversity_ppm`. This is the one classical
+    * diversity index with NO logarithm (Shannon entropy would put
+    * transcendentals in the oracle path — the E62 argument), and the
+    * without-replacement form is the unbiased estimator, exact in
+    * integers. Reads: template/boilerplate-dominated sources score
+    * concentrated (high simpson) even when their raw vocabulary E57
+    * counts look healthy; a diversity CLIFF between two sources E62
+    * calls near-identical is a repetition artifact, not content.
+    * Degenerate sources (≤1 token) pin to 0, documented.
+    *
+    * Scale: one tokenize pass to (source, word) counts — the corpus's
+    * only shuffle — then contraction to one row per source; Σf(f−1)
+    * in decimal(38,0)/HUGEINT (f² passes int64 at ~3·10⁹ occurrences
+    * of one word — real for stop words at 100 TB). */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("f")).as("n_tokens"),
+        sum((col("f").cast("decimal(38,0)") * (col("f") - 1L)))
+          .as("coll"))
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        when(col("n_tokens") <= 1L, lit(0L))
+          .otherwise(expr(
+            """1000000 * coll div
+               (cast(n_tokens as decimal(38,0)) * (n_tokens - 1))""")
+            .cast("long")).as("simpson_ppm"))
+      .withColumn("diversity_ppm",
+        when(col("n_tokens") <= 1L, lit(0L))
+          .otherwise(lit(1000000L) - col("simpson_ppm")))
+      .orderBy(col("source"))
+  }
+
   /** E64 — per-document NOVELTY profile against the whole corpus: how
     * much of each document's shingle set exists nowhere else
     * (`unique_ppm`), how common its most-common shingle is (`max_df`),

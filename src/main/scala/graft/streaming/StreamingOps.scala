@@ -652,6 +652,23 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** F27 — streaming scorer-HEALTH monitor (H4 + H15 run live): the
+    * deployed model's AUC and average precision over everything scored
+    * so far, refreshed per trigger — the monitor that catches "the
+    * fraud ring changed and the model quietly stopped ranking" days
+    * before the weekly batch eval would. State is the per-score
+    * (count, positive-count) frame as a complete-mode grouped
+    * aggregation — associative merges, bounded by the SCORE DOMAIN
+    * forever (the F17/F22/F23 minimal-state split: rank-sum windows
+    * and precision folds are non-associative, so they run on the
+    * bounded snapshot through the BATCH finishers
+    * [[graft.ml.Evaluation]] `finishAuc`/`finishAp` — live and batch
+    * can never disagree on what AUC means). */
+  def scorerHealthState(scored: DataFrame, score: String = "score",
+                        label: String = "label"): DataFrame =
+    scored.groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+
   case class VeloState(frontier: Long, n_late: Long,
                        buf: List[(Long, Long, Long)])
   case class VeloRow(user_id: Long, ts_us: Long, event_id: Long,

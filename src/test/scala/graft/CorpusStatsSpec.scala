@@ -66,6 +66,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> ((1L, 500000L, 1000000L))))
   }
 
+  test("E66: Simpson diversity — exact thirds, all-same 1e6, distinct 0") {
+    val docs = Seq(("a", "x x y"), ("b", "z z z"), ("c", "p q r"))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // a: Σf(f-1)=2, T(T-1)=6 -> 333333 / 666667
+    assert(out("a") == ((2L, 3L, 333333L, 666667L)))
+    assert(out("b") == ((1L, 3L, 1000000L, 0L)))
+    assert(out("c") == ((3L, 3L, 0L, 1000000L)))
+  }
+
   test("E64: novelty separates unique, shared, and singleton documents") {
     // shingles: d0 {abc, bcd}, d1 {abc}, d2 {xyz}; df: abc=2, bcd=1, xyz=1
     val docs = Seq((0L, "a b c d"), (1L, "a b c"), (2L, "x y z"))

@@ -1184,6 +1184,29 @@ class ParitySpec extends SparkSpec {
       && t._4 == 4L && t._5 == 90L))
   }
 
+  test("F27 streaming scorer health: state finishes to batch AUC and AP " +
+      "across a restart; state stays score-domain-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val ck = ckDir("health")
+    def plan = StreamingOps.scorerHealthState(
+      in.toDS().toDF("score", "label"))
+    // scores repeat across triggers: the per-score counters must MERGE
+    val b1 = Seq((10L, 1L), (20L, 0L), (10L, 0L), (30L, 1L))
+    val b2 = Seq((10L, 1L), (20L, 1L), (40L, 0L), (30L, 1L))
+    completeRun(in, plan, "health_rs1", ck, b1)
+    completeRun(in, plan, "health_rs2", ck, b2)
+    val snapshot = spark.table("health_rs2")
+    assert(snapshot.count() == 4, "state is the distinct-score frame")
+    val all = (b1 ++ b2).toDF("score", "label")
+    val sAuc = graft.ml.Evaluation.finishAuc(snapshot).collect().head
+    val bAuc = graft.ml.Evaluation.aucExact(all).collect().head
+    assert(sAuc.toSeq == bAuc.toSeq, s"auc: $sAuc vs $bAuc")
+    val sAp = graft.ml.Evaluation.finishAp(snapshot).collect().head
+    val bAp = graft.ml.Evaluation.averagePrecision(all).collect().head
+    assert(sAp.toSeq == bAp.toSeq, s"ap: $sAp vs $bAp")
+  }
+
   test("F26 streaming velocity features ≡ batch D77 row for row across " +
       "a restart (train/serve agreement); straggler tombstoned") {
     implicit val sqlCtx = spark.sqlContext
