@@ -878,13 +878,18 @@ object Analytics {
         (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("c"))
     val den = centered.groupBy(col("event_type"))
       .agg(sum(col("c") * col("c")).as("den"), max(col("n")).as("n_days"))
+    // equi-join on the MATERIALIZED (type, day+lag) key — a join on
+    // type alone followed by a day2 = day + lag filter would plan as a
+    // per-type cartesian of the day frame (days² × lags rows before
+    // the filter; ~10⁸ for a 10-year domain where this is ~10⁵)
     val num = centered
-      .select(col("event_type"), col("day"), col("c"),
-        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .select(col("event_type"), col("c"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"),
+        col("day"))
+      .withColumn("day2", col("day") + col("lag"))
       .join(centered.select(col("event_type"), col("day").as("day2"),
           col("c").as("c2")),
-        Seq("event_type"))
-      .filter(col("day2") === col("day") + col("lag"))
+        Seq("event_type", "day2"))
       .groupBy(col("event_type"), col("lag"))
       .agg(sum(col("c") * col("c2")).as("num"))
     num.join(den, Seq("event_type"))
