@@ -1266,6 +1266,41 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // H16: Cohen's kappa between the same two raters q_mcnemar pits
+    // against the label — here judged against EACH OTHER, no label
+    "q_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = ops.TextAnalysis.hashedLinearScore(docs)
+        .select(col("doc_id"),
+          when(col("margin") > 0L, 1L).otherwise(0L).as("pred_a"))
+      val b = ops.TextAnalysis.langId(docs)
+        .select(col("doc_id"),
+          when(col("pred_lang") === "en", 1L).otherwise(0L).as("pred_b"))
+      ml.Evaluation.cohenKappa(a.join(b, Seq("doc_id")))
+    }),
+
+    // H17: MCC at the margin>0 operating point (q_mcnemar's pred_a) —
+    // the imbalance-honest single-threshold verdict beside H8's F1
+    "q_mcc" -> ((s, d) =>
+      ml.Evaluation.mccAtThreshold(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        threshold = 1L, score = "margin", label = "is_en")),
+
+    // H18: ECE + MCE on q_brier's link/bin geometry — the one-number
+    // calibration gate beside H5's picture and H12's attribution
+    "q_ece" -> ((s, d) =>
+      ml.Evaluation.expectedCalibrationError(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        score = "margin", label = "is_en")),
+
     // E48: containment verify on the LSH candidates — the asymmetric
     // measure that catches quote-inclusion dups Jaccard misses
     "q_containment" -> ((s, d) =>
@@ -2239,6 +2274,143 @@ object SparkEntry {
         |  CAST(bsum // n AS BIGINT) - (CAST(rsum // n AS BIGINT)
         |    - CAST(ssum // n AS BIGINT)
         |    + obar_ppm * (1000000 - obar_ppm)) AS identity_gap_e12
+        |FROM ag""".stripMargin,
+
+    // H16: exact cross-multiplied kappa — sign-split ppm, chance term
+    // off the marginal product join, never floored p_o/p_e
+    "q_kappa" -> {
+      val lex = Map(
+        "de" -> "['join','merge','sort','order']",
+        "en" -> "['the','a','of','key']",
+        "es" -> "['data','row','table','column']",
+        "fr" -> "['query','filter','group','window']",
+        "zh" -> "['spark','stream','batch','vector']")
+      val scores = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"CAST(len(list_filter(toks2, x -> list_contains(${lex(c)}, x))) AS BIGINT) AS score_$c")
+        .mkString(",\n    ")
+      val cases = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"WHEN score_$c = g THEN '$c'").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+         |  FROM toks),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+         |  FROM f GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, string_split(text,' ') AS toks2
+         |  FROM documents),
+         |s2 AS (SELECT doc_id,
+         |    $scores
+         |  FROM t2),
+         |g2 AS (SELECT *, greatest(score_de, score_en, score_es,
+         |    score_fr, score_zh) AS g FROM s2),
+         |p AS (SELECT doc_id,
+         |    CASE $cases ELSE 'und' END AS pred_lang FROM g2),
+         |j AS (
+         |  SELECT CASE WHEN m.margin > 0 THEN 1 ELSE 0 END AS pred_a,
+         |    CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS pred_b
+         |  FROM m JOIN p USING (doc_id)),
+         |cells AS (SELECT pred_a, pred_b, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2),
+         |ra AS (SELECT pred_a AS k, CAST(sum(n) AS BIGINT) AS r
+         |  FROM cells GROUP BY 1),
+         |rb AS (SELECT pred_b AS k, CAST(sum(n) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1),
+         |ch AS (SELECT coalesce(sum(CAST(r AS HUGEINT) * c),
+         |    CAST(0 AS HUGEINT)) AS rc
+         |  FROM ra JOIN rb USING (k)),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+         |    CAST(sum(CASE WHEN pred_a = pred_b THEN n ELSE 0 END)
+         |      AS BIGINT) AS agree
+         |  FROM cells),
+         |fin AS (SELECT ntot, agree, rc,
+         |    CAST(ntot AS HUGEINT) * agree - rc AS num,
+         |    CAST(ntot AS HUGEINT) * ntot - rc AS den
+         |  FROM tt, ch)
+         |SELECT ntot AS n, agree,
+         |  CAST(1000000 * agree // ntot AS BIGINT) AS po_ppm,
+         |  CAST(1000000 * rc // (CAST(ntot AS HUGEINT) * ntot)
+         |    AS BIGINT) AS pe_ppm,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |    WHEN num >= 0 THEN 1000000 * num // den
+         |    ELSE -(1000000 * (-num) // den) END AS BIGINT) AS kappa_ppm
+         |FROM fin""".stripMargin
+    },
+
+    // H17: exact cells; MCC = one double step in pinned literal order
+    // (each marginal factor < 2^53 exactly representable, the H13 sqrt
+    // precedent); zero marginal pins 0.0
+    "q_mcc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN margin >= 1 AND lab = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN margin >= 1 AND lab = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN margin < 1 AND lab = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN margin < 1 AND lab = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM sc)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+        |      OR tn + fn = 0 THEN 0.0
+        |    ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+        |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |           * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+        |  END AS mcc
+        |FROM cells""".stripMargin,
+
+    // H18: ECE with the weight-before-floor exact form (one floor at
+    // the final div n); MCE's inner floor is on a non-negative ratio
+    "q_ece" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT margin, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |bb AS (
+        |  SELECT (least(999999, greatest(0, 500000 + margin * 25))
+        |      // 50000) * 50000 + 25000 AS phat,
+        |    CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(lab) AS BIGINT) AS np_k
+        |  FROM sc GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    sum(abs(CAST(1000000 AS HUGEINT) * np_k
+        |      - CAST(phat AS HUGEINT) * n_k)) AS gsum,
+        |    CAST(max(abs(1000000 * np_k // n_k - phat)) AS BIGINT)
+        |      AS mce_ppm
+        |  FROM bb)
+        |SELECT n, n_bins, CAST(gsum // n AS BIGINT) AS ece_ppm, mce_ppm
         |FROM ag""".stripMargin,
 
     "q_kmv_setops" ->

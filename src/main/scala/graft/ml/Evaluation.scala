@@ -425,6 +425,134 @@ object Evaluation {
           .as("tau_b"))
   }
 
+  /** H16 — Cohen's κ chance-corrected agreement (Educ. Psychol. Meas.
+    * 1960) between two categorical raters — the inter-rater companion
+    * to H14: McNemar asks "did B beat A against the LABEL on the
+    * discordant rows"; κ asks "do A and B even agree beyond what their
+    * own base rates force" with no label at all (two lang-id scorers,
+    * two dedup verdicts, model-vs-heuristic triage). Raw agreement
+    * over-credits raters that both say the majority class; κ subtracts
+    * the marginal-product chance floor:
+    * κ = (p_o − p_e)/(1 − p_e) = (n·agree − Σ_k r_k·c_k) /
+    * (n² − Σ_k r_k·c_k) — computed on the EXACT integer cross-multiplied
+    * form, never on floored p_o/p_e (a ppm floor inside the ratio
+    * would poison the correction term). The ppm is sign-split (κ is
+    * negative for systematic disagreement — the D68 truncate-vs-floor
+    * idiom); both-raters-constant (n² = Σr·c, p_e = 1) pins κ = 0 with
+    * the marginal sums showing why, never NULL.
+    *
+    * Scale: one corpus pass contracts to (pred_a, pred_b) contingency
+    * cells — bounded by the label alphabet squared — and everything
+    * after (marginals, the Σr·c join) runs on that frame. Exact while
+    * n² fits decimal(38,0): ~10¹⁹ rows. */
+  def cohenKappa(paired: DataFrame, a: String = "pred_a",
+                 b: String = "pred_b"): DataFrame =
+    finishKappa(paired.groupBy(col(a).as("pred_a"), col(b).as("pred_b"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The κ back half over a (pred_a, pred_b, n) cell frame — shared
+    * with the F28 streaming agreement monitor so live and batch κ are
+    * the same arithmetic on the same contraction shape (the
+    * finishAuc/finishAp split). */
+  def finishKappa(cells: DataFrame): DataFrame = {
+    val margA = cells.groupBy(col("pred_a").as("k"))
+      .agg(sum(col("n")).as("r"))
+    val margB = cells.groupBy(col("pred_b").as("k"))
+      .agg(sum(col("n")).as("c"))
+    val chance = margA.join(margB, Seq("k"), "inner")
+      .agg(coalesce(sum(col("r").cast("decimal(38,0)") * col("c")),
+        lit(0L).cast("decimal(38,0)")).as("rc"))
+    val totals = cells.agg(sum(col("n")).as("ntot"),
+      sum(when(col("pred_a") === col("pred_b"), col("n"))
+        .otherwise(lit(0L))).as("agree"))
+    totals.crossJoin(broadcast(chance))
+      .withColumn("num",
+        col("ntot").cast("decimal(38,0)") * col("agree") - col("rc"))
+      .withColumn("den",
+        col("ntot").cast("decimal(38,0)") * col("ntot") - col("rc"))
+      .select(col("ntot").as("n"), col("agree"),
+        expr("1000000 * agree div ntot").as("po_ppm"),
+        expr("cast(1000000 * rc div (cast(ntot as decimal(38,0)) * ntot)"
+          + " as bigint)").as("pe_ppm"),
+        when(col("den") === 0, lit(0L))
+          .when(col("num") >= 0,
+            expr("cast(1000000 * num div den as bigint)"))
+          .otherwise(-expr("cast(1000000 * (-num) div den as bigint)"))
+          .cast("long").as("kappa_ppm"))
+  }
+
+  /** H17 — Matthews correlation coefficient at a pinned threshold
+    * (Matthews, BBA 1975; = the φ coefficient of the 2×2 table): the
+    * single-threshold verdict that stays honest under class imbalance,
+    * where accuracy and even F1 reward the flag-everything /
+    * flag-nothing degenerates (F1 ignores TN entirely — a scorer can
+    * post 0.9 F1 while anti-correlated on the rare class). The four
+    * cells and the numerator tp·tn − fp·fn are exact BIGINTs off one
+    * corpus pass; MCC itself is the one IEEE step — num /
+    * √(s1·s2·s3·s4) with the four marginal factors cast to double and
+    * multiplied in identical literal order both engines (each factor
+    * ≤ n is exactly representable below 2⁵³; the PRODUCT is where
+    * int64 would overflow at n ≳ 55k, hence doubles — the H13 √
+    * precedent). Any zero marginal pins MCC = 0 (the undefined-limit
+    * convention), cells emitted so the degenerate is visible. */
+  def mccAtThreshold(scored: DataFrame, threshold: Long = 1L,
+                     score: String = "score", label: String = "label")
+      : DataFrame =
+    scored
+      .agg(sum(when(col(score) >= threshold && col(label) === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col(score) >= threshold && col(label) === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col(score) < threshold && col(label) === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col(score) < threshold && col(label) === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("s1", col("tp") + col("fp"))
+      .withColumn("s2", col("tp") + col("fn"))
+      .withColumn("s3", col("tn") + col("fp"))
+      .withColumn("s4", col("tn") + col("fn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("s1") === 0L || col("s2") === 0L || col("s3") === 0L
+            || col("s4") === 0L, lit(0.0))
+          .otherwise(
+            (col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+              sqrt(col("s1").cast("double") * col("s2").cast("double") *
+                col("s3").cast("double") * col("s4").cast("double")))
+          .as("mcc"))
+
+  /** H18 — expected calibration error (ECE; Naeini et al., AAAI 2015)
+    * plus the max-gap MCE, on H12's exact binning geometry: the
+    * deployment-gating scalar ("is a 0.9 really a 0.9?") where H5
+    * draws the picture and H12 attributes the Brier mass. The mean
+    * |gap| is kept exact by weighting BEFORE flooring: per category
+    * n_k·|rate_k − p_k| = |10⁶·np_k − p_k·n_k| is an exact integer
+    * (one floor total at the final div n, not one per bin); MCE is the
+    * max per-bin |10⁶·np_k div n_k − p_k| — its inner floor is on a
+    * non-negative integer ratio so both engines land identically.
+    * Same clamped-linear link and midpoint categories as H12, so the
+    * three calibration views (H5/H12/H18) describe one geometry.
+    *
+    * Scale: the H12 shape — one map pass, contraction to ≤ 10⁶/binPpm
+    * category rows; sums decimal(38,0) (10⁶·np_k caps int64 near 10¹³
+    * rows). */
+  def expectedCalibrationError(scored: DataFrame, score: String = "score",
+                               label: String = "label",
+                               linkSlope: Long = 25L,
+                               binPpm: Long = 50000L): DataFrame =
+    scored
+      .withColumn("phat", expr(
+        s"""(least(999999, greatest(0, 500000 + $score * $linkSlope))
+            div $binPpm) * $binPpm + ${binPpm / 2}"""))
+      .groupBy(col("phat"))
+      .agg(count(lit(1)).as("n_k"), sum(col(label)).as("np_k"))
+      .agg(sum(col("n_k")).as("n"), count(lit(1)).as("n_bins"),
+        sum(abs(lit(1000000L).cast("decimal(38,0)") * col("np_k")
+          - col("phat").cast("decimal(38,0)") * col("n_k"))).as("gsum"),
+        max(abs(expr("1000000 * np_k div n_k") - col("phat")))
+          .as("mce_ppm"))
+      .select(col("n"), col("n_bins"),
+        expr("cast(gsum div n as bigint)").as("ece_ppm"), col("mce_ppm"))
+
   /** H12 — Murphy decomposition of the Brier score (Murphy, J. Appl.
     * Meteor. 1973): BS = reliability − resolution + uncertainty — the
     * one-row verdict on WHY a probabilistic scorer is good or bad

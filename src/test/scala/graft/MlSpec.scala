@@ -297,6 +297,66 @@ class MlSpec extends SparkSpec {
       .collect().head.getDouble(6) == 0.0)
   }
 
+  test("H16: Cohen's kappa — textbook 0.4, perfect disagreement -1, constant pinned 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // classic 2x2: 20 both-yes, 15 both-no, 5 A-only, 10 B-only
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(15)((0L, 0L)) ++
+      Seq.fill(5)((1L, 0L)) ++ Seq.fill(10)((0L, 1L))
+    val r = graft.ml.Evaluation.cohenKappa(rows.toDF("pred_a", "pred_b"))
+      .collect().head
+    // po = 35/50, pe = (25*30 + 25*20)/2500 = 1/2, kappa = .2/.5 = .4
+    assert((r.getLong(0), r.getLong(1)) == (50L, 35L))
+    assert((r.getLong(2), r.getLong(3)) == (700000L, 500000L))
+    assert(r.getLong(4) == 400000L)
+    // systematic disagreement: kappa = -1 exactly (sign-split path)
+    val disagree = Seq((1L, 0L), (0L, 1L)).toDF("pred_a", "pred_b")
+    assert(graft.ml.Evaluation.cohenKappa(disagree)
+      .collect().head.getLong(4) == -1000000L)
+    // both raters constant: pe = 1, pinned 0 (not NULL/NaN)
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("pred_a", "pred_b")
+    assert(graft.ml.Evaluation.cohenKappa(const)
+      .collect().head.getLong(4) == 0L)
+    // categorical (string) raters go through the same cells
+    val multi = Seq(("en", "en"), ("de", "de"), ("en", "de"))
+      .toDF("pred_a", "pred_b")
+    assert(graft.ml.Evaluation.cohenKappa(multi)
+      .collect().head.getLong(1) == 2L)
+  }
+
+  test("H17: MCC — hand case 1/sqrt(6), perfect 1.0, zero marginal pinned 0") {
+    import spark.implicits._
+    // threshold 1: tp=4 fp=1 fn=2 tn=3 -> (12-2)/sqrt(5*6*4*5)
+    val scored = (Seq.fill(4)((1L, 1L)) ++ Seq.fill(1)((1L, 0L)) ++
+      Seq.fill(2)((0L, 1L)) ++ Seq.fill(3)((0L, 0L))).toDF("score", "label")
+    val r = graft.ml.Evaluation.mccAtThreshold(scored).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 1L, 2L, 3L))
+    assert(math.abs(r.getDouble(4) - 1.0 / math.sqrt(6.0)) < 1e-15)
+    val perfect = Seq((1L, 1L), (1L, 1L), (0L, 0L), (0L, 0L))
+      .toDF("score", "label")
+    assert(graft.ml.Evaluation.mccAtThreshold(perfect)
+      .collect().head.getDouble(4) == 1.0)
+    // everything flagged: tn+fn = 0, pinned 0.0
+    val allpos = Seq((5L, 1L), (7L, 0L)).toDF("score", "label")
+    assert(graft.ml.Evaluation.mccAtThreshold(allpos)
+      .collect().head.getDouble(4) == 0.0)
+  }
+
+  test("H18: ECE/MCE exact on the Brier hand case") {
+    import spark.implicits._
+    // same frame as the H12 test: phat 525000 (1 of 2), 275000 (0 of 2)
+    val scored = Seq((0L, 1L), (0L, 0L), (-10000L, 0L), (-10000L, 0L))
+      .toDF("score", "label")
+    val r = graft.ml.Evaluation.expectedCalibrationError(scored)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (4L, 2L))
+    // |1e6*1 - 525000*2| + |0 - 275000*2| = 50000 + 550000; div 4
+    assert(r.getLong(2) == 150000L)
+    // per-bin floored gaps: |500000-525000|, |0-275000|
+    assert(r.getLong(3) == 275000L)
+  }
+
   test("H12: Brier decomposition matches the hand case and its identity") {
     import spark.implicits._
     // margins 0 -> phat 525000 (labels 1,0); -10000 -> phat 275000 (0,0)
