@@ -1004,6 +1004,18 @@ object SparkEntry {
     // slopes off the count-of-counts contraction; outlier-immune D68)
     "q_theilsen" -> ((s, d) =>
       ops.Analytics.theilSenTrend(Tables.events(s, d))),
+    // ---- D81: Pettitt nonparametric changepoint on the daily grid
+    "q_pettitt" -> ((s, d) =>
+      ops.Analytics.pettittChangepoint(Tables.events(s, d))),
+    // ---- D82: Fano variance-to-mean burstiness per event type
+    "q_dispersion" -> ((s, d) =>
+      ops.Analytics.dispersionIndex(Tables.events(s, d))),
+    // ---- D83: Wald-Wolfowitz runs test on above/below-median signs
+    "q_runs" -> ((s, d) =>
+      ops.Analytics.runsTest(Tables.events(s, d))),
+    // ---- D80: Pareto/ABC revenue contribution classes over parts
+    "q_pareto" -> ((s, d) =>
+      ops.Analytics.paretoClasses(Tables.lineitem(s, d))),
     // ---- D76: Lorenz/Gini spend concentration per market segment
     "q_gini" -> ((s, d) =>
       ops.Analytics.giniProfile(
@@ -5294,6 +5306,161 @@ object SparkEntry {
         |WHERE cum >= (n_pairs + 1) // 2
         |  AND cum - c < (n_pairs + 1) // 2
         |ORDER BY event_type""".stripMargin,
+
+    // D81: Pettitt via the U_t = U_{t-1} + V_t recursion; V off the
+    // value histogram; U_n excluded; earliest argmax pinned
+    "q_pettitt" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM span),
+        |daily AS (SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+        |  FROM grid g LEFT JOIN daily0 d USING (event_type, day)),
+        |hist AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |hcum AS (
+        |  SELECT event_type, x, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |v AS (
+        |  SELECT d.event_type, d.day,
+        |    h.below - (h.n - h.below - h.c) AS v, h.n
+        |  FROM daily d JOIN hcum h USING (event_type, x)),
+        |u AS (
+        |  SELECT event_type, day, n,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS u,
+        |    max(day) OVER (PARTITION BY event_type) AS d1
+        |  FROM v),
+        |uf AS (SELECT * FROM u WHERE day < d1),
+        |k AS (SELECT event_type, CAST(max(abs(u)) AS BIGINT) AS k_stat,
+        |    CAST(max(n) AS BIGINT) AS n_days FROM uf GROUP BY 1),
+        |cp AS (SELECT uf.event_type, k.k_stat, k.n_days,
+        |    CAST(min(uf.day) AS BIGINT) AS cp_day
+        |  FROM uf JOIN k USING (event_type) WHERE abs(uf.u) = k.k_stat
+        |  GROUP BY 1, 2, 3)
+        |SELECT cp.event_type, cp.n_days, cp.cp_day, cp.k_stat,
+        |  uf.u AS u_at_cp
+        |FROM cp JOIN uf ON uf.event_type = cp.event_type
+        |  AND uf.day = cp.cp_day
+        |ORDER BY cp.event_type""".stripMargin,
+
+    // D82: exact rational Fano — cross-multiplied var/mean, HUGEINT
+    "q_dispersion" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM span),
+        |daily AS (SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+        |  FROM grid g LEFT JOIN daily0 d USING (event_type, day)),
+        |ag AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |vn AS (SELECT *, CAST(n AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx AS varnum FROM ag)
+        |SELECT event_type, n AS n_days,
+        |  CAST(1000000 * sx // n AS BIGINT) AS mean_e6,
+        |  CAST(CASE WHEN n <= 1 THEN 0
+        |    ELSE 1000000 * varnum // (CAST(n AS HUGEINT) * (n - 1))
+        |    END AS BIGINT) AS var_e6,
+        |  CAST(CASE WHEN n <= 1 OR sx = 0 THEN 0
+        |    ELSE 1000000 * varnum // (CAST(n - 1 AS HUGEINT) * sx)
+        |    END AS BIGINT) AS fano_ppm
+        |FROM vn ORDER BY event_type""".stripMargin,
+
+    // D83: runs over above/below-median signs; exact-median days out;
+    // z = A*sqrt(B)/sqrt(C) on exact integers in pinned literal order
+    "q_runs" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM span),
+        |daily AS (SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+        |  FROM grid g LEFT JOIN daily0 d USING (event_type, day)),
+        |hist AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |hcum AS (
+        |  SELECT event_type, x, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+        |  FROM hist),
+        |med AS (SELECT event_type, CAST(min(x) AS BIGINT) AS med
+        |  FROM hcum WHERE cum >= (n_tot + 1) // 2 GROUP BY 1),
+        |sg AS (
+        |  SELECT d.event_type, d.day,
+        |    CASE WHEN d.x > m.med THEN 1 ELSE -1 END AS sgn
+        |  FROM daily d JOIN med m USING (event_type)
+        |  WHERE d.x != m.med),
+        |br AS (
+        |  SELECT event_type, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+        |        ORDER BY day) IS DISTINCT FROM sgn THEN 1 ELSE 0
+        |      END AS brk
+        |  FROM sg),
+        |ag AS (
+        |  SELECT event_type, CAST(sum(brk) AS BIGINT) AS runs,
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM br GROUP BY 1),
+        |zz AS (SELECT *,
+        |    (n1 + n2) * (runs - 1) - 2 * n1 * n2 AS za,
+        |    2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS zc
+        |  FROM ag)
+        |SELECT event_type, runs, n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR zc <= 0 THEN 0.0
+        |    ELSE CAST(za AS DOUBLE) * sqrt(CAST(n1 + n2 - 1 AS DOUBLE))
+        |      / sqrt(CAST(zc AS DOUBLE)) END AS z
+        |FROM zz ORDER BY event_type""".stripMargin,
+
+    // D80: ABC classes on exact centi-cent cumulative shares
+    "q_pareto" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)))
+        |      AS BIGINT) AS rev_cp
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT rev_cp,
+        |    CAST(sum(rev_cp) OVER (ORDER BY rev_cp DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(rev_cp) OVER () AS BIGINT) AS tot
+        |  FROM pp),
+        |c AS (
+        |  SELECT CASE
+        |      WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 70
+        |        THEN 'A'
+        |      WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 90
+        |        THEN 'B'
+        |      ELSE 'C' END AS cls, rev_cp, tot
+        |  FROM r)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev_cp) AS BIGINT) AS revenue_cp,
+        |  CAST(1000000 * sum(rev_cp) // max(tot) AS BIGINT) AS share_ppm
+        |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
 
     // D76: sample-normalized Gini ((n-1)·Σx denominator) + Lorenz
     // bottom-half / top-decile shares; tie order pinned by (x, u)

@@ -951,4 +951,211 @@ object Analytics {
           .as("top10_share_ppm"))
       .orderBy(col("grp"))
   }
+
+  /** Per-type daily volume with ZERO-ACTIVITY DAYS COMPLETED into the
+    * [min, max] day grid (the D74 posture: a dead day is a real
+    * observation for any series statistic — dispersion, runs,
+    * changepoints all read it as signal, not absence). One corpus scan
+    * contracts to (type, day); the grid explode is day-domain-sized. */
+  private def dailyGridCompleted(events: DataFrame): DataFrame = {
+    val daily0 = events
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    daily0.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** D80 — Pareto / ABC contribution analysis over part revenue (the
+    * 80/20 mart every category manager reads first): parts ranked by
+    * discounted revenue, classed A while the INCLUSIVE cumulative
+    * share stays ≤ cutAPct, B to cutBPct, C beyond — boundaries pinned
+    * as `cum·100 ≤ tot·cut` on exact centi-cent integers (no floored
+    * shares inside the classifier; ties broken revenue DESC then
+    * partkey ASC so the rank is total and both engines walk one
+    * order). Money in the §5 cents·(100−disc) exact form.
+    *
+    * Scale: the corpus contracts to the PART DOMAIN in one
+    * aggregation; the rank window runs over that dimension-sized frame
+    * (TPC-H parts are ~corpus/1500 — if a dimension ever outgrows one
+    * reducer, pre-bucket by a sampled revenue quantile, the I22
+    * range-exchange discipline). Comparisons in decimal(38,0):
+    * tot·100 caps int64 near 10¹⁷ centi-cents. */
+  def paretoClasses(lineitem: DataFrame, cutAPct: Int = 70,
+                    cutBPct: Int = 90): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("""cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))"""))
+        .as("rev_cp"))
+    val wOrd = Window.orderBy(col("rev_cp").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perPart
+      .withColumn("cum", sum(col("rev_cp")).over(wOrd))
+      .withColumn("tot", sum(col("rev_cp")).over(wTot))
+      .withColumn("cls",
+        when(col("cum").cast("decimal(38,0)") * 100
+          <= col("tot").cast("decimal(38,0)") * cutAPct, "A")
+          .when(col("cum").cast("decimal(38,0)") * 100
+            <= col("tot").cast("decimal(38,0)") * cutBPct, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_cp")).as("revenue_cp"),
+        max(col("tot")).as("tot"))
+      .select(col("cls"), col("n_parts"), col("revenue_cp"),
+        // decimal: 10^6 * a class's centi-cents passes int64 already
+        // at single-digit-GB corpora
+        expr("""cast(1000000 * cast(revenue_cp as decimal(38,0)) div tot
+            as bigint)""").as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  /** D81 — Pettitt changepoint test (Appl. Statist. 1979) on the
+    * per-type daily volume: the NONPARAMETRIC single-changepoint
+    * locator — where D66's CUSUM needs a target mean and flags when a
+    * known level drifts, Pettitt asks "did the distribution shift, and
+    * WHEN" with no level, no variance, no distribution assumed (rank
+    * arithmetic only, so one flash-crowd day cannot drag the answer
+    * the way a mean-based split point would). U_t = Σ_{i≤t,j>t}
+    * sgn(x_i − x_j) via the exact O(n log n) recursion U_t = U_{t−1} +
+    * V_t, V_t = (#days below x_t) − (#days above) — V off the
+    * count-of-counts VALUE contraction (the D69 median discipline),
+    * never the O(n²) pair join. K = max |U_t| over t < n (U_n ≡ 0 is
+    * excluded by construction), changepoint = earliest day attaining
+    * K (pinned). All integers end to end — nothing to float.
+    *
+    * Scale: one corpus scan to the (type, day) grid; the value
+    * histogram, both windows, and the argmax all run day-domain-sized. */
+  def pettittChangepoint(events: DataFrame): DataFrame = {
+    val daily = dailyGridCompleted(events)
+    val wVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(wVal), lit(0L)))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("x"), col("below"),
+        (col("n") - col("below") - col("c")).as("above"), col("n"))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = daily.join(hist, Seq("event_type", "x"))
+      .withColumn("v", col("below") - col("above"))
+      .withColumn("u", sum(col("v")).over(wDay))
+      .withColumn("d1",
+        max(col("day")).over(Window.partitionBy(col("event_type"))))
+      .filter(col("day") < col("d1"))
+    u.groupBy(col("event_type"))
+      .agg(max(abs(col("u"))).as("k_stat"), max(col("n")).as("n_days"))
+      .join(u.select(col("event_type"), col("day"), col("u")),
+        Seq("event_type"))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy(col("event_type"), col("k_stat"), col("n_days"))
+      .agg(min(col("day")).as("cp_day"))
+      .join(u.select(col("event_type"), col("day").as("cp_day"),
+        col("u").as("u_at_cp")), Seq("event_type", "cp_day"))
+      .select(col("event_type"), col("n_days"), col("cp_day"),
+        col("k_stat"), col("u_at_cp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D82 — index of dispersion (Fano factor, variance-to-mean ratio)
+    * of the per-type daily volume: the one-number burstiness verdict a
+    * capacity planner reads before trusting any mean — Poisson arrivals
+    * sit at 1, bursty/clumped traffic far above, quota-throttled
+    * traffic below; D74's ACF says WHERE the dependence is, this says
+    * HOW FAR from memoryless the volume is. Exact rational, zero
+    * floats: Fano = sampleVar/mean = (n·Σx² − (Σx)²) / ((n−1)·Σx)
+    * after cross-multiplying the two n's away — ppm floors only at the
+    * emitted columns. Zero-activity days are in the grid (a dead day
+    * is dispersion, not absence); a constant series emits variance 0,
+    * single-day and zero-total series pin to 0, never NULL.
+    *
+    * Scale: one scan to the (type, day) grid, one aggregation per type
+    * — products in decimal(38,0) (n·Σx² caps int64 once daily volume
+    * nears 4·10⁷ over a 10-year domain; decimal holds to ~10¹⁵/day). */
+  def dispersionIndex(events: DataFrame): DataFrame =
+    dailyGridCompleted(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("varnum",
+        col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("1000000 * sx div n").as("mean_e6"),
+        when(col("n") <= 1L, lit(0L))
+          .otherwise(expr("""cast(1000000 * varnum
+            div (cast(n as decimal(38,0)) * (n - 1)) as bigint)"""))
+          .cast("long").as("var_e6"),
+        when(col("n") <= 1L || col("sx") === 0L, lit(0L))
+          .otherwise(expr("""cast(1000000 * varnum
+            div (cast(n - 1 as decimal(38,0)) * sx) as bigint)"""))
+          .cast("long").as("fano_ppm"))
+      .orderBy(col("event_type"))
+  /** D83 — Wald–Wolfowitz runs test (Ann. Math. Statist. 1940) on the
+    * per-type daily volume's above/below-median signs: the randomness
+    * check that catches what D68's slope cannot — a series can be
+    * trend-free yet REGIME-Y (long above-median stretches then long
+    * below), and too FEW runs is exactly that clustering while too
+    * MANY is oscillation/overcorrection. Median is the exact lower
+    * median off the count-of-counts contraction (the D69 discipline);
+    * exact-median days carry no sign and are EXCLUDED (pinned — the
+    * standard conditioning). Runs counted by the D70 boundary trick
+    * (sign ≠ lagged sign). R, n1, n2 are exact integers; z is the one
+    * IEEE step, algebraically rearranged to integer arguments:
+    * z = A·√B / √C with A = (n1+n2)(R−1) − 2n1n2, B = n1+n2−1,
+    * C = 2n1n2·(2n1n2 − n1 − n2) — three exact integers through two
+    * correctly-rounded √ and one multiply/divide in pinned literal
+    * order (the H13/H17 precedent). One-sided series (n1·n2 = 0) or a
+    * single run pins z = 0 with the counts showing why.
+    *
+    * Scale: one scan to the (type, day) grid; the median histogram,
+    * sign lag, and run count are all day-domain windows. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = dailyGridCompleted(events)
+    val wVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wVal))
+      .withColumn("n_tot",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .filter(expr("cum >= (n_tot + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("x")).as("med"))
+    val signed = daily.join(med, Seq("event_type"))
+      .filter(col("x") =!= col("med"))
+      .withColumn("sgn", when(col("x") > col("med"), 1L).otherwise(-1L))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signed
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(wDay).isNull
+          || lag(col("sgn"), 1).over(wDay) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("brk")).as("runs"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"))
+      .withColumn("za",
+        (col("n1") + col("n2")) * (col("runs") - 1L)
+          - lit(2L) * col("n1") * col("n2"))
+      .withColumn("zc",
+        lit(2L) * col("n1") * col("n2")
+          * (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2")))
+      .select(col("event_type"), col("runs"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L || col("zc") <= 0L,
+          lit(0.0))
+          .otherwise(col("za").cast("double")
+            * sqrt((col("n1") + col("n2") - 1L).cast("double"))
+            / sqrt(col("zc").cast("double")))
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
 }

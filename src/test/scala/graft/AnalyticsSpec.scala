@@ -414,4 +414,85 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("eq")._1 == 0L)
     assert(out("one")._1 == 1000000L)
   }
+
+  test("D81: Pettitt finds the level shift; earliest argmax pinned; " +
+      "zero days in the grid") {
+    val day = 86400000000L
+    // a: [1,1,1,5,5,5] -> V = [-3,-3,-3,3,3,3], U = -3,-6,-9,-6,-3;
+    // K=9 at day 2 (the true break), U_n=0 excluded
+    val a = Seq(0, 1, 2, 3, 4, 5).flatMap(d =>
+      Seq.fill(if (d < 3) 1 else 5)(("a", d * day)))
+    // b: [5,1,5] -> U = 1,-1; |U| ties at 1 -> earliest day 0 pinned
+    val b = Seq.fill(5)(("b", 0L)) ++ Seq.fill(1)(("b", 1 * day)) ++
+      Seq.fill(5)(("b", 2 * day))
+    // c: events on days 0 and 2 only; grid completes day 1 as x=0 ->
+    // x=[2,0,2], U = 1,-1 -> K=1 at day 0
+    val c = Seq.fill(2)(("c", 0L)) ++ Seq.fill(2)(("c", 2 * day))
+    val out = Analytics.pettittChangepoint(
+      (a ++ b ++ c).toDF("event_type", "ts_us")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((6L, 2L, 9L, -9L)))
+    assert(out("b")._2 == 0L && out("b")._3 == 1L)
+    assert(out("c") == ((3L, 0L, 1L, 1L)))
+  }
+
+  test("D82: Fano is 1 on the hand case, 0 for constant, pinned for 1 day") {
+    val day = 86400000000L
+    // a: [1,3] -> varnum = 2*10-16 = 4, var=2e6, mean=2e6, fano=1e6
+    val a = Seq.fill(1)(("a", 0L)) ++ Seq.fill(3)(("a", day))
+    val b = Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", day))
+    val c = Seq.fill(4)(("c", 0L))
+    val out = Analytics.dispersionIndex(
+      (a ++ b ++ c).toDF("event_type", "ts_us")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 2000000L, 2000000L, 1000000L)))
+    assert(out("b") == ((2L, 2000000L, 0L, 0L)))
+    assert(out("c") == ((1L, 4000000L, 0L, 0L)))
+  }
+
+  test("D83: runs test — regime case, oscillation case, one-sided pinned") {
+    val day = 86400000000L
+    // a: [5,5,5,1,1,1,3] -> med 3 (excluded), signs +++--- -> R=2
+    val a = Seq(5, 5, 5, 1, 1, 1, 3).zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x)(("a", d * day)) }
+    // b: [4,1,4,1,4,2] -> med 2 (excluded), signs +-+-+ -> R=5
+    val b = Seq(4, 1, 4, 1, 4, 2).zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x)(("b", d * day)) }
+    val out = Analytics.runsTest(
+      (a ++ b).toDF("event_type", "ts_us")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ra = out("a")
+    assert((ra._1, ra._2, ra._3) == (2L, 3L, 3L))
+    // za = 6*1-18 = -12, zc = 2*9*12 = 216, z = -12*sqrt(5)/sqrt(216)
+    assert(math.abs(ra._4 -
+      -12.0 * math.sqrt(5.0) / math.sqrt(216.0)) < 1e-15)
+    val rb = out("b")
+    assert((rb._1, rb._2, rb._3) == (5L, 3L, 2L))
+    // za = 5*4-12 = 8, zc = 2*6*7 = 84
+    assert(math.abs(rb._4 -
+      8.0 * math.sqrt(4.0) / math.sqrt(84.0)) < 1e-15)
+    // one-sided: [3,1,3] -> med 3, only the 1 survives -> n2-only, z=0
+    val c = Seq(3, 1, 3).zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x)(("c", d * day)) }
+    val rc = Analytics.runsTest(c.toDF("event_type", "ts_us"))
+      .collect().head
+    assert(rc.getLong(2) == 0L && rc.getDouble(4) == 0.0)
+  }
+
+  test("D80: ABC classes land on the exact 70/90 boundaries, ties by key") {
+    // 10 unit rows at $1.00, disc 0: rev_cp = 10000 per row
+    val li = (Seq.fill(7)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(1)(3L))
+      .map(pk => (pk, 1.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Analytics.paretoClasses(li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cum shares: p1 70% (<=70 -> A), p2 90% (<=90 -> B), p3 C
+    assert(out("A") == ((1L, 70000L, 700000L)))
+    assert(out("B") == ((1L, 20000L, 200000L)))
+    assert(out("C") == ((1L, 10000L, 100000L)))
+  }
 }
