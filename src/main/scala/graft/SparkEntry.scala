@@ -1278,6 +1278,18 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // H19: the lang-id's error anatomy — which languages bleed into
+    // which, with exact row (recall) and column (precision) shares
+    "q_confusion" -> ((s, d) =>
+      ml.Evaluation.confusionMatrix(
+        ops.TextAnalysis.langId(Tables.documents(s, d)),
+        truth = "lang", pred = "pred_lang")),
+
+    // E67: within-source stability — TV between interleaved doc-id
+    // halves; a drifting source is two populations under one label
+    "q_tv_snapshots" -> ((s, d) =>
+      ops.CorpusStats.snapshotTvDrift(Tables.documents(s, d))),
+
     // H16: Cohen's kappa between the same two raters q_mcnemar pits
     // against the label — here judged against EACH OTHER, no label
     "q_kappa" -> ((s, d) => {
@@ -2287,6 +2299,70 @@ object SparkEntry {
         |    - CAST(ssum // n AS BIGINT)
         |    + obar_ppm * (1000000 - obar_ppm)) AS identity_gap_e12
         |FROM ag""".stripMargin,
+
+    // H19: observed (truth, pred) cells with exact row/col shares
+    "q_confusion" -> {
+      val lex = Map(
+        "de" -> "['join','merge','sort','order']",
+        "en" -> "['the','a','of','key']",
+        "es" -> "['data','row','table','column']",
+        "fr" -> "['query','filter','group','window']",
+        "zh" -> "['spark','stream','batch','vector']")
+      val scores = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"CAST(len(list_filter(toks2, x -> list_contains(${lex(c)}, x))) AS BIGINT) AS score_$c")
+        .mkString(",\n    ")
+      val cases = Seq("de", "en", "es", "fr", "zh").map(c =>
+        s"WHEN score_$c = g THEN '$c'").mkString(" ")
+      s"""WITH t2 AS (SELECT doc_id, lang, string_split(text,' ') AS toks2
+         |  FROM documents),
+         |s2 AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM t2),
+         |g2 AS (SELECT *, greatest(score_de, score_en, score_es,
+         |    score_fr, score_zh) AS g FROM s2),
+         |p AS (SELECT doc_id, lang,
+         |    CASE $cases ELSE 'und' END AS pred_lang FROM g2),
+         |cells AS (SELECT lang AS truth, pred_lang AS pred,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |m AS (SELECT truth, pred, n,
+         |    CAST(sum(n) OVER (PARTITION BY truth) AS BIGINT) AS row_n,
+         |    CAST(sum(n) OVER (PARTITION BY pred) AS BIGINT) AS col_n
+         |  FROM cells)
+         |SELECT truth, pred, n, row_n, col_n,
+         |  CAST(1000000 * n // row_n AS BIGINT) AS row_share_ppm,
+         |  CAST(1000000 * n // col_n AS BIGINT) AS col_share_ppm
+         |FROM m ORDER BY truth, pred""".stripMargin
+    },
+
+    // E67: Σmin TV between the doc_id-parity halves, no self-join
+    "q_tv_snapshots" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id % 2 AS snap,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, w,
+        |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f0,
+        |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1
+        |  FROM toks WHERE len(w) > 0 GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT source, f0, f1,
+        |    CAST(sum(f0) OVER (PARTITION BY source) AS BIGINT) AS t0,
+        |    CAST(sum(f1) OVER (PARTITION BY source) AS BIGINT) AS t1
+        |  FROM counts),
+        |ag AS (
+        |  SELECT source, max(t0) AS t0, max(t1) AS t1,
+        |    sum(least(CAST(f0 AS HUGEINT) * t1, CAST(f1 AS HUGEINT) * t0))
+        |      AS smin
+        |  FROM tt GROUP BY 1)
+        |SELECT source, t0, t1,
+        |  CAST(CASE WHEN t0 = 0 OR t1 = 0 THEN 1000000
+        |    ELSE 1000000 * (CAST(t0 AS HUGEINT) * t1 - smin)
+        |      // (CAST(t0 AS HUGEINT) * t1) END AS BIGINT) AS tv_ppm
+        |FROM ag ORDER BY source""".stripMargin,
 
     // H16: exact cross-multiplied kappa — sign-split ppm, chance term
     // off the marginal product join, never floored p_o/p_e

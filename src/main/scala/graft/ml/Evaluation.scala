@@ -553,6 +553,37 @@ object Evaluation {
       .select(col("n"), col("n_bins"),
         expr("cast(gsum div n as bigint)").as("ece_ppm"), col("mce_ppm"))
 
+  /** H19 — multiclass confusion matrix with both per-cell shares: the
+    * error-ANATOMY mart behind every scalar above (H14 says B beat A,
+    * H16 says they agree — this says WHICH classes bleed into which:
+    * "de mislabeled as en" and "en mislabeled as de" are different
+    * bugs with different fixes). One row per OBSERVED (truth, pred)
+    * cell — zero cells are absent by contract (the support-only
+    * reading; a dense grid of structural zeros would scale with
+    * alphabet², not data). Each cell carries its truth-row total and
+    * prediction-column total plus both exact ppm shares: row_share =
+    * per-class recall on the diagonal, col_share = per-class precision
+    * on the diagonal, and off the diagonal they read as "x% of true K
+    * goes to J" / "x% of predicted J is really K".
+    *
+    * Scale: one corpus pass to the cell contraction (alphabet²-
+    * bounded); marginals are two windows over that frame. */
+  def confusionMatrix(paired: DataFrame, truth: String = "label",
+                      pred: String = "pred"): DataFrame = {
+    val cells = paired.groupBy(col(truth).as("truth"), col(pred).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_n",
+        sum(col("n")).over(Window.partitionBy(col("truth"))))
+      .withColumn("col_n",
+        sum(col("n")).over(Window.partitionBy(col("pred"))))
+      .select(col("truth"), col("pred"), col("n"), col("row_n"),
+        col("col_n"),
+        expr("1000000 * n div row_n").as("row_share_ppm"),
+        expr("1000000 * n div col_n").as("col_share_ppm"))
+      .orderBy(col("truth"), col("pred"))
+  }
+
   /** H12 — Murphy decomposition of the Brier score (Murphy, J. Appl.
     * Meteor. 1973): BS = reliability − resolution + uncertainty — the
     * one-row verdict on WHY a probabilistic scorer is good or bad

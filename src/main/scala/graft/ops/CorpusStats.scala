@@ -150,6 +150,49 @@ object CorpusStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** E67 — per-source SNAPSHOT drift: total-variation distance between
+    * the unigram distributions of a source's two interleaved doc-id
+    * halves (`doc_id % 2` — the deterministic stand-in for "crawl A vs
+    * crawl B"; any snapshot key column slots in). E62 compares sources
+    * to EACH OTHER; this is the within-source stability check a
+    * curator runs before trusting a source's profile at all — a
+    * homogeneous source drifts near 0 between halves, while a high
+    * tv_ppm says the source is really two populations wearing one
+    * label (mixed crawls, a mid-corpus format change) and its E56/E66
+    * profile is an average of incomparables. Same Σmin identity, same
+    * integer exactness, NO self-join at all: both halves live on one
+    * (source, word) row, so the matrix collapses to one pass. An
+    * empty half pins tv_ppm = 10⁶ (maximal drift — the other half is
+    * unmatched by definition), documented, never NULL.
+    *
+    * Scale: one tokenize shuffle to (source, word) with two
+    * conditional sums; contraction to one row per source. Products
+    * decimal(38,0) (HUGEINT twin), the E62 bound. */
+  def snapshotTvDrift(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), (col("doc_id") % 2).as("snap"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(sum(when(col("snap") === 0L, 1L).otherwise(0L)).as("f0"),
+        sum(when(col("snap") === 1L, 1L).otherwise(0L)).as("f1"))
+    val wt = Window.partitionBy(col("source"))
+    counts
+      .withColumn("t0", sum(col("f0")).over(wt))
+      .withColumn("t1", sum(col("f1")).over(wt))
+      .groupBy(col("source"))
+      .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"),
+        sum(least(col("f0").cast("decimal(38,0)") * col("t1"),
+          col("f1").cast("decimal(38,0)") * col("t0"))).as("smin"))
+      .select(col("source"), col("t0"), col("t1"),
+        when(col("t0") === 0L || col("t1") === 0L, lit(1000000L))
+          .otherwise(expr("""1000000 * (cast(t0 as decimal(38,0)) * t1
+              - smin) div (cast(t0 as decimal(38,0)) * t1)""")
+            .cast("long"))
+          .as("tv_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** E63 — cross-source CONTENT-leakage matrix: for each source pair
     * the shared distinct word-3-gram shingles and both directional
     * containments (`leak_a_ppm = 10⁶·|Sₐ∩S_b| div |Sₐ|`) — the E62

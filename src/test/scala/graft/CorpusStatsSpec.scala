@@ -89,4 +89,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 0L, 0L, 2L, 2000000L)))
     assert(out(2L) == ((1L, 1L, 1000000L, 1L, 1000000L)))
   }
+
+  test("E67: snapshot TV — hand thirds, identical halves 0, empty half 10^6") {
+    val docs = Seq(
+      // s: halves "a a b" vs "a b b" -> smin 6 of 9 -> tv 1/3
+      (0L, "a a b", "s"), (1L, "a b b", "s"),
+      // same: identical halves -> 0
+      (2L, "x y", "same"), (3L, "x y", "same"),
+      // lone: only the even half exists -> pinned 10^6
+      (4L, "q r", "lone"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.snapshotTvDrift(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s") == ((3L, 3L, 333333L)))
+    assert(out("same") == ((2L, 2L, 0L)))
+    assert(out("lone") == ((2L, 0L, 1000000L)))
+  }
 }

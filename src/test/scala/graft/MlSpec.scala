@@ -357,6 +357,22 @@ class MlSpec extends SparkSpec {
     assert(r.getLong(3) == 275000L)
   }
 
+  test("H19: confusion matrix — exact row/col shares, zero cells absent") {
+    import spark.implicits._
+    val paired = (Seq.fill(3)(("en", "en")) ++ Seq(("en", "de")) ++
+      Seq.fill(2)(("de", "de"))).toDF("lang", "pred_lang")
+    val out = graft.ml.Evaluation
+      .confusionMatrix(paired, truth = "lang", pred = "pred_lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out.size == 3, "the (de,en) zero cell must be absent")
+    assert(out(("en", "en")) == ((3L, 4L, 3L, 750000L, 1000000L)))
+    assert(out(("en", "de")) == ((1L, 4L, 3L, 250000L, 333333L)))
+    assert(out(("de", "de")) == ((2L, 2L, 3L, 1000000L, 666666L)))
+  }
+
   test("H12: Brier decomposition matches the hand case and its identity") {
     import spark.implicits._
     // margins 0 -> phat 525000 (labels 1,0); -10000 -> phat 275000 (0,0)
