@@ -1278,6 +1278,13 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // H20: Harrell's C — does order value predict ship speed, judged
+    // only on pairs whose outcome order survives the D67 censoring
+    "q_cindex" -> ((s, d) =>
+      ml.Evaluation.concordanceIndex(
+        ops.Survival.shipLagScored(Tables.orders(s, d),
+          Tables.lineitem(s, d)))),
+
     // H19: the lang-id's error anatomy — which languages bleed into
     // which, with exact row (recall) and column (precision) shares
     "q_confusion" -> ((s, d) =>
@@ -2298,6 +2305,64 @@ object SparkEntry {
         |  CAST(bsum // n AS BIGINT) - (CAST(rsum // n AS BIGINT)
         |    - CAST(ssum // n AS BIGINT)
         |    + obar_ppm * (1000000 - obar_ppm)) AS identity_gap_e12
+        |FROM ag""".stripMargin,
+
+    // H20: pair masses off the completed t×sbin grid; admissibility
+    // pinned (event drives; same-t censored comparable; event-event
+    // same-t not); ties half-credit via 500000*(2c+t)
+    "q_cindex" ->
+      """WITH j AS (
+        |  SELECT epoch_us(l.l_shipdate) // 86400000000 AS ship_day,
+        |    epoch_us(o.o_orderdate) // 86400000000 AS order_day,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) // 5000000
+        |      AS sbin
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cut AS (SELECT max(ship_day) - 30 AS cutoff FROM j),
+        |obs AS (
+        |  SELECT CASE WHEN ship_day <= cutoff THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN ship_day <= cutoff THEN ship_day - order_day
+        |         ELSE cutoff - order_day END AS t, sbin
+        |  FROM j CROSS JOIN cut WHERE order_day <= cutoff),
+        |cells AS (SELECT t, sbin AS s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e) AS BIGINT) AS ne FROM obs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT td.t, sd.s, coalesce(c.n, 0) AS n,
+        |    coalesce(c.ne, 0) AS ne
+        |  FROM (SELECT DISTINCT t FROM cells) td
+        |  CROSS JOIN (SELECT DISTINCT s FROM cells) sd
+        |  LEFT JOIN cells c USING (t, s)),
+        |g AS (
+        |  SELECT t, s, n, ne,
+        |    CAST(sum(n) OVER (PARTITION BY s)
+        |      - sum(n) OVER (PARTITION BY s ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS later,
+        |    n - ne AS cens
+        |  FROM grid),
+        |g2 AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(later) OVER (PARTITION BY t ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS later_lt,
+        |    CAST(coalesce(sum(later) OVER (PARTITION BY t ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS later_gt,
+        |    CAST(coalesce(sum(cens) OVER (PARTITION BY t ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cens_lt,
+        |    CAST(coalesce(sum(cens) OVER (PARTITION BY t ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cens_gt
+        |  FROM g),
+        |ag AS (
+        |  SELECT CAST(sum(ne * (later_lt + cens_lt)) AS BIGINT) AS conc,
+        |    CAST(sum(ne * (later_gt + cens_gt)) AS BIGINT) AS disc,
+        |    CAST(sum(ne * (later + cens)) AS BIGINT) AS tied
+        |  FROM g2 WHERE ne > 0)
+        |SELECT conc, disc, tied, conc + disc + tied AS comparable,
+        |  CAST(CASE WHEN conc + disc + tied = 0 THEN 500000
+        |    ELSE 500000 * CAST(2 * conc + tied AS HUGEINT)
+        |      // (conc + disc + tied) END AS BIGINT) AS c_ppm
         |FROM ag""".stripMargin,
 
     // H19: observed (truth, pred) cells with exact row/col shares

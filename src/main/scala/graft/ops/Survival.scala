@@ -97,4 +97,34 @@ object Survival {
         col("c").as("n_censored"), col("n_risk"), col("surv_ppm"))
       .orderBy(col("grp"), col("t"))
   }
+
+  /** The same censored observation frame kaplanMeier estimates over,
+    * with a RISK SCORE attached (binned order value — the "does money
+    * predict ship speed" hypothesis; any integer risk column slots
+    * in): (t, is_event, sbin) rows for the H20 concordance index.
+    * Cutoff and censoring semantics are shared verbatim with D67 so
+    * the KM curve and its discrimination verdict describe one study. */
+  def shipLagScored(orders: DataFrame, lineitem: DataFrame,
+                    censorGapDays: Int = 30,
+                    binCents: Long = 5000000L): DataFrame = {
+    val joined = lineitem
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("ship_day"))
+      .join(orders.select(col("o_orderkey"),
+        expr(s"cast(round(o_totalprice * 100) as bigint) div $binCents")
+          .as("sbin"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.crossJoin(broadcast(
+      joined.agg((max(col("ship_day")) - censorGapDays).as("cutoff"))))
+      .filter(col("order_day") <= col("cutoff"))
+      .withColumn("is_event",
+        when(col("ship_day") <= col("cutoff"), 1L).otherwise(0L))
+      .withColumn("t",
+        when(col("is_event") === 1L, col("ship_day") - col("order_day"))
+          .otherwise(col("cutoff") - col("order_day")))
+      .select(col("t"), col("is_event"), col("sbin"))
+  }
 }

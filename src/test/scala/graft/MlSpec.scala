@@ -357,6 +357,56 @@ class MlSpec extends SparkSpec {
     assert(r.getLong(3) == 275000L)
   }
 
+  test("H20: C-index — hand cases for every admissibility rule") {
+    import spark.implicits._
+    def c(rows: Seq[(Long, Long, Long)]) =
+      graft.ml.Evaluation.concordanceIndex(
+        rows.toDF("t", "is_event", "sbin")).collect().head
+    // perfect risk ordering incl. a trailing censored row
+    val perfect = c(Seq((1L, 1L, 2L), (2L, 1L, 1L), (3L, 0L, 0L)))
+    assert((perfect.getLong(0), perfect.getLong(3), perfect.getLong(4)) ==
+      (3L, 3L, 1000000L))
+    // reversed scores: all discordant
+    assert(c(Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+      .getLong(4) == 0L)
+    // tied scores: half credit
+    assert(c(Seq((1L, 1L, 1L), (2L, 0L, 1L))).getLong(4) == 500000L)
+    // same-time (event, censored) IS comparable
+    val sameT = c(Seq((1L, 1L, 2L), (1L, 0L, 1L)))
+    assert((sameT.getLong(0), sameT.getLong(4)) == (1L, 1000000L))
+    // same-time (event, event) is NOT: zero pairs, pinned coin flip
+    val both = c(Seq((1L, 1L, 2L), (1L, 1L, 1L)))
+    assert((both.getLong(3), both.getLong(4)) == (0L, 500000L))
+    // censored-first pairs are inadmissible: censor at 1, event at 2
+    assert(c(Seq((1L, 0L, 2L), (2L, 1L, 1L))).getLong(3) == 0L)
+  }
+
+  test("H20: grid C-index equals the brute-force pair count") {
+    import spark.implicits._
+    // deterministic mixed frame: 40 rows over t 0..4, sbin 0..3
+    val rows = (0 until 40).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      ((h % 5).toLong, ((h / 5) % 2).toLong, ((h / 10) % 4).toLong)
+    }
+    var conc = 0L; var disc = 0L; var tied = 0L
+    for (a <- rows.indices; b <- rows.indices if a != b) {
+      val (ti, ei, si) = rows(a); val (tj, ej, sj) = rows(b)
+      // driver a must be an event; partner observed beyond t_a, or
+      // censored exactly at t_a
+      if (ei == 1L && (tj > ti || (tj == ti && ej == 0L))) {
+        if (si > sj) conc += 1
+        else if (si < sj) disc += 1
+        else tied += 1
+      }
+    }
+    val r = graft.ml.Evaluation.concordanceIndex(
+      rows.toDF("t", "is_event", "sbin")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (conc, disc, tied), "pair masses must match brute force")
+    assert(r.getLong(4) ==
+      500000L * (2 * conc + tied) / (conc + disc + tied))
+  }
+
   test("H19: confusion matrix — exact row/col shares, zero cells absent") {
     import spark.implicits._
     val paired = (Seq.fill(3)(("en", "en")) ++ Seq(("en", "de")) ++
