@@ -669,6 +669,23 @@ object StreamingOps {
     scored.groupBy(col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
 
+  /** F28 — streaming inter-rater AGREEMENT monitor (H16 run live): two
+    * scorers run side by side in production (champion/challenger, new
+    * lang-id vs old, model vs heuristic triage) and this maintains
+    * their Cohen's κ over everything scored so far — the "the
+    * challenger quietly diverged" alarm that needs NO labels, so it
+    * fires in the label-delay window where every accuracy monitor is
+    * blind. State is the (pred_a, pred_b) contingency-cell frame as a
+    * complete-mode grouped aggregation — associative merges, bounded
+    * at alphabet² forever — and snapshots finish through the BATCH
+    * [[graft.ml.Evaluation]] `finishKappa` (the F27 discipline: the
+    * chance-correction arithmetic is non-associative, so it is never
+    * state; live and batch κ are one code path). */
+  def agreementState(paired: DataFrame, a: String = "pred_a",
+                     b: String = "pred_b"): DataFrame =
+    paired.groupBy(col(a).as("pred_a"), col(b).as("pred_b"))
+      .agg(count(lit(1)).as("n"))
+
   case class VeloState(frontier: Long, n_late: Long,
                        buf: List[(Long, Long, Long)])
   case class VeloRow(user_id: Long, ts_us: Long, event_id: Long,

@@ -1207,6 +1207,26 @@ class ParitySpec extends SparkSpec {
     assert(sAp.toSeq == bAp.toSeq, s"ap: $sAp vs $bAp")
   }
 
+  test("F28 streaming agreement: cells finish to batch kappa across a " +
+      "restart; state stays alphabet-squared-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val ck = ckDir("agree")
+    def plan = StreamingOps.agreementState(
+      in.toDS().toDF("pred_a", "pred_b"))
+    // cell keys repeat across triggers AND the restart: counters merge
+    val b1 = Seq(("en", "en"), ("en", "de"), ("de", "de"), ("en", "en"))
+    val b2 = Seq(("de", "en"), ("en", "en"), ("de", "de"), ("en", "de"))
+    completeRun(in, plan, "agree_rs1", ck, b1)
+    completeRun(in, plan, "agree_rs2", ck, b2)
+    val snapshot = spark.table("agree_rs2")
+    assert(snapshot.count() == 4, "state is the observed-cell frame")
+    val sK = graft.ml.Evaluation.finishKappa(snapshot).collect().head
+    val bK = graft.ml.Evaluation.cohenKappa(
+      (b1 ++ b2).toDF("pred_a", "pred_b")).collect().head
+    assert(sK.toSeq == bK.toSeq, s"kappa: $sK vs $bK")
+  }
+
   test("F26 streaming velocity features ≡ batch D77 row for row across " +
       "a restart (train/serve agreement); straggler tombstoned") {
     implicit val sqlCtx = spark.sqlContext
