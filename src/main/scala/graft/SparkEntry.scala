@@ -309,6 +309,10 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
+    // E69: the what-if curve over candidate Jaccard cutoffs — one
+    // verify pass, every threshold row emitted even when empty
+    "q_dedup_curve" -> ((s, d) =>
+      ops.Dedup.thresholdCurve(Tables.documents(s, d))),
     // E53: incremental delta-vs-corpus dedup — batch docs probe the
     // standing corpus band index; per-doc candidate/dup accounting
     "q_dedup_incremental" -> ((s, d) =>
@@ -1296,6 +1300,16 @@ object SparkEntry {
     // halves; a drifting source is two populations under one label
     "q_tv_snapshots" -> ((s, d) =>
       ops.CorpusStats.snapshotTvDrift(Tables.documents(s, d))),
+
+    // E68: chars/BPE per token by (lang, source) — the tokenizer
+    // budget mart; fertility outliers are encoding junk
+    "q_fertility" -> ((s, d) =>
+      ops.CorpusStats.tokenizerFertility(Tables.documents(s, d))),
+
+    // D84: doubling histogram of per-user inter-arrival gaps — the
+    // burst micro-structure beside D82's daily Fano verdict
+    "q_interarrival" -> ((s, d) =>
+      ops.Analytics.interArrivalProfile(Tables.events(s, d))),
 
     // H16: Cohen's kappa between the same two raters q_mcnemar pits
     // against the label — here judged against EACH OTHER, no label
@@ -3299,6 +3313,79 @@ object SparkEntry {
          |  n_sum - n_inter AS n_union,
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
+
+    // E69: threshold fold over the same verified candidates, integer
+    // ppm jaccard, zero-completed threshold rows
+    "q_dedup_curve" ->
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(1000000 * len(list_intersect(a.shd, b.shd))
+         |      // (len(a.shd) + len(b.shd)
+         |         - len(list_intersect(a.shd, b.shd))) AS BIGINT)
+         |      AS jac_ppm
+         |  FROM cand c
+         |  JOIN sd a ON c.id1 = a.doc_id
+         |  JOIN sd b ON c.id2 = b.doc_id),
+         |th AS (SELECT CAST(unnest([500000, 700000, 800000, 900000,
+         |    1000000]) AS BIGINT) AS threshold_ppm),
+         |f AS (SELECT t.threshold_ppm, j.id1, j.id2
+         |  FROM th t JOIN j ON j.jac_ppm >= t.threshold_ppm),
+         |np AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM f GROUP BY 1),
+         |nd AS (SELECT threshold_ppm,
+         |    CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |  FROM (SELECT threshold_ppm, unnest([id1, id2]) AS doc FROM f)
+         |  GROUP BY 1)
+         |SELECT t.threshold_ppm,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs
+         |FROM th t
+         |LEFT JOIN np USING (threshold_ppm)
+         |LEFT JOIN nd USING (threshold_ppm)
+         |ORDER BY t.threshold_ppm""".stripMargin,
+
+    // E68: length-arithmetic token counts (E9's definitions), ppm
+    "q_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0))) AS BIGINT) AS n_tokens,
+        |    CAST(sum((length(text) + 3) // 4) AS BIGINT) AS n_bpe
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_chars, n_tokens, n_bpe,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE 1000000 * n_chars // n_tokens END AS BIGINT)
+        |    AS chars_per_tok_ppm,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE 1000000 * n_bpe // n_tokens END AS BIGINT)
+        |    AS bpe_per_tok_ppm
+        |FROM d ORDER BY lang, source""".stripMargin,
+
+    // D84: (ts, event_id)-ordered lag gaps, octave buckets via
+    // to_base bit length, shares over the per-type octave frame
+    "q_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (ts_us - lag(ts_us) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(length(to_base(gap_s + 1, 2)) AS BIGINT) AS gap_bits,
+        |    CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |    CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, gap_bits, n_gaps, min_gap_s, max_gap_s,
+        |  CAST(1000000 * n_gaps // sum(n_gaps)
+        |    OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM h ORDER BY event_type, gap_bits""".stripMargin,
 
     // E53 twin: batch = synthetic re-crawl copies (replica-aware id
     // range, shared constants with Dedup.incrementalLsh) + the %10=7

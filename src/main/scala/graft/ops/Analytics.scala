@@ -1100,6 +1100,45 @@ object Analytics {
             div (cast(n - 1 as decimal(38,0)) * sx) as bigint)"""))
           .cast("long").as("fano_ppm"))
       .orderBy(col("event_type"))
+  /** D84 — inter-arrival profile: per event type, the DOUBLING
+    * HISTOGRAM (the E56 bit-length idiom) of the gaps between a user's
+    * consecutive events — the event-level companion of D82's daily
+    * Fano: D82 says the VOLUME is bursty, this says what the burst
+    * micro-structure is (sub-second machine-gun retries vs human
+    * think-time vs daily pulls land in different octaves, and a bot
+    * cohort shows as mass where the human curve has none). Seconds
+    * granularity, bucket = bitLength(gap_s + 1) so gap 0 is bucket 1
+    * and each bucket spans one octave — value-domain-bounded (≤ ~40
+    * buckets for any physical gap) with NO transcendentals (the D72
+    * no-log2 discipline). Order within a user is the pinned (ts,
+    * event_id) total order, so tie gaps are deterministic on replica
+    * corpora.
+    *
+    * Scale: ONE user-keyed shuffle (the D62 lag window), immediate
+    * contraction to (type, bucket); shares are one window over that
+    * octave-bounded frame. */
+  def interArrivalProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev) div 1000000"))
+      .withColumn("gap_bits", length(bin(col("gap_s") + 1)).cast("long"))
+    gaps
+      .groupBy(col("event_type"), col("gap_bits"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .withColumn("tot",
+        sum(col("n_gaps")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("gap_bits"), col("n_gaps"),
+        col("min_gap_s"), col("max_gap_s"),
+        expr("1000000 * n_gaps div tot").as("share_ppm"))
+      .orderBy(col("event_type"), col("gap_bits"))
+  }
+
   /** D83 — Wald–Wolfowitz runs test (Ann. Math. Statist. 1940) on the
     * per-type daily volume's above/below-median signs: the randomness
     * check that catches what D68's slope cannot — a series can be

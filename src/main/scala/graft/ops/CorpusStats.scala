@@ -150,6 +150,41 @@ object CorpusStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** E68 — tokenizer FERTILITY profile per (lang, source): characters
+    * per whitespace token and estimated BPE pieces per token (E9's
+    * exact definitions), in exact ppm — the tokenizer-budget mart a
+    * training pipeline reads before mixing sources: fertility is why
+    * "1B tokens" of two sources are different amounts of text, a
+    * fertility OUTLIER within a language is encoding junk or
+    * boilerplate markup wearing that language's label, and
+    * cross-language fertility spread is the known tokenizer-equity
+    * number (BPE pieces per word vary by script). Whitespace tokens
+    * and the (len+3) div 4 BPE estimate are shared verbatim with E9
+    * so corpus token budgets and this mart are one arithmetic.
+    *
+    * Scale: pure map-side derivation per doc (no tokenize explode —
+    * token counts come off length arithmetic), one contraction to the
+    * (lang, source) grid. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("""cast(size(filter(split(text, ' '), w -> length(w) > 0))
+            as bigint)""").as("n_toks"),
+        expr("cast((length(text) + 3) div 4 as bigint)").as("n_bpe"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_toks")).as("n_tokens"), sum(col("n_bpe")).as("n_bpe"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_bpe"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("1000000 * n_chars div n_tokens"))
+          .as("chars_per_tok_ppm"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("1000000 * n_bpe div n_tokens"))
+          .as("bpe_per_tok_ppm"))
+      .orderBy(col("lang"), col("source"))
+
   /** E67 — per-source SNAPSHOT drift: total-variation distance between
     * the unigram distributions of a source's two interleaved doc-id
     * halves (`doc_id % 2` — the deterministic stand-in for "crawl A vs

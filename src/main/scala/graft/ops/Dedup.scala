@@ -249,6 +249,51 @@ object Dedup {
         expr("(n_inter * 1000000) div greatest(n_min, 1)"))
       .orderBy(col("id1"), col("id2"))
 
+  /** E69 — dedup threshold-SENSITIVITY curve: for each candidate
+    * Jaccard threshold, the near-dup pair count and the distinct
+    * documents touched, off ONE verify pass — the what-if a curator
+    * runs before committing to a cutoff (a cliff between 0.8 and 0.9
+    * means the corpus has a template family right at the boundary and
+    * the chosen τ decides its fate wholesale; a flat curve means the
+    * choice is safe). Thresholds fold over [[verifyCore]]'s EXACT
+    * intersection counts as integer ppm (10⁶·∩ div ∪ — never the IEEE
+    * jaccard column), so the curve hashes cross-engine; every
+    * requested τ emits a row even when empty (zero-completed — an
+    * empty band IS the answer).
+    *
+    * Scale: the E2 posture — pair work is LSH-candidate-sized, the
+    * curve fold is pairs × |thresholds| with a bounded literal
+    * threshold list, contraction to |thresholds| rows. */
+  def thresholdCurve(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                     dupMod: Long = 250,
+                     thresholds: Seq[Long] = Seq(500000L, 700000L,
+                       800000L, 900000L, 1000000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = verifyCore(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"),
+        expr("1000000 * n_inter div (n1 + n2 - n_inter)").as("jac_ppm"))
+    val folded = pairs
+      .select(col("id1"), col("id2"), col("jac_ppm"),
+        explode(lit(thresholds.toArray)).as("threshold_ppm"))
+      .filter(col("jac_ppm") >= col("threshold_ppm"))
+    val nPairs = folded.groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = folded
+      .select(col("threshold_ppm"),
+        explode(array(col("id1"), col("id2"))).as("doc"))
+      .distinct()
+      .groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_docs"))
+    thresholds.toDF("threshold_ppm")
+      .join(nPairs, Seq("threshold_ppm"), "left")
+      .join(nDocs, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold_ppm"))
+  }
+
   /** Shared verify machinery: LSH candidates routed to per-CONTENT
     * distinct-shingle sets, exact intersection only for differing
     * content pairs. Returns (id1, id2, n_shared_bands, n_inter, n1,

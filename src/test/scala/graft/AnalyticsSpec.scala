@@ -482,6 +482,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.getLong(2) == 0L && rc.getDouble(4) == 0.0)
   }
 
+  test("D84: inter-arrival octaves — gap 0 in bucket 1, tie order pinned") {
+    val s = 1000000L
+    // user 1: ts 0, 1s, 3s, 3s (ids 1..4) -> gaps 1s, 2s, 0s
+    // buckets: bl(2)=2, bl(3)=2, bl(1)=1
+    val ev = Seq((1L, 0L, 1L, "a"), (1L, 1 * s, 2L, "a"),
+      (1L, 3 * s, 3L, "a"), (1L, 3 * s, 4L, "a"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Analytics.interArrivalProfile(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 333333L)))
+    assert(out(2L) == ((2L, 1L, 2L, 666666L)))
+    // cross-user gaps never form: two users, one event each
+    val solo = Seq((1L, 0L, 1L, "b"), (2L, 5 * s, 2L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    assert(Analytics.interArrivalProfile(solo).count() == 0L)
+  }
+
   test("D80: ABC classes land on the exact 70/90 boundaries, ties by key") {
     // 10 unit rows at $1.00, disc 0: rev_cp = 10000 per row
     val li = (Seq.fill(7)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(1)(3L))

@@ -90,6 +90,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, 1000000L, 1L, 1000000L)))
   }
 
+  test("E68: fertility — exact ppm, empty-token runs filtered, 0-token pinned") {
+    val docs = Seq(
+      (0L, "ab cd", "en", "a"),      // 5 chars, 2 toks, bpe 2
+      (1L, "a  b", "en", "a"),       // 4 chars, 2 toks (empty dropped), bpe 1
+      (2L, " ", "de", "b"))          // 1 char, 0 toks, bpe 1 -> pinned
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.tokenizerFertility(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // en/a: 9 chars, 4 toks, 3 bpe -> cpt 2250000, bpt 750000
+    assert(out(("en", "a")) == ((2L, 9L, 4L, 3L, 2250000L, 750000L)))
+    assert(out(("de", "b")) == ((1L, 1L, 0L, 1L, 0L, 0L)))
+  }
+
   test("E67: snapshot TV — hand thirds, identical halves 0, empty half 10^6") {
     val docs = Seq(
       // s: halves "a a b" vs "a b b" -> smin 6 of 9 -> tv 1/3

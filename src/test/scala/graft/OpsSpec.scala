@@ -201,6 +201,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("E69: threshold curve is monotone, zero-completes, and matches " +
+      "the verify pass pair for pair") {
+    val docs = Tables.documents(spark, sf)
+    val curve = Dedup.thresholdCurve(docs, dupMod = 250).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve.keySet ==
+      Set(500000L, 700000L, 800000L, 900000L, 1000000L))
+    // exact integer recount from the verify pass's own counts
+    val pairsPpm = Dedup.lshVerify(docs, dupMod = 250).collect()
+      .map(r => 1000000L * r.getLong(3) / r.getLong(4))
+    curve.foreach { case (t, (np, ndocs)) =>
+      assert(np == pairsPpm.count(_ >= t), s"pairs at $t")
+      assert(ndocs <= 2 * np)
+    }
+    // monotone non-increasing in the threshold
+    val ordered = curve.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    // the injected exact dups guarantee mass at tau = 1.0
+    assert(curve(1000000L)._1 > 0L)
+  }
+
   test("multiprobe SRP recovers a pair straddling exactly one hyperplane") {
     import spark.implicits._
     import graft.functions.SrpSig
