@@ -14,11 +14,13 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** A9 — Avro source + sink over the container-format jars Spark ships
   * (org.apache.avro; the spark-avro connector module is NOT on this
@@ -192,12 +194,151 @@ object AvroV2 {
       new AvroScanBuilder(schema0, path)
   }
 
+  /** I27 — DSv2 AGGREGATE pushdown (SupportsPushDownAggregates): a
+    * no-group-by COUNT(*) / MIN / MAX over this source never ships
+    * rows to Spark at all — each file's reader streams its records
+    * once and emits ONE partial-aggregate row, and Spark's planner
+    * (V2ScanRelationPushDown) folds the partials with a final
+    * sum/min/max. This is PARTIAL pushdown by contract
+    * (supportCompletePushDown stays false): with one partition per
+    * file the merge must stay with Spark, and correctness never
+    * depends on file count. Anything outside the supported shape —
+    * group-bys, SUM/AVG, nested or non-orderable columns — returns
+    * false and Spark falls back to the ordinary scan, so pushdown is
+    * an optimization, never a semantics change. Min/max skip nulls
+    * (SQL semantics); an empty file still emits its count=0 partial. */
   private class AvroScanBuilder(full: StructType, path: String)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
     private var required: StructType = full
+    private var aggs: Seq[PushedAgg] = Nil
+
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new AvroScan(full, required, path)
+
+    override def pushAggregation(aggregation: Aggregation): Boolean = {
+      if (aggregation.groupByExpressions.nonEmpty) return false
+      val resolved: Seq[Option[PushedAgg]] =
+        aggregation.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some(AggCountStar)
+          case m: Min => orderableField(m.column).map(AggMin)
+          case m: Max => orderableField(m.column).map(AggMax)
+          case _ => None
+        }
+      if (resolved.contains(None) || resolved.isEmpty) false
+      else { aggs = resolved.flatten; true }
+    }
+
+    private def orderableField(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        full.fields.find(_.name == nr.fieldNames.head).filter(_.dataType match {
+          case IntegerType | LongType | FloatType | DoubleType
+               | StringType | DateType | TimestampType => true
+          case _ => false
+        })
+      case _ => None
+    }
+
+    override def build(): Scan =
+      if (aggs.nonEmpty) new AvroAggScan(full, aggs, path)
+      else new AvroScan(full, required, path)
+  }
+
+  private[sources] sealed trait PushedAgg
+  private[sources] case object AggCountStar extends PushedAgg
+  private[sources] case class AggMin(f: StructField) extends PushedAgg
+  private[sources] case class AggMax(f: StructField) extends PushedAgg
+
+  private class AvroAggScan(full: StructType, aggs: Seq[PushedAgg],
+                            path: String) extends Scan with Batch {
+    override def readSchema(): StructType = StructType(aggs.map {
+      case AggCountStar => StructField("count_star", LongType, nullable = false)
+      case AggMin(f) => StructField(s"min_${f.name}", f.dataType)
+      case AggMax(f) => StructField(s"max_${f.name}", f.dataType)
+    })
+    override def description(): String = "AvroAggScan pushed=[" + aggs.map {
+      case AggCountStar => "count(*)"
+      case AggMin(f) => s"min(${f.name})"
+      case AggMax(f) => s"max(${f.name})"
+    }.mkString(", ") + "]"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new AvroAggReaderFactory(aggs,
+        new SerializableConfiguration(driverConf))
+  }
+
+  private class AvroAggReaderFactory(aggs: Seq[PushedAgg],
+                                     conf: SerializableConfiguration)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val file = p.asInstanceOf[AvroPartition].file
+      new PartitionReader[InternalRow] {
+        private var done = false
+        private var row: InternalRow = _
+
+        // one streaming pass over the file; partial per aggregate
+        private def fold(): InternalRow = {
+          val pth = new Path(file)
+          val in = pth.getFileSystem(conf.value).open(pth)
+          val stream = new DataFileStream[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          try {
+            val pos = aggs.map {
+              case AggCountStar => -1
+              case AggMin(f) => stream.getSchema.getField(f.name).pos()
+              case AggMax(f) => stream.getSchema.getField(f.name).pos()
+            }
+            var count = 0L
+            val acc = Array.fill[Any](aggs.length)(null)
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: Int, y: Int) => x < y
+              case (x: Long, y: Long) => x < y
+              case (x: Float, y: Float) => x < y
+              case (x: Double, y: Double) => x < y
+              case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+              case _ => sys.error(s"unorderable partial: $a vs $b")
+            }
+            while (stream.hasNext) {
+              val rec = stream.next()
+              count += 1L
+              aggs.indices.foreach { i =>
+                aggs(i) match {
+                  case AggCountStar => ()
+                  case AggMin(f) =>
+                    val v = conv(rec.get(pos(i)).asInstanceOf[AnyRef], f)
+                    if (v != null && (acc(i) == null || lt(v, acc(i))))
+                      acc(i) = v
+                  case AggMax(f) =>
+                    val v = conv(rec.get(pos(i)).asInstanceOf[AnyRef], f)
+                    if (v != null && (acc(i) == null || lt(acc(i), v)))
+                      acc(i) = v
+                }
+              }
+            }
+            InternalRow.fromSeq(aggs.indices.map(i => aggs(i) match {
+              case AggCountStar => count
+              case _ => acc(i)
+            }))
+          } finally { stream.close(); in.close() }
+        }
+
+        private def conv(v: AnyRef, f: StructField): Any = v match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }
+
+        override def next(): Boolean =
+          if (done) false else { row = fold(); done = true; true }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
   }
 
   private class AvroScan(full: StructType, required: StructType, path: String)
@@ -207,19 +348,24 @@ object AvroV2 {
     override def planInputPartitions(): Array[InputPartition] =
       listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new AvroReaderFactory(required)
+      new AvroReaderFactory(required,
+        new SerializableConfiguration(driverConf))
   }
 
   private case class AvroPartition(file: String) extends InputPartition
 
-  private class AvroReaderFactory(required: StructType)
+  private class AvroReaderFactory(required: StructType,
+                                  conf: SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val file = p.asInstanceOf[AvroPartition].file
       new PartitionReader[InternalRow] {
+        // the session's Hadoop conf shipped from the driver (the
+        // FixedWidth r7 fix): a bare `new Configuration()` on the
+        // executor loses S3 credentials / defaultFS / kerberos
         private val in = {
           val pth = new Path(file)
-          pth.getFileSystem(new Configuration()).open(pth)
+          pth.getFileSystem(conf.value).open(pth)
         }
         private val stream =
           new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())

@@ -91,6 +91,60 @@ class IngestSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("I27: avro aggregate pushdown — partial rows per file, exact merge, " +
+      "clean fallback") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("graft_avro_agg")
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("event_id") % 5 === 0, col("user_id")).as("maybe_uid"))
+      .limit(400).repartition(3).cache()
+    graft.sources.AvroV2.write(src, dir.resolve("a").toString)
+    val back = spark.read.format("graft.sources.AvroV2")
+      .load(dir.resolve("a").toString)
+
+    // AQE hides the scan inside stages: materialize, then walk the
+    // FINAL adaptive plan
+    def scansOf(df: org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.connector.read.Scan] = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def rec(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] =
+        p match {
+          case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
+          case q: QueryStageExec => rec(q.plan)
+          case b: BatchScanExec => Seq(b.scan)
+          case o => o.children.flatMap(rec)
+        }
+      rec(df.queryExecution.executedPlan)
+    }
+
+    val agg = back.agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+      max(col("event_type")).as("hi"), max(col("maybe_uid")).as("mu"))
+    val scans = scansOf(agg)
+    assert(scans.nonEmpty && scans.head.description.startsWith("AvroAggScan"),
+      s"aggregation must reach the scan: ${scans.map(_.description)}")
+    // the scan emits ONLY partial-aggregate columns, never data rows
+    assert(scans.head.readSchema().length == 4)
+    val expect = src.agg(count(lit(1)), min(col("event_id")),
+      max(col("event_type")), max(col("maybe_uid"))).collect().head
+    assert(agg.collect().head.toSeq == expect.toSeq,
+      "pushed partials must merge to the exact full-scan answer")
+
+    // unsupported shapes fall back to the plain scan, same answers
+    assert(scansOf(back.agg(sum(col("value")).as("s")))
+      .forall(!_.description.startsWith("AvroAggScan")))
+    val grouped = back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(grouped)
+      .forall(!_.description.startsWith("AvroAggScan")))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == src.groupBy(col("event_type")).agg(count(lit(1)))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
   test("A6: xlsx source reads the reference's terminals workbook") {
     val path = "/root/reference/sql_project-master/data/terminals_01032021.xlsx"
     assume(Files.exists(Paths.get(path)))
