@@ -1282,6 +1282,23 @@ object SparkEntry {
             Seq("doc_id")),
         score = "margin", label = "is_en")),
 
+    // B25: header-vs-detail money reconciliation as a delta
+    // distribution — matched mass, mismatch octaves, both orphans
+    "q_recon" -> ((s, d) =>
+      etl.DataQuality.reconcileMoney(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+
+    // H21: per-source AUC of the hashed scorer — the subgroup audit;
+    // single-class slices pin to 500000, never fail
+    "q_auc_slices" -> ((s, d) =>
+      ml.Evaluation.sliceAuc(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+            Seq("doc_id")),
+        slice = "source", score = "margin", label = "is_en")),
+
     // H20: Harrell's C — does order value predict ship speed, judged
     // only on pairs whose outcome order survives the D67 censoring
     "q_cindex" -> ((s, d) =>
@@ -2320,6 +2337,74 @@ object SparkEntry {
         |    - CAST(ssum // n AS BIGINT)
         |    + obar_ppm * (1000000 - obar_ppm)) AS identity_gap_e12
         |FROM ag""".stripMargin,
+
+    // B25: full outer header⋈detail-sums on the key domain, exact
+    // cpp money, octave buckets for the mismatch mass
+    "q_recon" ->
+      """WITH items AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+        |      AS items_cpp
+        |  FROM lineitem GROUP BY 1),
+        |heads AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) * 10000 AS head_cpp
+        |  FROM orders),
+        |j AS (
+        |  SELECT CASE WHEN i.items_cpp IS NULL THEN 'orphan_order'
+        |              WHEN h.head_cpp IS NULL THEN 'orphan_item'
+        |              WHEN h.head_cpp = i.items_cpp THEN 'matched'
+        |              ELSE 'delta' END AS status,
+        |    coalesce(h.head_cpp, 0) - coalesce(i.items_cpp, 0) AS delta
+        |  FROM heads h FULL OUTER JOIN items i ON h.k = i.k),
+        |b AS (
+        |  SELECT status,
+        |    CAST(CASE WHEN status = 'delta'
+        |      THEN length(to_base(abs(delta), 2)) ELSE 0 END AS BIGINT)
+        |      AS delta_bits,
+        |    delta
+        |  FROM j)
+        |SELECT status, delta_bits, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(delta AS HUGEINT)) AS BIGINT) AS net_delta_cpp,
+        |  CAST(sum(CAST(abs(delta) AS HUGEINT)) AS BIGINT)
+        |    AS abs_delta_cpp
+        |FROM b GROUP BY 1, 2 ORDER BY status, delta_bits""".stripMargin,
+
+    // H21: H4's rank-sum per slice; degenerate slices pinned 500000
+    "q_auc_slices" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.source AS slice, m.margin AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab
+        |  FROM m JOIN documents d USING (doc_id)),
+        |cells AS (SELECT slice, s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lab) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY slice ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM cells),
+        |ag AS (SELECT slice, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * cum + n + 1)) AS BIGINT) AS sum_r2
+        |  FROM cum GROUP BY 1)
+        |SELECT slice, n_pos, n_neg,
+        |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+        |    ELSE (sum_r2 - n_pos * (n_pos + 1)) * 500000
+        |      // (n_pos * n_neg) END AS BIGINT) AS auc_ppm
+        |FROM ag ORDER BY slice""".stripMargin,
 
     // H20: pair masses off the completed t×sbin grid; admissibility
     // pinned (event drives; same-t censored comparable; event-event

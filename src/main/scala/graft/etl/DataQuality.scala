@@ -216,4 +216,52 @@ object DataQuality {
       .unionByName(pct("p99_cnt", 99, 100))
       .orderBy(col("metric"))
   }
+
+  /** B25 — two-way MONEY reconciliation (the financial control total
+    * B20's key audit can't see): header amounts vs the sum of their
+    * detail lines, in exact centi-centi-cents (cents·(100−disc)·
+    * (100+tax) — the §5 exact-money form; headers scale by 10⁴ to the
+    * same unit), reported as a DELTA DISTRIBUTION rather than a pass
+    * flag: matched mass, per-octave mismatch buckets (bitLength of
+    * |delta| — one row per decade-ish band, the D84 idiom, so one
+    * rounding artifact and one missing line item land in different
+    * rows), and both orphan directions. This is the report a finance
+    * close actually reads — "how wrong, how often, which way" — and
+    * on a generator that enforces the TPC-H total-price identity it
+    * proves the identity held end to end.
+    *
+    * Scale: the detail side contracts to (order, sum) first — the
+    * only fact-sized shuffle — then a key-domain full outer join and
+    * a contraction to ≤~66 (status, octave) rows; delta sums in
+    * decimal(38,0) (HUGEINT twin). */
+  def reconcileMoney(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(sum(expr("""cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))
+          * (100 + cast(round(l_tax*100) as bigint))""")).as("items_cpp"))
+    val heads = orders.select(col("o_orderkey").as("k"),
+      expr("cast(round(o_totalprice*100) as bigint) * 10000")
+        .as("head_cpp"))
+    heads.join(items, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("items_cpp").isNull, "orphan_order")
+          .when(col("head_cpp").isNull, "orphan_item")
+          .when(col("head_cpp") === col("items_cpp"), "matched")
+          .otherwise("delta"))
+      .withColumn("delta",
+        coalesce(col("head_cpp"), lit(0L))
+          - coalesce(col("items_cpp"), lit(0L)))
+      .withColumn("delta_bits",
+        when(col("status") === "delta",
+          length(bin(abs(col("delta")))).cast("long")).otherwise(0L))
+      .groupBy(col("status"), col("delta_bits"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("delta").cast("decimal(38,0)")).as("net_delta_cpp"),
+        sum(abs(col("delta")).cast("decimal(38,0)")).as("abs_delta_cpp"))
+      .select(col("status"), col("delta_bits"), col("n"),
+        col("net_delta_cpp").cast("long").as("net_delta_cpp"),
+        col("abs_delta_cpp").cast("long").as("abs_delta_cpp"))
+      .orderBy(col("status"), col("delta_bits"))
+  }
 }

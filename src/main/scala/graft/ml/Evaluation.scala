@@ -62,10 +62,16 @@ object Evaluation {
     * first if the domain is unbounded). Exact while n_a·n_b·10^6 fits a
     * long (same stratify-beyond-~3·10^9-rows caveat as H4). */
   def ksDrift(samples: DataFrame, side: String = "side",
-              v: String = "v"): DataFrame = {
-    val byV = samples.groupBy(col(v).as("x"))
+              v: String = "v"): DataFrame =
+    finishKs(samples.groupBy(col(v).as("x"))
       .agg(sum(when(col(side) === 0L, 1L).otherwise(0L)).as("da"),
-        sum(when(col(side) =!= 0L, 1L).otherwise(0L)).as("db"))
+        sum(when(col(side) =!= 0L, 1L).otherwise(0L)).as("db")))
+
+  /** The KS back half over an (x, da, db) distinct-value frame —
+    * shared with the F29 streaming drift monitor (the finishAuc/
+    * finishAp/finishKappa split): the cumulative-max walk is
+    * non-associative, so it is never streaming state. */
+  def finishKs(byV: DataFrame): DataFrame = {
     val w = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = byV
@@ -78,6 +84,43 @@ object Evaluation {
         .as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
         expr("d_num * 1000000 div greatest(n_a * n_b, 1)").as("ks_ppm"))
+  }
+
+  /** H21 — per-SLICE AUC (stratified discrimination audit): the H4
+    * rank-sum AUC computed within every slice of a grouping column
+    * (language, source, market segment…) — the subgroup-performance
+    * mart a deployed scorer owes its users: a healthy global AUC can
+    * hide one slice where the model is a coin flip (Simpson-flavored
+    * aggregation bias), and THIS is the table that shows it. Same
+    * doubled-rank tie handling, same exact ppm; a DEGENERATE slice
+    * (single-class — n_pos·n_neg = 0) is expected here rather than an
+    * input error, so it pins auc_ppm = 500000 (no ranking information)
+    * with its counts visible, never NULL and never a division failure.
+    *
+    * Scale: one pass contracts the corpus to (slice, score) cells; the
+    * rank windows run per slice over that frame — adding the slice key
+    * to H4's contraction costs nothing and distributes BETTER (the
+    * windows partition instead of single-node). */
+  def sliceAuc(scored: DataFrame, slice: String = "slice",
+               score: String = "score", label: String = "label")
+      : DataFrame = {
+    val byScore = scored.groupBy(col(slice).as("slice"), col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
+    val w = Window.partitionBy(col("slice")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("slice"))
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+          .as("sum_r2"))
+      .select(col("slice"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(500000L))
+          .otherwise(expr(
+            "(sum_r2 - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"))
+          .as("auc_ppm"))
+      .orderBy(col("slice"))
   }
 
   /** H7 — exact precision/recall curve: one operating point per

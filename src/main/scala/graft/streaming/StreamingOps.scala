@@ -669,6 +669,23 @@ object StreamingOps {
     scored.groupBy(col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
 
+  /** F29 — streaming KS drift monitor (H6 run live): the two-sample
+    * Kolmogorov–Smirnov distance between a reference score population
+    * (side 0, e.g. the training distribution replayed once) and the
+    * live serving stream (side 1), refreshed per trigger — the
+    * covariate-shift alarm that, like F28, needs NO labels: the score
+    * DISTRIBUTION moves days before delayed labels can prove the
+    * accuracy moved. State is the per-distinct-value (da, db) count
+    * frame as complete-mode grouped aggregation — associative merges,
+    * bounded by the VALUE DOMAIN forever — finishing through the batch
+    * [[graft.ml.Evaluation]] `finishKs` (the cumulative-max walk is
+    * non-associative, so it is never state — the F27/F28 split). */
+  def ksState(rows: DataFrame, side: String = "side",
+              v: String = "v"): DataFrame =
+    rows.groupBy(col(v).as("x"))
+      .agg(sum(when(col(side) === 0L, 1L).otherwise(0L)).as("da"),
+        sum(when(col(side) =!= 0L, 1L).otherwise(0L)).as("db"))
+
   /** F28 — streaming inter-rater AGREEMENT monitor (H16 run live): two
     * scorers run side by side in production (champion/challenger, new
     * lang-id vs old, model vs heuristic triage) and this maintains

@@ -1227,6 +1227,25 @@ class ParitySpec extends SparkSpec {
     assert(sK.toSeq == bK.toSeq, s"kappa: $sK vs $bK")
   }
 
+  test("F29 streaming KS drift: value counts finish to batch H6 across a " +
+      "restart; state stays value-domain-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val ck = ckDir("ksdrift")
+    def plan = StreamingOps.ksState(in.toDS().toDF("side", "v"))
+    // values repeat across triggers AND the restart: counters merge
+    val b1 = Seq((0L, 10L), (0L, 20L), (1L, 20L), (1L, 30L))
+    val b2 = Seq((0L, 10L), (1L, 40L), (0L, 30L), (1L, 20L))
+    completeRun(in, plan, "ks_rs1", ck, b1)
+    completeRun(in, plan, "ks_rs2", ck, b2)
+    val snapshot = spark.table("ks_rs2")
+    assert(snapshot.count() == 4, "state is the distinct-value frame")
+    val sKs = graft.ml.Evaluation.finishKs(snapshot).collect().head
+    val bKs = graft.ml.Evaluation.ksDrift(
+      (b1 ++ b2).toDF("side", "v")).collect().head
+    assert(sKs.toSeq == bKs.toSeq, s"ks: $sKs vs $bKs")
+  }
+
   test("F26 streaming velocity features ≡ batch D77 row for row across " +
       "a restart (train/serve agreement); straggler tombstoned") {
     implicit val sqlCtx = spark.sqlContext

@@ -307,4 +307,42 @@ class ProfilingSpec extends SparkSpec {
       r.head.getLong(1) == 2L && r.head.getLong(2) == 0L &&
       r.head.getLong(3) == 0L)
   }
+
+  test("B25: money reconciliation — matched, delta octave, both orphans") {
+    import spark.implicits._
+    // order 1: head 100.00, items sum to exactly 100.00 (no disc/tax)
+    // order 2: head 50.00, items 49.99 -> delta +0.01 = 100 cpp? no:
+    //   head_cpp = 5000*10000 = 5e7; items = 4999*100*100 = 4.999e7;
+    //   delta = 10000 cpp -> bits = 14 (2^13=8192 <= 10000 < 16384)
+    // order 3: head only (orphan_order); item 9: detail only
+    val orders = Seq((1L, 100.0), (2L, 50.0), (3L, 7.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val items = Seq((1L, 100.0, 0.0, 0.0), (2L, 49.99, 0.0, 0.0),
+      (9L, 5.0, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = graft.etl.DataQuality.reconcileMoney(orders, items)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("matched", 0L)) == ((1L, 0L, 0L)))
+    assert(out(("delta", 14L)) == ((1L, 10000L, 10000L)))
+    assert(out(("orphan_order", 0L))._1 == 1L)
+    assert(out(("orphan_item", 0L))._1 == 1L)
+    assert(out.size == 4)
+  }
+
+  test("H21: slice AUC matches per-slice H4; single-class slice pinned") {
+    import spark.implicits._
+    val scored = Seq(
+      ("a", 3L, 1L), ("a", 2L, 0L), ("a", 1L, 1L),   // mixed slice
+      ("b", 9L, 1L), ("b", 8L, 1L))                  // single-class
+      .toDF("slice", "score", "label")
+    val out = graft.ml.Evaluation.sliceAuc(scored).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val aOnly = scored.filter($"slice" === "a").select("score", "label")
+    val h4 = graft.ml.Evaluation.aucExact(aOnly).collect().head
+    assert(out("a") == ((h4.getLong(0), h4.getLong(1), h4.getLong(2))))
+    assert(out("b") == ((2L, 0L, 500000L)))
+  }
 }
