@@ -1328,6 +1328,18 @@ object SparkEntry {
     "q_interarrival" -> ((s, d) =>
       ops.Analytics.interArrivalProfile(Tables.events(s, d))),
 
+    // D85: exact p25..p99 ladder of quantity cents per return flag
+    "q_quantiles" -> ((s, d) =>
+      ops.Analytics.quantileLadder(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("qty_cents")),
+        group = "l_returnflag", value = "qty_cents")),
+
+    // B26: per-type arrival lag behind the corpus frontier — the
+    // is-the-feed-alive SLA check; D70 audits past gaps, this the open one
+    "q_freshness" -> ((s, d) =>
+      ops.Analytics.freshness(Tables.events(s, d))),
+
     // H16: Cohen's kappa between the same two raters q_mcnemar pits
     // against the label — here judged against EACH OTHER, no label
     "q_kappa" -> ((s, d) => {
@@ -3448,6 +3460,45 @@ object SparkEntry {
         |    ELSE 1000000 * n_bpe // n_tokens END AS BIGINT)
         |    AS bpe_per_tok_ppm
         |FROM d ORDER BY lang, source""".stripMargin,
+
+    // D85: lower quantiles off the cumulative histogram, rank
+    // ceil(p*n/100), bucket picked by its cumulative range
+    "q_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, x, c,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM h),
+        |l AS (
+        |  SELECT grp, x, c, cum, n,
+        |    CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p
+        |  FROM cum),
+        |r AS (SELECT *, (p * n + 99) // 100 AS rk FROM l)
+        |SELECT grp, p, n, x AS q_value
+        |FROM r WHERE cum >= rk AND cum - c < rk
+        |ORDER BY grp, p""".stripMargin,
+
+    // B26: frontier lag per type, stale flag at the pinned budget
+    "q_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT max(last_ts_us) AS frontier FROM per)
+        |SELECT event_type, n_rows, first_ts_us, last_ts_us,
+        |  (frontier - last_ts_us) // 1000000 AS lag_s,
+        |  CAST(CASE WHEN (frontier - last_ts_us) // 1000000 > 86400
+        |    THEN 1 ELSE 0 END AS BIGINT) AS stale_flg
+        |FROM per CROSS JOIN f ORDER BY event_type""".stripMargin,
 
     // D84: (ts, event_id)-ordered lag gaps, octave buckets via
     // to_base bit length, shares over the per-type octave frame

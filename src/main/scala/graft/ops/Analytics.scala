@@ -1100,6 +1100,64 @@ object Analytics {
             div (cast(n - 1 as decimal(38,0)) * sx) as bigint)"""))
           .cast("long").as("fano_ppm"))
       .orderBy(col("event_type"))
+  /** D85 — exact QUANTILE LADDER per group: the p25/p50/p75/p90/p99
+    * cut points every ops dashboard quotes, EXACT off the
+    * count-of-counts value histogram (the D19/D49/D69 discipline —
+    * never a corpus sort, never percentile_approx's merge-order
+    * nondeterminism, and unlike the D72 sketch these are the true
+    * order statistics). Quantile definition pinned: q_p = min value
+    * whose inclusive cumulative count reaches ⌈p·n/100⌉ (the lower
+    * quantile — p50 coincides with D19's lower median for every n).
+    * The ladder is one literal explode against the histogram's
+    * cumulative frame; each (group, p) picks exactly the bucket whose
+    * cumulative range covers its rank (cum ≥ r ∧ cum − c < r), so no
+    * argmin pass is needed.
+    *
+    * Scale: one corpus pass to the (group, value) histogram — bounded
+    * by the value domain (coarsen first if the domain is unbounded,
+    * the D63 cents→dollars move); windows and the ladder join run on
+    * that contraction. */
+  def quantileLadder(rows: DataFrame, group: String, value: String,
+                     quantiles: Seq[Long] = Seq(25L, 50L, 75L, 90L, 99L))
+      : DataFrame = {
+    val wv = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = rows.select(col(group).as("grp"), col(value).as("x"))
+      .groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("grp"))))
+    hist
+      .select(col("grp"), col("x"), col("c"), col("cum"), col("n"),
+        explode(lit(quantiles.toArray)).as("p"))
+      .withColumn("r", expr("(p * n + 99) div 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+      .select(col("grp"), col("p"), col("n"), col("x").as("q_value"))
+      .orderBy(col("grp"), col("p"))
+  }
+
+  /** B26 — FRESHNESS mart: per stream (event type) the lag of its last
+    * arrival behind the corpus frontier — the is-the-feed-alive check
+    * an ingestion SLA reads every run, and D70's complement: islands
+    * audit a type's PAST gaps, this flags the open-ended gap NOW
+    * (a feed that stopped yesterday has a perfect island history).
+    * Lag in whole seconds, staleness flagged against a caller-pinned
+    * budget; first/last instants and row mass beside it so a stale
+    * flag comes with its blast radius. One scan, one contraction to
+    * the type domain, frontier via one broadcast scalar. */
+  def freshness(events: DataFrame, staleAfterS: Long = 86400L): DataFrame = {
+    val per = events.groupBy(col("event_type"))
+      .agg(min(col("ts_us")).as("first_ts_us"),
+        max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n_rows"))
+    per.crossJoin(broadcast(per.agg(max(col("last_ts_us")).as("frontier"))))
+      .withColumn("lag_s", expr("(frontier - last_ts_us) div 1000000"))
+      .select(col("event_type"), col("n_rows"), col("first_ts_us"),
+        col("last_ts_us"), col("lag_s"),
+        when(col("lag_s") > staleAfterS, 1L).otherwise(0L).as("stale_flg"))
+      .orderBy(col("event_type"))
+  }
+
   /** D84 — inter-arrival profile: per event type, the DOUBLING
     * HISTOGRAM (the E56 bit-length idiom) of the gaps between a user's
     * consecutive events — the event-level companion of D82's daily

@@ -62,6 +62,16 @@ object AvroV2 {
   private def driverConf: Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  private[sources] def fileBytes(pathGlob: String, conf: Configuration): Long = {
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(conf)
+    val stats = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    stats.toSeq
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(_.getLen).sum
+  }
+
   private[sources] def listFiles(pathGlob: String, conf: Configuration): Seq[String] = {
     val p = new Path(pathGlob)
     val fs = p.getFileSystem(conf)
@@ -341,10 +351,30 @@ object AvroV2 {
     }
   }
 
+  /** I28 — DSv2 statistics reporting (SupportsReportStatistics): the
+    * scan tells Catalyst its on-disk byte size, so a SMALL Avro table
+    * joins by BROADCAST instead of the sort-merge that the DSv2
+    * default (sizeInBytes = spark.sql.defaultSizeInBytes ≈ ∞ when
+    * unknown) forces. Size is the summed file lengths scaled by a
+    * conservative 4× deserialization factor (Avro binary is compact;
+    * Catalyst rows are wider — UNDER-reporting is the dangerous
+    * direction because it can broadcast something huge, so the factor
+    * errs large and a borderline table stays on the safe SMJ path).
+    * Row count is left unknown: a wrong numRows poisons downstream
+    * cardinality estimates, absent is strictly better. */
   private class AvroScan(full: StructType, required: StructType, path: String)
-      extends Scan with Batch {
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(4L * fileBytes(path, driverConf))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     override def planInputPartitions(): Array[InputPartition] =
       listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =

@@ -482,6 +482,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.getLong(2) == 0L && rc.getDouble(4) == 0.0)
   }
 
+  test("D85: quantile ladder — exact ranks, ties share a bucket, p50 = D19") {
+    // grp a: values 1..10 -> p25 at rank 3, p50 rank 5, p75 rank 8,
+    // p90 rank 9, p99 rank 10
+    val a = (1 to 10).map(v => ("a", v.toLong))
+    // grp b: 1,1,1,9 -> n=4: p25 r1->1, p50 r2->1, p75 r3->1,
+    // p90 r4->9, p99 r4->9
+    val b = Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 9L))
+    val out = Analytics.quantileLadder((a ++ b).toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out(("a", 25L)) == 3L && out(("a", 50L)) == 5L)
+    assert(out(("a", 75L)) == 8L && out(("a", 90L)) == 9L)
+    assert(out(("a", 99L)) == 10L)
+    assert(out(("b", 25L)) == 1L && out(("b", 50L)) == 1L)
+    assert(out(("b", 75L)) == 1L && out(("b", 90L)) == 9L)
+    assert(out.size == 10, "exactly one row per (group, p)")
+  }
+
+  test("B26: freshness — lag vs frontier, stale flag at the budget") {
+    val s = 1000000L
+    val ev = Seq(("live", 0L), ("live", 200000L * s),
+      ("stale", 100L * s), ("quiet", 199999L * s))
+      .toDF("event_type", "ts_us")
+    val out = Analytics.freshness(ev, staleAfterS = 100000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out("live") == ((0L, 0L)))
+    assert(out("stale") == ((199900L, 1L)))
+    assert(out("quiet") == ((1L, 0L)))
+  }
+
   test("D84: inter-arrival octaves — gap 0 in bucket 1, tie order pinned") {
     val s = 1000000L
     // user 1: ts 0, 1s, 3s, 3s (ids 1..4) -> gaps 1s, 2s, 0s

@@ -145,6 +145,33 @@ class IngestSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
   }
 
+  test("I28: reported statistics flip a small-avro join to broadcast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val dir = Files.createTempDirectory("graft_avro_stats")
+    val dim = spark.range(200)
+      .select(col("id").as("event_type_id"),
+        concat(lit("t"), col("id") % 5).as("event_type"))
+    graft.sources.AvroV2.write(dim, dir.resolve("dim").toString)
+    val small = spark.read.format("graft.sources.AvroV2")
+      .load(dir.resolve("dim").toString)
+    val fact = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"))
+    val joined = fact.join(small, Seq("event_type"))
+    joined.collect()
+    def hasBroadcast(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasBroadcast(a.executedPlan)
+      case q: QueryStageExec => hasBroadcast(q.plan)
+      case _: BroadcastHashJoinExec => true
+      case o => o.children.exists(hasBroadcast)
+    }
+    assert(hasBroadcast(joined.queryExecution.executedPlan),
+      "a 200-row avro dim with reported stats must broadcast:\n" +
+        joined.queryExecution.executedPlan.toString)
+  }
+
   test("A6: xlsx source reads the reference's terminals workbook") {
     val path = "/root/reference/sql_project-master/data/terminals_01032021.xlsx"
     assume(Files.exists(Paths.get(path)))
