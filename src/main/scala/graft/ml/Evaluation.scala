@@ -623,8 +623,10 @@ object Evaluation {
                        score: String = "sbin"): DataFrame = {
     val cells = surv.groupBy(col(time).as("t"), col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(event)).as("ne"))
+    // the score-bin domain is bounded BY CONTRACT (callers bin), so it
+    // carries the engine's bounded-by-construction broadcast marker
     val grid = cells.select(col("t")).distinct()
-      .crossJoin(cells.select(col("s")).distinct())
+      .crossJoin(broadcast(cells.select(col("s")).distinct()))
       .join(cells, Seq("t", "s"), "left")
       .select(col("t"), col("s"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("ne"), lit(0L)).as("ne"))
