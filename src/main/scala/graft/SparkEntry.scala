@@ -1340,6 +1340,22 @@ object SparkEntry {
     "q_freshness" -> ((s, d) =>
       ops.Analytics.freshness(Tables.events(s, d))),
 
+    // D86: week-over-week movers — sign-split exact ppm change per
+    // (type, epoch week), dead weeks zero-completed, 0->n pinned
+    "q_movers" -> ((s, d) =>
+      ops.Analytics.weeklyMovers(Tables.events(s, d))),
+
+    // H22: Spearman rho on the same bins as q_kendall — the linear-
+    // cost monotone-association companion to tau-b
+    "q_spearman" -> ((s, d) =>
+      ml.Evaluation.spearmanRho(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars")), Seq("doc_id"))
+          .select(expr("(margin + 1000000000) div 500").as("va"),
+            expr("n_chars div 200").as("vb")))),
+
     // H16: Cohen's kappa between the same two raters q_mcnemar pits
     // against the label — here judged against EACH OTHER, no label
     "q_kappa" -> ((s, d) => {
@@ -3460,6 +3476,83 @@ object SparkEntry {
         |    ELSE 1000000 * n_bpe // n_tokens END AS BIGINT)
         |    AS bpe_per_tok_ppm
         |FROM d ORDER BY lang, source""".stripMargin,
+
+    // D86: epoch-week grid, lag deltas sign-split, 0-baseline pinned
+    "q_movers" ->
+      """WITH weekly0 AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(week) AS w0, max(week) AS w1
+        |  FROM weekly0 GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(w0, w1 + 1)) AS week
+        |  FROM span),
+        |weekly AS (SELECT g.event_type, g.week, coalesce(d.n, 0) AS n
+        |  FROM grid g LEFT JOIN weekly0 d USING (event_type, week)),
+        |lg AS (
+        |  SELECT event_type, week, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM weekly)
+        |SELECT event_type, CAST(week AS BIGINT) AS week, n,
+        |  CAST(prev_n AS BIGINT) AS prev_n,
+        |  CAST(CASE WHEN prev_n = 0 THEN 1000000
+        |    WHEN n >= prev_n THEN 1000000 * (n - prev_n) // prev_n
+        |    ELSE -(1000000 * (prev_n - n) // prev_n) END AS BIGINT)
+        |    AS delta_ppm
+        |FROM lg WHERE prev_n IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
+
+    // H22: doubled midranks off the marginal histograms; rho is the
+    // one IEEE step over exact HUGEINT moments in pinned order
+    "q_spearman" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT (margin + 1000000000) // 500 AS va, n_chars // 200 AS vb
+        |  FROM m JOIN documents d USING (doc_id)),
+        |cells AS (SELECT va, vb, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT v AS va, 2 * cum + t + 1 AS ra2 FROM (
+        |    SELECT va AS v, CAST(sum(n) AS BIGINT) AS t,
+        |      CAST(coalesce(sum(sum(n)) OVER (ORDER BY va
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS cum
+        |    FROM cells GROUP BY va)),
+        |rb AS (
+        |  SELECT v AS vb, 2 * cum + t + 1 AS rb2 FROM (
+        |    SELECT vb AS v, CAST(sum(n) AS BIGINT) AS t,
+        |      CAST(coalesce(sum(sum(n)) OVER (ORDER BY vb
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS cum
+        |    FROM cells GROUP BY vb)),
+        |mo AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(n AS HUGEINT) * ra2) AS sa,
+        |    sum(CAST(n AS HUGEINT) * rb2) AS sb,
+        |    sum(CAST(n AS HUGEINT) * ra2 * ra2) AS saa,
+        |    sum(CAST(n AS HUGEINT) * rb2 * rb2) AS sbb,
+        |    sum(CAST(n AS HUGEINT) * ra2 * rb2) AS sab
+        |  FROM cells JOIN ra USING (va) JOIN rb USING (vb)),
+        |fin AS (
+        |  SELECT nn, nn * sab - sa * sb AS num,
+        |    nn * saa - sa * sa AS sxx, nn * sbb - sb * sb AS syy
+        |  FROM mo)
+        |SELECT nn AS n,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN 0.0
+        |    ELSE CAST(num AS DOUBLE)
+        |      / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+        |  END AS rho
+        |FROM fin""".stripMargin,
 
     // D85: lower quantiles off the cumulative histogram, rank
     // ceil(p*n/100), bucket picked by its cumulative range

@@ -664,6 +664,58 @@ object Evaluation {
           .cast("long").as("c_ppm"))
   }
 
+  /** H22 — Spearman rank correlation (tie-corrected: Pearson over
+    * MIDRANKS) between two binned integer columns — H13's companion
+    * with the complementary failure mode: Kendall's τ-b reads pair
+    * concordance (robust, but its dominance join is |cells|²), ρ reads
+    * monotone association through rank arithmetic that is LINEAR in
+    * the cell frame — on a fine bin grid ρ is the one you can afford,
+    * and quoting both is the standard confound report. Midranks stay
+    * integral by the H4 DOUBLING trick (a tie block over positions
+    * [cum+1, cum+t] has 2·midrank = 2·cum + t + 1; the factor 2
+    * cancels in ρ), so every moment is an exact decimal(38,0) off one
+    * weighted pass; ρ itself is the one IEEE step — num/√(sxx·syy) in
+    * pinned literal order from exactly-computed integers (the
+    * H13/H17 precedent). Degenerate marginals (an axis with one
+    * distinct value) pin ρ = 0, never NULL/NaN.
+    *
+    * Scale: one corpus pass to the (va, vb) cell contraction; the two
+    * rank maps are value-domain windows above aggregates; the moment
+    * pass is cell-frame-sized. */
+  def spearmanRho(binned: DataFrame, a: String = "va", b: String = "vb")
+      : DataFrame = {
+    val cells = binned.groupBy(col(a).as("va"), col(b).as("vb"))
+      .agg(count(lit(1)).as("n"))
+    def ranks(axis: String, out: String): DataFrame = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(col(axis).as("v")).agg(sum(col("n")).as("t"))
+        .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col("v").as(axis),
+          (lit(2L) * col("cum") + col("t") + lit(1L)).as(out))
+    }
+    cells
+      .join(ranks("va", "ra2"), Seq("va"))
+      .join(ranks("vb", "rb2"), Seq("vb"))
+      .agg(sum(col("n")).as("nn"),
+        sum((col("n") * col("ra2")).cast("decimal(38,0)")).as("sa"),
+        sum((col("n") * col("rb2")).cast("decimal(38,0)")).as("sb"),
+        sum(col("n").cast("decimal(38,0)") * col("ra2") * col("ra2"))
+          .as("saa"),
+        sum(col("n").cast("decimal(38,0)") * col("rb2") * col("rb2"))
+          .as("sbb"),
+        sum(col("n").cast("decimal(38,0)") * col("ra2") * col("rb2"))
+          .as("sab"))
+      .withColumn("num", col("nn") * col("sab") - col("sa") * col("sb"))
+      .withColumn("sxx", col("nn") * col("saa") - col("sa") * col("sa"))
+      .withColumn("syy", col("nn") * col("sbb") - col("sb") * col("sb"))
+      .select(col("nn").as("n"),
+        when(col("sxx") === 0 || col("syy") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+          .as("rho"))
+  }
+
   /** H19 — multiclass confusion matrix with both per-cell shares: the
     * error-ANATOMY mart behind every scalar above (H14 says B beat A,
     * H16 says they agree — this says WHICH classes bleed into which:

@@ -1100,6 +1100,47 @@ object Analytics {
             div (cast(n - 1 as decimal(38,0)) * sx) as bigint)"""))
           .cast("long").as("fano_ppm"))
       .orderBy(col("event_type"))
+  /** D86 — week-over-week MOVERS: per (type, 7-day epoch bucket) the
+    * volume, the previous bucket's volume, and the sign-split exact
+    * ppm change — the change-detection read on top of D23's resample
+    * (aggregation says what the level IS; this says what MOVED, which
+    * is what an ops review actually scans). Weeks are epoch-day div 7
+    * (pinned — calendar-ISO week rules differ across engines and add
+    * nothing here); a type's first observed week has no baseline and
+    * is EXCLUDED (pinned — a 0-baseline ppm would be ±∞); an empty
+    * intermediate week is a real 0-volume bucket via the D74 grid
+    * completion, so a feed that died and recovered shows a −10⁶ then
+    * a +∞-avoided re-entry through the 0→n guard (prev=0 pins
+    * delta_ppm to 10⁶ with the counts visible).
+    *
+    * Scale: one scan to the (type, week) grid (day-domain-sized /7),
+    * one lag window over it. */
+  def weeklyMovers(events: DataFrame): DataFrame = {
+    val weekly0 = events
+      .select(col("event_type"),
+        expr("ts_us div 604800000000").as("week"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    val grid = weekly0.groupBy(col("event_type"))
+      .agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+      .select(col("event_type"),
+        explode(sequence(col("w0"), col("w1"))).as("week"))
+      .join(weekly0, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    grid
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        when(col("prev_n") === 0L, lit(1000000L))
+          .when(col("n") >= col("prev_n"),
+            expr("1000000 * (n - prev_n) div prev_n"))
+          .otherwise(-expr("1000000 * (prev_n - n) div prev_n"))
+          .cast("long").as("delta_ppm"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** D85 — exact QUANTILE LADDER per group: the p25/p50/p75/p90/p99
     * cut points every ops dashboard quotes, EXACT off the
     * count-of-counts value histogram (the D19/D49/D69 discipline —
@@ -1146,17 +1187,24 @@ object Analytics {
     * budget; first/last instants and row mass beside it so a stale
     * flag comes with its blast radius. One scan, one contraction to
     * the type domain, frontier via one broadcast scalar. */
-  def freshness(events: DataFrame, staleAfterS: Long = 86400L): DataFrame = {
-    val per = events.groupBy(col("event_type"))
+  def freshness(events: DataFrame, staleAfterS: Long = 86400L): DataFrame =
+    finishFreshness(events.groupBy(col("event_type"))
       .agg(min(col("ts_us")).as("first_ts_us"),
-        max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n_rows"))
+        max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n_rows")),
+      staleAfterS)
+
+  /** The freshness back half over a per-type (first, last, n) frame —
+    * shared with the F30 live monitor (the finishAuc/finishKs split:
+    * the frontier depends on every type, non-associative, never
+    * streaming state). */
+  def finishFreshness(per: DataFrame, staleAfterS: Long = 86400L)
+      : DataFrame =
     per.crossJoin(broadcast(per.agg(max(col("last_ts_us")).as("frontier"))))
       .withColumn("lag_s", expr("(frontier - last_ts_us) div 1000000"))
       .select(col("event_type"), col("n_rows"), col("first_ts_us"),
         col("last_ts_us"), col("lag_s"),
         when(col("lag_s") > staleAfterS, 1L).otherwise(0L).as("stale_flg"))
       .orderBy(col("event_type"))
-  }
 
   /** D84 — inter-arrival profile: per event type, the DOUBLING
     * HISTOGRAM (the E56 bit-length idiom) of the gaps between a user's

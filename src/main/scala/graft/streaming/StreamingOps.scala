@@ -669,6 +669,22 @@ object StreamingOps {
     scored.groupBy(col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
 
+  /** F30 — streaming FRESHNESS monitor (B26 run live): per-stream
+    * last-arrival lag behind the corpus frontier, refreshed every
+    * trigger — the liveness alarm an ingestion SLA wants DURING the
+    * day, not at the nightly audit; a feed that silently stopped
+    * shows its lag growing trigger by trigger while every other
+    * monitor (volume, drift, agreement) still looks healthy on the
+    * data that IS arriving. State is the per-type (first, last, count)
+    * frame as complete-mode grouped aggregation — associative min/max/
+    * count merges, bounded by the TYPE domain forever — finishing
+    * through the batch [[graft.ops.Analytics]] `finishFreshness` (the
+    * frontier depends on every type: non-associative, never state). */
+  def freshnessState(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(min(col("ts_us")).as("first_ts_us"),
+        max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n_rows"))
+
   /** F29 — streaming KS drift monitor (H6 run live): the two-sample
     * Kolmogorov–Smirnov distance between a reference score population
     * (side 0, e.g. the training distribution replayed once) and the

@@ -512,6 +512,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("quiet") == ((1L, 0L)))
   }
 
+  test("D86: weekly movers — exact ppm deltas, dead week completed, " +
+      "0-baseline pinned, first week excluded") {
+    val wk = 604800000000L
+    // weeks: n = [2, 3, 0(dead), 1]
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(3)(wk) ++ Seq.fill(1)(3 * wk))
+      .map(ts => ("a", ts)).toDF("event_type", "ts_us")
+    val out = Analytics.weeklyMovers(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "first week has no baseline")
+    assert(out(1L) == ((3L, 2L, 500000L)))
+    assert(out(2L) == ((0L, 3L, -1000000L)))
+    assert(out(3L) == ((1L, 0L, 1000000L)), "0 -> n re-entry pinned")
+  }
+
   test("D84: inter-arrival octaves — gap 0 in bucket 1, tie order pinned") {
     val s = 1000000L
     // user 1: ts 0, 1s, 3s, 3s (ids 1..4) -> gaps 1s, 2s, 0s

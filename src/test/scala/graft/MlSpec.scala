@@ -407,6 +407,20 @@ class MlSpec extends SparkSpec {
       500000L * (2 * conc + tied) / (conc + disc + tied))
   }
 
+  test("H22: Spearman rho — monotone 1, anti -1, midrank hand case, degenerate 0") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]) =
+      graft.ml.Evaluation.spearmanRho(rows.toDF("va", "vb"))
+        .collect().head.getDouble(1)
+    assert(rho(Seq((1L, 1L), (2L, 2L), (3L, 3L))) == 1.0)
+    assert(rho(Seq((1L, 3L), (2L, 2L), (3L, 1L))) == -1.0)
+    // tie in va: midranks (1.5, 1.5, 3) vs (1, 2, 3) -> sqrt(3)/2
+    assert(math.abs(rho(Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+      - math.sqrt(3.0) / 2.0) < 1e-12)
+    // one axis constant: pinned 0, never NaN
+    assert(rho(Seq((5L, 1L), (5L, 2L))) == 0.0)
+  }
+
   test("H19: confusion matrix — exact row/col shares, zero cells absent") {
     import spark.implicits._
     val paired = (Seq.fill(3)(("en", "en")) ++ Seq(("en", "de")) ++

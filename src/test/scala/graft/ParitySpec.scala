@@ -1227,6 +1227,28 @@ class ParitySpec extends SparkSpec {
     assert(sK.toSeq == bK.toSeq, s"kappa: $sK vs $bK")
   }
 
+  test("F30 streaming freshness: per-type extrema finish to batch B26 " +
+      "across a restart; state stays type-domain-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ck = ckDir("fresh")
+    def plan = StreamingOps.freshnessState(
+      in.toDS().toDF("event_type", "ts_us"))
+    val s = 1000000L
+    val b1 = Seq(("live", 0L), ("stale", 100L * s), ("live", 50L * s))
+    val b2 = Seq(("live", 200000L * s), ("quiet", 199999L * s))
+    completeRun(in, plan, "fresh_rs1", ck, b1)
+    completeRun(in, plan, "fresh_rs2", ck, b2)
+    val snapshot = spark.table("fresh_rs2")
+    assert(snapshot.count() == 3, "state is the type frame")
+    val sF = graft.ops.Analytics.finishFreshness(snapshot, 100000L)
+      .collect().map(_.toSeq)
+    val bF = graft.ops.Analytics.freshness(
+      (b1 ++ b2).toDF("event_type", "ts_us"), 100000L)
+      .collect().map(_.toSeq)
+    assert(sF.toSeq == bF.toSeq, s"freshness: $sF vs $bF")
+  }
+
   test("F29 streaming KS drift: value counts finish to batch H6 across a " +
       "restart; state stays value-domain-sized") {
     implicit val sqlCtx = spark.sqlContext
