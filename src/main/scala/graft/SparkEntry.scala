@@ -567,6 +567,10 @@ object SparkEntry {
     // whole-domain sort
     "q_source_cap" -> ((s, d) => ops.Curation.sourceCap(Tables.documents(s, d))),
     "q_curate_full" -> ((s, d) => ops.Curation.curateFull(Tables.documents(s, d))),
+    // E70: where did the corpus go — per (source, first-failing-gate)
+    // doc count and token mass; funnel['kept'] reconciles with E19
+    "q_curation_funnel" -> ((s, d) =>
+      ops.Curation.curationFunnel(Tables.documents(s, d))),
     "q_emb_quantize" -> ((s, d) => ops.Curation.quantizeStats(Tables.embeddings(s, d))),
 
     // ---- D13: correlated-subquery shape (above-own-nation-average)
@@ -4396,6 +4400,57 @@ object SparkEntry {
          |FROM cur c LEFT JOIN assign a ON c.doc_id = a.doc_id
          |WHERE a.cluster_id IS NULL OR a.cluster_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // E70: first-failing-gate attribution; keeper = min PASSING copy,
+    // near-dup canonical = full-corpus cluster min id (E19 semantics)
+    "q_curation_funnel" ->
+      s"""WITH RECURSIVE $sqlLshCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |walk(node, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |assign AS (
+         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |g AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+         |      AS n_distinct,
+         |    md5(text) AS content_hash,
+         |    lang IN ('en','de','fr') AS lang_ok,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) < 20
+         |      AS short_bad,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) > 1000
+         |      AS long_bad
+         |  FROM documents),
+         |g2 AS (
+         |  SELECT *, n_distinct / n_tokens < 0.05 AS div_bad,
+         |    lang_ok AND NOT short_bad AND NOT long_bad
+         |      AND NOT (n_distinct / n_tokens < 0.05) AS passed
+         |  FROM g),
+         |ke AS (
+         |  SELECT content_hash, min(doc_id) AS keep_id
+         |  FROM g2 WHERE passed GROUP BY 1),
+         |r AS (
+         |  SELECT g2.source, g2.n_tokens,
+         |    CASE WHEN NOT g2.lang_ok THEN '1_lang'
+         |      WHEN g2.short_bad THEN '2_too_short'
+         |      WHEN g2.long_bad THEN '3_too_long'
+         |      WHEN g2.div_bad THEN '4_low_diversity'
+         |      WHEN g2.doc_id != k.keep_id THEN '5_exact_dup'
+         |      WHEN a.cluster_id IS NOT NULL
+         |        AND a.cluster_id != g2.doc_id THEN '6_near_dup'
+         |      ELSE '7_kept' END AS reason
+         |  FROM g2
+         |  LEFT JOIN ke k ON g2.content_hash = k.content_hash
+         |  LEFT JOIN assign a ON g2.doc_id = a.doc_id)
+         |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
 
     // Coreset twin: the same exact-integer SRP signature pipeline as
     // q_dedup_embed (no dup injection), then one group per bucket.

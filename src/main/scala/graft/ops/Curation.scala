@@ -71,6 +71,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E70 — curation FUNNEL attribution: per (source, reason) the doc
+    * count and token mass lost at each gate of the E19 pipeline, with
+    * reason = the FIRST failing gate in the pinned order lang →
+    * too-short → too-long → low-diversity → exact-dup → near-dup →
+    * kept. [[curateFull]] returns the survivors; this is the report on
+    * everyone else — the "where did my corpus go" table a curator
+    * reads before touching a threshold (a source losing half its mass
+    * to `too_short` is a chunking bug; to `near_dup` a crawler loop —
+    * same loss, opposite fixes). Gate predicates and keeper election
+    * are shared semantics with curate/curateFull verbatim (exact-dup
+    * keeper = min doc_id among GATE-PASSING copies; near-dup canonical
+    * = cluster min id from the same full-corpus clustering), so
+    * funnel['kept'] reconciles exactly with curateFull's output —
+    * spec-pinned.
+    *
+    * Scale: curateFull's own shapes (one hash shuffle, the E16
+    * cluster mapping, one id-keyed join) plus a contraction to the
+    * (source, reason) grid — nothing new shuffles. */
+  def curationFunnel(docs: DataFrame,
+                     langs: Seq[String] = Seq("en", "de", "fr"),
+                     minTokens: Long = 20, maxTokens: Long = 1000,
+                     minDistinctRatio: Double = 0.05): DataFrame = {
+    val base = docs
+      .withColumn("ts", graft.functions.TextNative.tokenStatsL(col("text")))
+      .withColumn("n_tokens", col("ts.n"))
+      .withColumn("n_distinct", col("ts.d"))
+      .drop("ts")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("lang_ok", col("lang").isin(langs: _*))
+      .withColumn("short_bad", col("n_tokens") < minTokens)
+      .withColumn("long_bad", col("n_tokens") > maxTokens)
+      .withColumn("div_bad",
+        col("n_distinct") / col("n_tokens") < minDistinctRatio)
+      .withColumn("passed", col("lang_ok") && !col("short_bad")
+        && !col("long_bad") && !col("div_bad"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    val clusters = Dedup.lshClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    base
+      .withColumn("keep_id",
+        min(when(col("passed"), col("doc_id"))).over(wKeep))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(!col("lang_ok"), "1_lang")
+          .when(col("short_bad"), "2_too_short")
+          .when(col("long_bad"), "3_too_long")
+          .when(col("div_bad"), "4_low_diversity")
+          .when(col("doc_id") =!= col("keep_id"), "5_exact_dup")
+          .when(col("cluster_id").isNotNull
+            && col("cluster_id") =!= col("doc_id"), "6_near_dup")
+          .otherwise("7_kept"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("reason"))
+  }
+
   /** E43 — per-source (domain) document cap: keep the k longest docs
     * per source, ties broken by smallest doc_id. The web-corpus
     * "cap documents per domain" curation step (a handful of giant

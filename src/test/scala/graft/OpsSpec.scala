@@ -201,6 +201,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("E70: curation funnel accounts every doc and reconciles with " +
+      "curateFull per source") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val funnel = graft.ops.Curation.curationFunnel(docs).collect()
+    assert(funnel.map(_.getLong(2)).sum == docs.count(),
+      "every document lands in exactly one funnel cell")
+    val keptBySource = funnel.filter(_.getString(1) == "7_kept")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val cfBySource = graft.ops.Curation.curateFull(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySource == cfBySource,
+      s"funnel kept must equal the E19 survivors: $keptBySource vs $cfBySource")
+    // at least one non-kept reason fires on the real corpus
+    assert(funnel.exists(r => r.getString(1) != "7_kept" && r.getLong(2) > 0))
+  }
+
   test("E69: threshold curve is monotone, zero-completes, and matches " +
       "the verify pass pair for pair") {
     val docs = Tables.documents(spark, sf)
