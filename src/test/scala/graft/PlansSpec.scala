@@ -128,7 +128,13 @@ class PlansSpec extends SparkSpec {
       // r7: pin the attribution rewrite — the prefix-sum shape joins
       // conversion-sized frames (broadcastable at test scale); a pair
       // materialization regressing back would surface as smj growth
-      "q_attribution"       -> (1, 2))
+      "q_attribution"       -> (1, 2),
+      // r7 third leg's ≥2s newcomers (audited via graft.Explain at
+      // sf0.001: cindex bhj=11 smj=1; curve bhj=18 smj=6; funnel
+      // bhj=1 smj=1 — its LSH clustering truncates at checkpoint cuts)
+      "q_cindex"            -> (1, 11),
+      "q_dedup_curve"       -> (6, 18),
+      "q_curation_funnel"   -> (1, 1))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
