@@ -217,11 +217,38 @@ object AvroV2 {
     * false and Spark falls back to the ordinary scan, so pushdown is
     * an optimization, never a semantics change. Min/max skip nulls
     * (SQL semantics); an empty file still emits its count=0 partial. */
+  /** I29 — DSv2 FILTER pushdown (SupportsPushDownFilters), completing
+    * the scan-feature triple (columns A9, aggregates I27, statistics
+    * I28): simple comparisons on top-level orderable columns are
+    * accepted into the reader, which skips non-matching records
+    * BEFORE any Catalyst conversion — and, critically, before the I27
+    * aggregate fold (Spark only pushes an aggregate when every filter
+    * was fully pushed, so a reader that ignored its filters would
+    * silently aggregate the whole file — both reader types share one
+    * evaluator). Anything else (dates — their DSv1 literal encoding
+    * varies with the session's Java-time flag; nested fields; string
+    * contains; OR trees) is REJECTED back to Spark as residual: the
+    * safe direction, pushdown stays an optimization. Filter columns
+    * resolve against the FILE schema independently of column pruning
+    * (a filter column need not survive the projection). */
   private class AvroScanBuilder(full: StructType, path: String)
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
     private var required: StructType = full
     private var aggs: Seq[PushedAgg] = Nil
+    private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
+
+    override def pushFilters(
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      val (ok, residual) = filters.partition(FilterEval.supported(_, full))
+      pushed = ok
+      residual
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      pushed
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -252,8 +279,61 @@ object AvroV2 {
     }
 
     override def build(): Scan =
-      if (aggs.nonEmpty) new AvroAggScan(full, aggs, path)
-      else new AvroScan(full, required, path)
+      if (aggs.nonEmpty) new AvroAggScan(full, aggs, path, pushed)
+      else new AvroScan(full, required, path, pushed)
+  }
+
+  /** Shared executor-side evaluator for the I29 pushed filters: values
+    * read straight off the GenericRecord by file-schema position (so a
+    * filter column need not be in the pruned projection), Utf8
+    * normalized to String, comparisons by the column's natural order. */
+  private[sources] object FilterEval {
+    import org.apache.spark.sql.sources._
+
+    def supported(f: Filter, schema: StructType): Boolean = f match {
+      case EqualTo(a, v) => ok(a, v, schema)
+      case GreaterThan(a, v) => ok(a, v, schema)
+      case GreaterThanOrEqual(a, v) => ok(a, v, schema)
+      case LessThan(a, v) => ok(a, v, schema)
+      case LessThanOrEqual(a, v) => ok(a, v, schema)
+      case IsNotNull(a) => plain(a, schema)
+      case IsNull(a) => plain(a, schema)
+      case _ => false
+    }
+    private def plain(a: String, schema: StructType): Boolean =
+      schema.fields.exists(f => f.name == a && (f.dataType match {
+        case IntegerType | LongType | FloatType | DoubleType
+             | StringType => true
+        case _ => false
+      }))
+    private def ok(a: String, v: Any, schema: StructType): Boolean =
+      plain(a, schema) && (v match {
+        case _: Int | _: Long | _: Float | _: Double | _: String => true
+        case _ => false
+      })
+
+    private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+      case (null, _) => None
+      case (i: Int, j: Int) => Some(java.lang.Integer.compare(i, j))
+      case (i: Long, j: Long) => Some(java.lang.Long.compare(i, j))
+      case (i: Float, j: Float) => Some(java.lang.Float.compare(i, j))
+      case (i: Double, j: Double) => Some(java.lang.Double.compare(i, j))
+      case (i: org.apache.avro.util.Utf8, j: String) =>
+        Some(i.toString.compareTo(j))
+      case (i: String, j: String) => Some(i.compareTo(j))
+      case other => sys.error(s"unsupported pushed comparison: $other")
+    }
+
+    def eval(f: Filter, get: String => AnyRef): Boolean = f match {
+      case EqualTo(a, v) => cmp(get(a), v).contains(0)
+      case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+      case IsNotNull(a) => get(a) != null
+      case IsNull(a) => get(a) == null
+      case other => sys.error(s"unpushable filter reached eval: $other")
+    }
   }
 
   private[sources] sealed trait PushedAgg
@@ -262,7 +342,9 @@ object AvroV2 {
   private[sources] case class AggMax(f: StructField) extends PushedAgg
 
   private class AvroAggScan(full: StructType, aggs: Seq[PushedAgg],
-                            path: String) extends Scan with Batch {
+                            path: String,
+                            filters: Array[org.apache.spark.sql.sources.Filter])
+      extends Scan with Batch {
     override def readSchema(): StructType = StructType(aggs.map {
       case AggCountStar => StructField("count_star", LongType, nullable = false)
       case AggMin(f) => StructField(s"min_${f.name}", f.dataType)
@@ -272,16 +354,17 @@ object AvroV2 {
       case AggCountStar => "count(*)"
       case AggMin(f) => s"min(${f.name})"
       case AggMax(f) => s"max(${f.name})"
-    }.mkString(", ") + "]"
+    }.mkString(", ") + "] PushedFilters=[" + filters.mkString(", ") + "]"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new AvroAggReaderFactory(aggs,
+      new AvroAggReaderFactory(aggs, filters,
         new SerializableConfiguration(driverConf))
   }
 
   private class AvroAggReaderFactory(aggs: Seq[PushedAgg],
+                                     filters: Array[org.apache.spark.sql.sources.Filter],
                                      conf: SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -312,8 +395,13 @@ object AvroV2 {
               case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
               case _ => sys.error(s"unorderable partial: $a vs $b")
             }
+            val fcols = filters.flatMap(_.references).distinct
+            val fpos = fcols.map(c =>
+              c -> stream.getSchema.getField(c).pos()).toMap
             while (stream.hasNext) {
               val rec = stream.next()
+              if (filters.forall(FilterEval.eval(_,
+                  c => rec.get(fpos(c)).asInstanceOf[AnyRef]))) {
               count += 1L
               aggs.indices.foreach { i =>
                 aggs(i) match {
@@ -327,6 +415,7 @@ object AvroV2 {
                     if (v != null && (acc(i) == null || lt(acc(i), v)))
                       acc(i) = v
                 }
+              }
               }
             }
             InternalRow.fromSeq(aggs.indices.map(i => aggs(i) match {
@@ -362,10 +451,13 @@ object AvroV2 {
     * errs large and a borderline table stays on the safe SMJ path).
     * Row count is left unknown: a wrong numRows poisons downstream
     * cardinality estimates, absent is strictly better. */
-  private class AvroScan(full: StructType, required: StructType, path: String)
+  private class AvroScan(full: StructType, required: StructType, path: String,
+                         filters: Array[org.apache.spark.sql.sources.Filter])
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+    override def description(): String =
+      "AvroScan PushedFilters=[" + filters.mkString(", ") + "]"
     override def toBatch: Batch = this
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
@@ -378,13 +470,14 @@ object AvroV2 {
     override def planInputPartitions(): Array[InputPartition] =
       listFiles(path, driverConf).map(f => AvroPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new AvroReaderFactory(required,
+      new AvroReaderFactory(required, filters,
         new SerializableConfiguration(driverConf))
   }
 
   private case class AvroPartition(file: String) extends InputPartition
 
   private class AvroReaderFactory(required: StructType,
+                                  filters: Array[org.apache.spark.sql.sources.Filter],
                                   conf: SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -402,6 +495,10 @@ object AvroV2 {
         // field positions resolved against the FILE's schema by name
         private val srcIdx = required.fields.map(f =>
           stream.getSchema.getField(f.name).pos())
+        // filter columns resolve independently of the pruned
+        // projection (a filter column need not survive the project)
+        private val fpos = filters.flatMap(_.references).distinct
+          .map(c => c -> stream.getSchema.getField(c).pos()).toMap
         private var cur: InternalRow = _
 
         private def convert(v: AnyRef, dt: DataType): Any = v match {
@@ -414,15 +511,19 @@ object AvroV2 {
           // date / timestamp-micros wire values ARE Catalyst's encodings
         }
 
-        override def next(): Boolean =
+        @scala.annotation.tailrec
+        override final def next(): Boolean =
           if (!stream.hasNext) false
           else {
             val rec = stream.next()
-            cur = InternalRow.fromSeq(
-              required.fields.indices.map(i =>
-                convert(rec.get(srcIdx(i)).asInstanceOf[AnyRef],
-                  required.fields(i).dataType)))
-            true
+            if (filters.forall(FilterEval.eval(_,
+                c => rec.get(fpos(c)).asInstanceOf[AnyRef]))) {
+              cur = InternalRow.fromSeq(
+                required.fields.indices.map(i =>
+                  convert(rec.get(srcIdx(i)).asInstanceOf[AnyRef],
+                    required.fields(i).dataType)))
+              true
+            } else next()
           }
 
         override def get(): InternalRow = cur

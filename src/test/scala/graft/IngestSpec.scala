@@ -145,6 +145,65 @@ class IngestSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
   }
 
+  test("I29: filter pushdown — reader-level skip, exact answers, and the " +
+      "filter+aggregate interaction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val dir = Files.createTempDirectory("graft_avro_flt")
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("event_id") % 5 === 0, col("user_id")).as("maybe_uid"))
+      .limit(400).repartition(2).cache()
+    graft.sources.AvroV2.write(src, dir.resolve("f").toString)
+    val back = spark.read.format("graft.sources.AvroV2")
+      .load(dir.resolve("f").toString)
+    def scansOf(df: org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.connector.read.Scan] = {
+      df.collect()
+      def rec(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] =
+        p match {
+          case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
+          case q: QueryStageExec => rec(q.plan)
+          case b: BatchScanExec => Seq(b.scan)
+          case o => o.children.flatMap(rec)
+        }
+      rec(df.queryExecution.executedPlan)
+    }
+
+    // numeric range + string equality + null test, all pushed
+    val flt = back.filter(col("event_id") > 100L &&
+      col("event_type") === "purchase" && col("maybe_uid").isNotNull)
+    val fScan = scansOf(flt)
+    assert(fScan.head.description.contains("PushedFilters=[")
+      && fScan.head.description.contains("IsNotNull"),
+      s"filters must reach the scan: ${fScan.head.description}")
+    val expect = src.filter(col("event_id") > 100L &&
+      col("event_type") === "purchase" && col("maybe_uid").isNotNull)
+    assert(flt.count() == expect.count() && flt.count() > 0)
+    assert(flt.exceptAll(expect).isEmpty && expect.exceptAll(flt).isEmpty)
+
+    // the trap: pushed filter + pushed aggregate — the agg reader
+    // must fold only the MATCHING records
+    val fagg = back.filter(col("event_id") > 100L)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"))
+    val aScan = scansOf(fagg)
+    assert(aScan.head.description.startsWith("AvroAggScan")
+      && aScan.head.description.contains("GreaterThan(event_id"),
+      s"agg+filter must both push: ${aScan.head.description}")
+    val eagg = src.filter(col("event_id") > 100L)
+      .agg(count(lit(1)), min(col("event_id"))).collect().head
+    assert(fagg.collect().head.toSeq == eagg.toSeq)
+
+    // unsupported shape (substring match) stays residual, answers equal
+    val like = back.filter(col("event_type").contains("ur"))
+    assert(scansOf(like).head.description.contains("PushedFilters=[]")
+      || !scansOf(like).head.description.contains("Contains"))
+    assert(like.count() ==
+      src.filter(col("event_type").contains("ur")).count())
+  }
+
   test("I28: reported statistics flip a small-avro join to broadcast") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
