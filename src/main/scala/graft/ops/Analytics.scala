@@ -1160,16 +1160,23 @@ object Analytics {
     * that contraction. */
   def quantileLadder(rows: DataFrame, group: String, value: String,
                      quantiles: Seq[Long] = Seq(25L, 50L, 75L, 90L, 99L))
+      : DataFrame =
+    finishLadder(rows.select(col(group).as("grp"), col(value).as("x"))
+      .groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("c")), quantiles)
+
+  /** The ladder back half over a (grp, x, c) value histogram — shared
+    * with the F31 streaming maintainer (rank windows are
+    * non-associative, never state; the finishAuc discipline). */
+  def finishLadder(hist: DataFrame,
+                   quantiles: Seq[Long] = Seq(25L, 50L, 75L, 90L, 99L))
       : DataFrame = {
     val wv = Window.partitionBy(col("grp")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val hist = rows.select(col(group).as("grp"), col(value).as("x"))
-      .groupBy(col("grp"), col("x"))
-      .agg(count(lit(1)).as("c"))
+    hist
       .withColumn("cum", sum(col("c")).over(wv))
       .withColumn("n",
         sum(col("c")).over(Window.partitionBy(col("grp"))))
-    hist
       .select(col("grp"), col("x"), col("c"), col("cum"), col("n"),
         explode(lit(quantiles.toArray)).as("p"))
       .withColumn("r", expr("(p * n + 99) div 100"))

@@ -669,6 +669,20 @@ object StreamingOps {
     scored.groupBy(col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(label)).as("np"))
 
+  /** F31 — streaming EXACT-quantile maintenance (D85 live): the
+    * (group, value) count histogram as complete-mode state —
+    * associative additions, bounded by the VALUE DOMAIN forever (the
+    * caller's binning contract; when the domain is genuinely unbounded
+    * the F24 log-linear sketch is the right tool — this maintainer is
+    * its EXACT sibling for bounded domains: true order statistics, no
+    * error band), each snapshot finishing through the batch
+    * [[graft.ops.Analytics]] `finishLadder` (rank windows are
+    * non-associative, never state). */
+  def ladderState(rows: DataFrame, group: String = "grp",
+                  value: String = "x"): DataFrame =
+    rows.groupBy(col(group).as("grp"), col(value).as("x"))
+      .agg(count(lit(1)).as("c"))
+
   /** F30 — streaming FRESHNESS monitor (B26 run live): per-stream
     * last-arrival lag behind the corpus frontier, refreshed every
     * trigger — the liveness alarm an ingestion SLA wants DURING the

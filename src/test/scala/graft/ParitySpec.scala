@@ -1227,6 +1227,27 @@ class ParitySpec extends SparkSpec {
     assert(sK.toSeq == bK.toSeq, s"kappa: $sK vs $bK")
   }
 
+  test("F31 streaming exact quantiles: histogram finishes to batch D85 " +
+      "across a restart; state stays value-domain-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ck = ckDir("ladder")
+    def plan = StreamingOps.ladderState(in.toDS().toDF("grp", "x"))
+    // values repeat across triggers AND the restart: counts must merge
+    val b1 = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+    val b2 = Seq(("a", 3L), ("a", 2L), ("b", 7L), ("a", 10L))
+    completeRun(in, plan, "lad_rs1", ck, b1)
+    completeRun(in, plan, "lad_rs2", ck, b2)
+    val snapshot = spark.table("lad_rs2")
+    assert(snapshot.count() == 5, "state is the (grp, value) histogram")
+    val sL = graft.ops.Analytics.finishLadder(snapshot)
+      .collect().map(_.toSeq)
+    val bL = graft.ops.Analytics.quantileLadder(
+      (b1 ++ b2).toDF("grp", "x"), "grp", "x")
+      .collect().map(_.toSeq)
+    assert(sL.toSeq == bL.toSeq, s"ladder: $sL vs $bL")
+  }
+
   test("F30 streaming freshness: per-type extrema finish to batch B26 " +
       "across a restart; state stays type-domain-sized") {
     implicit val sqlCtx = spark.sqlContext
