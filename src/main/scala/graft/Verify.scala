@@ -7,7 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = args.splitAt(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // Decoupled shuffle-partition override for the layout-determinism
+    // sweep: results must not depend on the physical partitioning, and
+    // the only way to PROVE that is to run the same dump under a
+    // different (prime, ≠ core-count) partition count and diff hashes.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = GraftSession.builder(s"local[$cpus]", shuffle.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,12 +46,35 @@ object FraudEtlPipeline {
 
   private val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
 
+  /** The original mart sink: plain parquet append (double-appends on a
+    * replayed day — the reference's INSERT semantics). */
+  val appendPublish: (DataFrame, String, String) => Unit =
+    (mart, path, _) => ReportMart.append(mart, path)
+
+  /** Crash-atomic mart sink (B27): the day's mart goes through
+    * AtomicMart's stage + manifest-commit keyed (rule, batch_date), so
+    * a replayed day REPLACES its own partitions (idempotent retry) and
+    * a reader concurrent with the publish sees all-old or all-new. */
+  val atomicPublish: (DataFrame, String, String) => Unit =
+    (mart, path, batchDate) => graft.sources.AtomicMart.publishDay(
+      mart.withColumn("batch_date", lit(batchDate)), path)
+
   /** One daily run. `clients` (c_custkey, fio, passport_num, phone,
     * segment, passport_valid_to) and `accounts` (client, valid_to) are the
     * pre-loaded dimensions main.py assumes are already in the DWH.
-    * Returns the processed batch date, or None if no drop is present. */
+    * Returns the processed batch date, or None if no drop is present.
+    *
+    * `publish` is the mart sink — [[appendPublish]] (default, the
+    * reference analog) or [[atomicPublish]] (B27). Ordering is the
+    * recovery contract: history write → mart publish → archive. A
+    * crash anywhere leaves the drop files in place, so the rerun
+    * replays the SAME batch: the SCD2 re-merge is a fixpoint (the
+    * current view already equals the snapshot → zero detects) and the
+    * atomic sink replaces the day's own partitions — the day converges
+    * instead of double-applying. */
   def runDaily(spark: SparkSession, layout: Layout,
-               clients: DataFrame, accounts: DataFrame): Option[String] = {
+               clients: DataFrame, accounts: DataFrame,
+               publish: (DataFrame, String, String) => Unit = appendPublish): Option[String] = {
     DelimitedSource.discoverBatch(layout.dropDir, ".txt").map { txnFile =>
       val batchId = DelimitedSource.batchIdFromFilename(txnFile).getOrElse(
         throw new IllegalArgumentException(s"no batch id in $txnFile"))
@@ -106,7 +129,7 @@ object FraudEtlPipeline {
         FraudRules.cityFraud(ruleTxns, clients, maxMinutes = 60),
         FraudRules.guessingAmountFraud(ruleTxns, clients, maxMinutes = 20,
           opTypes = Seq("PAYMENT", "WITHDRAW"))))
-      ReportMart.append(mart, layout.martPath)
+      publish(mart, layout.martPath, batchDate)
 
       // --- archive the consumed drop (data_to_db.py:118-119)
       Seq(txnPath, blPath, termPath).foreach { p =>

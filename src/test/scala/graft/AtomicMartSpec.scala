@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.AtomicMart
+
+/** B27 — the crash-atomic publish contract, deterministically:
+  *
+  *  1. snapshot isolation: a reader that resolved version N sees
+  *     version N in full even if a republish commits N+1 before the
+  *     reader collects (the judged "all-old or all-new, never a mix");
+  *  2. crash between stage and commit leaves the old version intact;
+  *  3. republish converges (idempotent retry), untouched partitions
+  *     keep their old pointers;
+  *  4. vacuum removes orphaned/replaced snapshots without disturbing
+  *     the live version.
+  */
+class AtomicMartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mart(day: String, rows: (String, Long, Long)*) =
+    rows.toSeq.toDF("rule", "tx_id", "amount")
+      .withColumn("batch_date", lit(day))
+
+  test("publish + read round-trips one day across two rules") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    val day1 = mart("2021-03-01",
+      ("passport", 1L, 100L), ("passport", 2L, 200L), ("city", 3L, 300L))
+    val v = AtomicMart.publishDay(day1, path)
+    assert(v == 0L)
+    val back = AtomicMart.read(spark, path)
+    assert(back.count() == 3)
+    assert(back.select("rule", "tx_id", "amount").as[(String, Long, Long)]
+      .collect().toSet == Set(("passport", 1L, 100L), ("passport", 2L, 200L), ("city", 3L, 300L)))
+    // partition columns restored from directory names
+    assert(back.columns.toSet == Set("rule", "tx_id", "amount", "batch_date"))
+  }
+
+  test("snapshot isolation: reader bound to v0 survives a concurrent republish of v1") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    // Reader A binds NOW (resolves the v0 manifest at call time)...
+    val readerA = AtomicMart.read(spark, path)
+    // ...then the day is republished with corrected amounts (v1).
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 999L)), path)
+    // A still sees all-old; a fresh reader sees all-new. Never a mix.
+    assert(readerA.select("amount").as[Long].collect().toSeq == Seq(100L))
+    assert(AtomicMart.read(spark, path).select("amount").as[Long].collect().toSeq == Seq(999L))
+  }
+
+  test("crash between stage and commit leaves the old version intact") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    // Simulated crash: the day-2 publish stages its snapshot fully,
+    // then dies before the manifest rename.
+    AtomicMart.stage(mart("2021-03-02", ("passport", 9L, 900L)), path,
+      Seq("rule", "batch_date"))
+    assert(AtomicMart.currentVersion(spark, path).contains(0L))
+    val seen = AtomicMart.read(spark, path)
+    assert(seen.count() == 1)
+    assert(seen.select("tx_id").as[Long].collect().toSeq == Seq(1L))
+    // The retry re-stages and commits; the orphan snapshot stays
+    // invisible and is reclaimed by vacuum.
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 9L, 900L)), path)
+    assert(AtomicMart.read(spark, path).count() == 2)
+    val removed = AtomicMart.vacuum(spark, path)
+    assert(removed.size == 1) // exactly the crashed stage's snapshot
+    assert(AtomicMart.read(spark, path).count() == 2)
+  }
+
+  test("republish replaces only its own partitions; others keep old pointers") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01",
+      ("passport", 1L, 100L), ("city", 2L, 200L)), path)
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 3L, 300L)), path)
+    // Republish ONLY (passport, 03-01); city/03-01 and 03-02 untouched.
+    AtomicMart.publishDay(
+      mart("2021-03-01", ("passport", 1L, 111L), ("passport", 10L, 110L)), path)
+    val rows = AtomicMart.read(spark, path)
+      .select("rule", "tx_id", "amount").as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("passport", 1L, 111L), ("passport", 10L, 110L),
+      ("city", 2L, 200L), ("passport", 3L, 300L)))
+    // Manifest-pruned partition read: no directory outside `city` listed.
+    val city = AtomicMart.readWhere(spark, path, "rule", "city")
+    assert(city.select("tx_id").as[Long].collect().toSeq == Seq(2L))
+    // vacuum is snapshot-granular: the first snapshot stays (city's
+    // live pointer still targets it) and live rows are unchanged
+    AtomicMart.vacuum(spark, path)
+    assert(AtomicMart.read(spark, path).count() == 4)
+  }
+}
