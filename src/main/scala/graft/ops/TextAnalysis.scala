@@ -264,8 +264,18 @@ object TextAnalysis {
     * keep their stats and an empty list (real engines treat them as
     * stop-postings too; a full-web index would delta-encode shards
     * instead). Flow: one occurrence aggregation for (cf, df), one
-    * distinct + term-sized broadcast semi-join, one bounded collect. */
-  def invertedIndex(docs: DataFrame, maxDfPpm: Long = 780000L): DataFrame = {
+    * distinct + term-sized broadcast semi-join, one bounded collect.
+    *
+    * The ppm gate is RELATIVE, so it does not bound a posting row's
+    * absolute size as the corpus grows (0.78 × 10⁹ docs is a 6 GB
+    * array in one aggregation buffer). `maxPostings` is the ABSOLUTE
+    * companion guard: terms whose df exceeds it are stop-listed
+    * exactly like over-ppm terms (stats kept, empty list). The 50M
+    * default holds a posting row under ~400 MB serialized — inside a
+    * default executor; a real shard writer splits lists long before
+    * that. Probed at the boundary by [[graft.ProbeDriverBounds]]. */
+  def invertedIndex(docs: DataFrame, maxDfPpm: Long = 780000L,
+                    maxPostings: Long = 50000000L): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // cf and df as two plain aggregations sharing the dtok frame —
@@ -276,7 +286,8 @@ object TextAnalysis {
       .localCheckpoint(true) // shared by df, the cap gate, and postings
     val df = dtok.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val keep = df.crossJoin(broadcast(nDocs))
-      .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n_docs"))
+      .filter(col("df") * 1000000L <= lit(maxDfPpm) * col("n_docs") &&
+        col("df") <= lit(maxPostings))
       .select(col("term"))
     // `keep` is vocabulary-sized (under-cap terms): no forced broadcast —
     // a web-scale bigram vocabulary is billions of terms; let AQE

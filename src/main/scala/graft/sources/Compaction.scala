@@ -41,7 +41,52 @@ object Compaction {
     def outputFiles: Int = bins.length
   }
 
-  /** List `path`'s parquet files and FFD-pack the under-sized ones. */
+  /** Listings a driver can hold comfortably: 20M entries ≈ 3–4 GB of
+    * path strings on a default 8 GB driver (measured by
+    * [[graft.ProbeDriverBounds]]). Beyond that the LISTING, not the
+    * pack, is the problem — shard plan() per table partition. */
+  val MaxPlanFiles = 20_000_000
+
+  /** Bin-pack (name, bytes) entries into rewrite groups of
+    * ~`targetBytes` — best-fit-decreasing via a TreeMap of remaining
+    * capacities: O(n log n) driver work, NOT the naive
+    * first-fit-with-a-linear-scan, which is O(n·bins) and wedges the
+    * driver at lake-real listings (a million stray small files whose
+    * sizes don't pair is a million bins → 10¹² comparisons). BFD keeps
+    * FFD's 11/9·OPT quality bound and the same determinism (ties
+    * broken by insertion order). Exposed for the driver-bound probe;
+    * [[plan]] is listing + this. */
+  def pack(files: Seq[(String, Long)], targetBytes: Long): Plan = {
+    require(files.length <= MaxPlanFiles,
+      s"compaction plan over ${files.length} files exceeds the $MaxPlanFiles " +
+        "driver listing budget: shard plan() per table partition")
+    val (big, small) = files.partition(_._2 >= targetBytes)
+    val binFiles = collection.mutable.ArrayBuffer.empty[collection.mutable.ArrayBuffer[String]]
+    val binBytes = collection.mutable.ArrayBuffer.empty[Long]
+    // remaining capacity -> bins with exactly that much room
+    val byRoom = new java.util.TreeMap[Long, java.util.ArrayDeque[Integer]]()
+    def enqueue(room: Long, idx: Int): Unit =
+      if (room > 0)
+        byRoom.computeIfAbsent(room, _ => new java.util.ArrayDeque[Integer]()).addLast(idx)
+    small.sortBy { case (f, len) => (-len, f) }.foreach { case (f, len) =>
+      val e = byRoom.ceilingEntry(len) // tightest bin that still fits = best fit
+      if (e == null) {
+        binFiles += collection.mutable.ArrayBuffer(f)
+        binBytes += len
+        enqueue(targetBytes - len, binFiles.length - 1)
+      } else {
+        val idx = e.getValue.pollFirst()
+        if (e.getValue.isEmpty) byRoom.remove(e.getKey)
+        binFiles(idx) += f
+        binBytes(idx) += len
+        enqueue(targetBytes - binBytes(idx), idx)
+      }
+    }
+    Plan(binFiles.indices.map(i => Bin(binFiles(i).toSeq, binBytes(i))),
+      big.map(_._1))
+  }
+
+  /** List `path`'s parquet files and bin-pack the under-sized ones. */
   def plan(spark: SparkSession, path: String,
            targetBytes: Long): Plan = {
     val hp = new Path(path)
@@ -49,20 +94,7 @@ object Compaction {
     val files = fs.listStatus(hp).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
-    val (big, small) = files.partition(_._2 >= targetBytes)
-    // first-fit-decreasing: largest first, into the first bin with room
-    val bins = collection.mutable.ArrayBuffer.empty[(collection.mutable.ArrayBuffer[String], Long)]
-    small.sortBy { case (f, len) => (-len, f) }.foreach { case (f, len) =>
-      bins.find(_._2 + len <= targetBytes) match {
-        case Some(b) =>
-          b._1 += f
-          val i = bins.indexWhere(_ eq b)
-          bins(i) = (b._1, b._2 + len)
-        case None =>
-          bins += ((collection.mutable.ArrayBuffer(f), len))
-      }
-    }
-    Plan(bins.map(b => Bin(b._1.toSeq, b._2)).toSeq, big.map(_._1))
+    pack(files, targetBytes)
   }
 
   /** Execute `plan`: rewrite every bin into one file under `outDir`
