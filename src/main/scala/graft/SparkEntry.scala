@@ -265,6 +265,24 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // B29: declarative check suite — six constraints fused into ONE
+    // scan (row-local conditional counts + one count-distinct) plus a
+    // key-domain referential anti-join; c6's tight discount budget is
+    // deliberately breachable so the FAIL path is exercised honestly
+    "q_dq_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      etl.Checks.run(li, Seq(
+        etl.Checks.NotNull("c1_shipdate_not_null", "l_shipdate"),
+        etl.Checks.Bounds("c2_qty_cents_bounds", cents(col("l_quantity")), 100L, 5000L),
+        etl.Checks.Accepted("c3_returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+        etl.Checks.Unique("c4_line_unique", Seq("l_orderkey", "l_linenumber")),
+        etl.Checks.Referential("c5_order_fk", "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        etl.Checks.Bounds("c6_discount_budget", cents(col("l_discount")), 0L, 8L),
+        etl.Checks.Predicate("c7_price_covers_qty",
+          cents(col("l_extendedprice")) >= cents(col("l_quantity")))))
+    }),
+
     // ---- A1: delimited decode semantics (file-level reader: DelimitedSource)
     "q_src_csv" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(
@@ -1509,6 +1527,12 @@ object SparkEntry {
             datediff(col("o_orderdate"), lit("1970-01-01")).as("lo"),
             (datediff(col("o_orderdate"), lit("1970-01-01")) + 7).as("hi")),
         bucketW = 7L)),
+
+    // D87: grid-blocked spatial neighbor self-join (all pairs within
+    // Chebyshev radius r over a deterministic plane embedding) — the
+    // oracle is the DIRECT quadratic distance join, so the hash match
+    // proves the 3×3 cell decomposition finds every pair exactly once
+    "q_spatial_join" -> ((s, d) => ops.Spatial.neighborPairs(s, d)),
 
     // H8: the deployed operating point — best-F1 threshold of the E46
     // scorer, exact argmax in pico-units over the distinct-score frame
@@ -2838,6 +2862,39 @@ object SparkEntry {
         |  SELECT 'dup_orderkeys', count(*) FROM (
         |    SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1))
         |ORDER BY check_name""".stripMargin,
+
+    // check-suite twin: the same six fused row-local metrics + the
+    // referential key-domain count, one verdict row each
+    "q_dq_checks" ->
+      """WITH v AS (SELECT
+        |    COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS c1,
+        |    COUNT(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) < 100
+        |      OR CAST(round(l_quantity*100) AS BIGINT) > 5000 THEN 1 END) AS c2,
+        |    COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |      OR l_returnflag IS NULL THEN 1 END) AS c3,
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS c4,
+        |    COUNT(CASE WHEN CAST(round(l_discount*100) AS BIGINT) < 0
+        |      OR CAST(round(l_discount*100) AS BIGINT) > 8 THEN 1 END) AS c6,
+        |    COUNT(CASE WHEN NOT COALESCE(
+        |      CAST(round(l_extendedprice*100) AS BIGINT) >=
+        |      CAST(round(l_quantity*100) AS BIGINT), FALSE) THEN 1 END) AS c7
+        |  FROM lineitem),
+        |r AS (SELECT COUNT(*) AS c5 FROM (
+        |    SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL) f
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = f.k)),
+        |u AS (
+        |  SELECT 'c1_shipdate_not_null' AS "check", c1 AS violations, 0 AS allowed FROM v
+        |  UNION ALL SELECT 'c2_qty_cents_bounds', c2, 0 FROM v
+        |  UNION ALL SELECT 'c3_returnflag_domain', c3, 0 FROM v
+        |  UNION ALL SELECT 'c4_line_unique', c4, 0 FROM v
+        |  UNION ALL SELECT 'c5_order_fk', c5, 0 FROM r
+        |  UNION ALL SELECT 'c6_discount_budget', c6, 0 FROM v
+        |  UNION ALL SELECT 'c7_price_covers_qty', c7, 0 FROM v)
+        |SELECT "check", CAST(violations AS BIGINT) AS violations,
+        |  CAST(allowed AS BIGINT) AS allowed,
+        |  CAST(CASE WHEN violations <= allowed THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM u ORDER BY "check"""".stripMargin,
 
     "q_src_csv" ->
       """WITH lines AS (
@@ -6912,6 +6969,21 @@ object SparkEntry {
         |  ON x.key = y.key AND x.id < y.id
         |  AND x.lo <= y.hi AND y.lo <= x.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // spatial twin: the direct quadratic distance self-join over the
+    // same integer plane embedding
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT event_id AS id,
+        |    ((event_id % 1000003) * 2654435761) % 1000000 AS x,
+        |    ((event_id % 1000033) * 2246822519) % 1000000 AS y
+        |  FROM events WHERE event_id % 17 = 0)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS cheb
+        |FROM pts a JOIN pts b
+        |  ON a.id < b.id
+        |  AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000
+        |ORDER BY 1, 2""".stripMargin,
 
     // best-F1 twin: the q_pr_curve CTEs + exact pico argmax, highest
     // threshold on ties

@@ -500,6 +500,28 @@ class OpsSpec extends SparkSpec {
     assert(pairSet(100) == pairSet(8))
   }
 
+  test("D87: grid-blocked neighbor join — boundary straddle, coincidence, exactly-once") {
+    import spark.implicits._
+    val r = 10L
+    val pts = Seq(
+      (1L, 5L, 5L),     // cell (0,0)
+      (2L, 12L, 5L),    // cell (1,0) — 7 from id 1, straddles the cell seam
+      (3L, 5L, 6L),     // same cell as 1, distance 1
+      (4L, 5L, 5L),     // coincident with 1 (distance 0)
+      (5L, 100L, 100L), // isolated
+      (6L, 16L, 5L))    // 11 from id 1 (outside r), 4 from id 2 (inside)
+      .toDF("id", "x", "y")
+    val out = graft.ops.Spatial.pairsFromPoints(pts, r).collect()
+      .map(ro => (ro.getLong(0), ro.getLong(1)) -> ro.getLong(2)).toMap
+    assert(out == Map(
+      (1L, 2L) -> 7L, (1L, 3L) -> 1L, (1L, 4L) -> 0L,
+      (2L, 3L) -> 7L, (2L, 4L) -> 7L, (2L, 6L) -> 4L,
+      (3L, 4L) -> 1L))
+    // exactly-once even through the 9-cell explode: no duplicate keys
+    val rows = graft.ops.Spatial.pairsFromPoints(pts, r).collect()
+    assert(rows.length == rows.map(ro => (ro.getLong(0), ro.getLong(1))).distinct.length)
+  }
+
   test("D79: concurrency sweep — closed intervals, overnight carry-in") {
     import spark.implicits._
     val day = 86400000000L
