@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
-import graft.sources.AtomicMart
+import graft.sources.{AtomicCatalog, AtomicMart}
 
 /** The multi-day lake lifecycle glue: the pieces every maintenance op
   * already provides in isolation (SCD2 merge, fraud rules, B27 atomic
@@ -53,12 +53,14 @@ object LakeLifecycle {
   // B27-atomic so a killed day replays idempotently)
   // ------------------------------------------------------------------
 
-  /** Paths of the two state tables, both AtomicMart-managed and
-    * partitioned by batch_day: `seenPath` rows are (doc_id, text, ch)
-    * for every document ever ingested (the stored-sketch stand-in the
-    * verify step re-reads), `indexPath` rows are (doc_id, band,
-    * bucket) — the E53 persisted band index. */
-  final case class DocLake(seenPath: String, indexPath: String)
+  /** One AtomicCatalog root holding the two state tables, both
+    * partitioned by batch_day: `seen` rows are (doc_id, text, ch) for
+    * every document ever ingested (the stored-sketch stand-in the
+    * verify step re-reads), `index` rows are (doc_id, band, bucket) —
+    * the E53 persisted band index. A day's ingest commits BOTH tables
+    * in ONE catalog rename (B28), so no crash can leave the corpus and
+    * its index at different days. */
+  final case class DocLake(root: String)
 
   /** MinHash signatures need ≥3 tokens (the E53 precondition); shorter
     * docs still dedup by md5 identity, they just never band. */
@@ -142,20 +144,19 @@ object LakeLifecycle {
   def dedupDay(spark: SparkSession, lake: DocLake, batch: DataFrame, day: String,
                bands: Int = 4, rowsPerBand: Int = 2,
                tNum: Int = 7, tDen: Int = 10): DataFrame = {
-    val hasSeen = AtomicMart.currentVersion(spark, lake.seenPath).isDefined
+    val seenAll = AtomicCatalog.read(spark, lake.root, "seen")
     val seen =
-      if (hasSeen)
-        AtomicMart.read(spark, lake.seenPath)
-          // a replayed day must not see its own half-written state
-          .filter(col("batch_day") =!= day)
+      if (seenAll.columns.nonEmpty)
+        // a replayed day must not see its own half-written state
+        seenAll.filter(col("batch_day") =!= day)
           .select(col("doc_id"), col("text"), col("ch"))
       else spark.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("text", lit(""))
         .withColumn("ch", lit("")).limit(0)
+    val idxAll = AtomicCatalog.read(spark, lake.root, "index")
     val seenIdx =
-      if (AtomicMart.currentVersion(spark, lake.indexPath).isDefined)
-        AtomicMart.read(spark, lake.indexPath)
-          .filter(col("batch_day") =!= day)
+      if (idxAll.columns.nonEmpty)
+        idxAll.filter(col("batch_day") =!= day)
           .select(col("doc_id"), col("band"), col("bucket"))
       else spark.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("band", lit(0L))
@@ -165,11 +166,15 @@ object LakeLifecycle {
     val b = batch.select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
     val survivors = b.join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
-    AtomicMart.publish(b.withColumn("batch_day", lit(day)),
-      lake.seenPath, Seq("batch_day"))
-    AtomicMart.publish(
-      Dedup.bandIndex(bandable(b), bands, rowsPerBand).withColumn("batch_day", lit(day)),
-      lake.indexPath, Seq("batch_day"))
+    // corpus + index land in ONE cross-table commit (B28): a kill
+    // anywhere before the catalog rename leaves yesterday's pair; a
+    // kill after it leaves today's pair — never a mixed-day lake
+    AtomicCatalog.publish(spark, lake.root, Seq(
+      AtomicCatalog.TableBatch("seen",
+        b.withColumn("batch_day", lit(day)), Seq("batch_day")),
+      AtomicCatalog.TableBatch("index",
+        Dedup.bandIndex(bandable(b), bands, rowsPerBand)
+          .withColumn("batch_day", lit(day)), Seq("batch_day"))))
     survivors
   }
 

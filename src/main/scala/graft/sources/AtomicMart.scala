@@ -60,7 +60,7 @@ object AtomicMart {
 
   // ---- manifest (de)serialization: hand-rolled JSON, zero extra deps ----
 
-  private def jq(s: String): String = "\"" + s.flatMap {
+  private[sources] def jq(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -70,7 +70,7 @@ object AtomicMart {
     case c => c.toString
   } + "\""
 
-  private def render(m: Manifest): String = {
+  private[sources] def render(m: Manifest): String = {
     val cols = m.partCols.map(jq).mkString("[", ",", "]")
     val entries = m.entries.map { e =>
       s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}}"""
@@ -81,8 +81,8 @@ object AtomicMart {
   // Minimal parser for exactly the JSON `render` produces (strings are
   // uuid paths + partition values we wrote ourselves, so the only
   // escapes that occur are the ones jq emits).
-  private def parse(body: String, version: Long): Manifest = {
-    def strings(arr: String): Seq[String] = {
+  /** Every jq-escaped string literal in `arr`, in order. */
+  private[sources] def jstrings(arr: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       var i = 0
       while (i < arr.length) {
@@ -107,16 +107,18 @@ object AtomicMart {
         i += 1
       }
       out.result()
-    }
+  }
+
+  private[sources] def parse(body: String, version: Long): Manifest = {
     val colsStart = body.indexOf("\"partCols\":[") + "\"partCols\":[".length
     val colsEnd = body.indexOf("]", colsStart)
-    val partCols = strings(body.substring(colsStart, colsEnd))
+    val partCols = jstrings(body.substring(colsStart, colsEnd))
     val entriesStart = body.indexOf("\"entries\":[") + "\"entries\":[".length
     val entriesBody = body.substring(entriesStart, body.lastIndexOf("]"))
     val entries = "\\{[^}]*\\}".r.findAllIn(entriesBody).map { obj =>
       val vs = obj.substring(obj.indexOf("\"values\":[") + "\"values\":[".length, obj.indexOf("],\"dir\""))
-      val dir = strings(obj.substring(obj.indexOf("\"dir\":") + "\"dir\":".length)).head
-      Entry(strings(vs), dir)
+      val dir = jstrings(obj.substring(obj.indexOf("\"dir\":") + "\"dir\":".length)).head
+      Entry(jstrings(vs), dir)
     }.toSeq
     Manifest(version, partCols, entries)
   }
@@ -227,13 +229,18 @@ object AtomicMart {
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    if (m.entries.isEmpty)
+    readEntries(spark, m.entries)
+  }
+
+  /** Read a live entry set: group leaves by snapshot root so each
+    * group reads with one basePath (restoring partition columns from
+    * directory names); union the (few, one per live publish) groups. */
+  private[sources] def readEntries(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    if (entries.isEmpty)
       return spark.emptyDataFrame
-    // Group live leaves by snapshot root so each group reads with one
-    // basePath; union the (few, one per live publish) groups.
-    val bySnap = m.entries.groupBy(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
-    bySnap.map { case (snapRoot, entries) =>
-      spark.read.option("basePath", snapRoot).parquet(entries.map(_.dir): _*)
+    val bySnap = entries.groupBy(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
+    bySnap.map { case (snapRoot, es) =>
+      spark.read.option("basePath", snapRoot).parquet(es.map(_.dir): _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -245,12 +252,7 @@ object AtomicMart {
       throw new IllegalArgumentException(s"no committed version at $path"))
     val i = m.partCols.indexOf(col)
     require(i >= 0, s"$col is not a partition column (${m.partCols})")
-    val live = m.entries.filter(_.values(i) == value)
-    if (live.isEmpty) return spark.emptyDataFrame
-    val bySnap = live.groupBy(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
-    bySnap.map { case (snapRoot, entries) =>
-      spark.read.option("basePath", snapRoot).parquet(entries.map(_.dir): _*)
-    }.reduce(_.unionByName(_))
+    readEntries(spark, m.entries.filter(_.values(i) == value))
   }
 
   /** Delete snapshot directories no longer referenced by the LATEST

@@ -207,17 +207,23 @@ class LifecycleSpec extends SparkSpec {
 
   test("incremental doc dedup across 5 days (with day-3 partial-state replay) ≡ one-shot") {
     val root = Files.createTempDirectory("graft_lcdocs")
-    val lake = DocLake(root.resolve("seen").toString, root.resolve("index").toString)
+    val lake = DocLake(root.resolve("lake").toString)
     var survivors = Map.empty[String, Set[Long]]
     for ((day, rows) <- batches) {
       val batch = docs(rows: _*)
       if (day == "d3") {
-        // simulated kill between the two state publishes: the seen
-        // store committed day 3, the index did not
-        AtomicMart.publish(
-          batch.select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
-            .withColumn("batch_day", lit(day)),
-          lake.seenPath, Seq("batch_day"))
+        val b3 = batch.select(col("doc_id"), col("text"), md5(col("text")).as("ch"))
+          .withColumn("batch_day", lit(day))
+        // crash BEFORE the catalog commit: staged data, no new version
+        val v0 = graft.sources.AtomicCatalog.currentVersion(spark, lake.root)
+        graft.sources.AtomicMart.stage(b3, s"${lake.root}/seen", Seq("batch_day"))
+        assert(graft.sources.AtomicCatalog.currentVersion(spark, lake.root) == v0)
+        // crash BETWEEN what used to be two single-table commits: a
+        // catalog version carrying day-3 seen but NOT day-3 index
+        // (possible only through a partial publish; dedupDay itself now
+        // commits both in one rename)
+        graft.sources.AtomicCatalog.publish(spark, lake.root, Seq(
+          graft.sources.AtomicCatalog.TableBatch("seen", b3, Seq("batch_day"))))
         // the replay must converge to the same survivors as a clean run
         val replay1 = LakeLifecycle.dedupDay(spark, lake, batch, day)
           .select("doc_id").as[Long].collect().toSet
@@ -229,6 +235,13 @@ class LifecycleSpec extends SparkSpec {
         survivors += day -> LakeLifecycle.dedupDay(spark, lake, batch, day)
           .select("doc_id").as[Long].collect().toSet
       }
+      // cross-table consistency at every committed version: the index
+      // never references a doc the seen store does not hold
+      val seenIds = graft.sources.AtomicCatalog.read(spark, lake.root, "seen")
+        .select("doc_id").as[Long].collect().toSet
+      val idxIds = graft.sources.AtomicCatalog.read(spark, lake.root, "index")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idxIds.subsetOf(seenIds))
     }
     // exact dups are gone deterministically
     assert(!survivors("d1").contains(3L)) // within-batch exact dup
