@@ -378,6 +378,41 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == 1000L)
   }
 
+  test("I30 dynamic partition pruning: a dim filter prunes fact partitions at RUNTIME") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    // fact partitioned by region key; the filter arrives only through
+    // the DIM side — static pruning cannot see it, DPP must
+    spark.range(8000)
+      .select(col("id"), (col("id") % 8).as("rk"), (col("id") * 3).as("v"))
+      .write.partitionBy("rk").mode("overwrite").parquet(s"$tmp/fact")
+    Seq((0L, "EU"), (1L, "US"), (2L, "APAC"), (3L, "EU"), (4L, "US"),
+      (5L, "APAC"), (6L, "EU"), (7L, "US"))
+      .toDF("rk", "region").write.mode("overwrite").parquet(s"$tmp/dim")
+    val q = spark.read.parquet(s"$tmp/fact")
+      .join(spark.read.parquet(s"$tmp/dim").filter(col("region") === "US"), Seq("rk"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val Array(row) = q.collect() // AQE: inspect the final plan post-run
+    assert(row.getLong(1) == 3000L)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def rec(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
+      case qs: QueryStageExec => rec(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => (o.children ++ o.subqueries).flatMap(rec)
+    }
+    val scans = rec(q.queryExecution.executedPlan)
+    val factScan = scans.find(_.metadata.get("Location").exists(_.contains("fact")))
+      .getOrElse(fail(s"no fact scan found among ${scans.size} scans"))
+    // the runtime filter reached the scan's partition filters…
+    assert(factScan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"no dynamicpruning filter on the fact scan: ${factScan.partitionFilters}")
+    // …and actually pruned: 3 of 8 partitions (rk ∈ {1,4,7}) were read
+    assert(factScan.metrics("numPartitions").value == 3,
+      s"expected 3 pruned-in partitions, read ${factScan.metrics("numPartitions").value}")
+  }
+
   test("B18 schema evolution: mergeSchema unions column sets, old files read as null") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
