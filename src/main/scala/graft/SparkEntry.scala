@@ -172,6 +172,17 @@ object SparkEntry {
         etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2)
         .orderBy(col("terminal_id"), col("effective_from"), col("deleted_flg"))
     }),
+    // B30: history squash round trip — split every span into two
+    // identical abutting versions, squash, and land EXACTLY back on
+    // the q_scd2_apply history (the oracle is that same history)
+    "q_scd2_squash" -> ((s, d) => {
+      val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
+      val h = etl.Scd2.merge(h0, etl.Scd2Snapshots.day2(s, d), etl.Scd2Snapshots.Key,
+        etl.Scd2Snapshots.Attrs, etl.Scd2Snapshots.Day2)
+      etl.Scd2.squash(etl.Scd2.splitSpans(h),
+        etl.Scd2Snapshots.Key, etl.Scd2Snapshots.Attrs)
+        .orderBy(col("terminal_id"), col("effective_from"), col("deleted_flg"))
+    }),
     "q_scd2_current" -> ((s, d) => {
       val h0 = etl.Scd2.init(etl.Scd2Snapshots.day1(s, d), etl.Scd2Snapshots.Day1)
       etl.Scd2.currentView(
@@ -983,6 +994,9 @@ object SparkEntry {
     // ---- D62: first-order Markov transition matrix over the stream
     "q_markov" -> ((s, d) =>
       ops.Analytics.markovTransitions(Tables.events(s, d))),
+    // ---- D88: top length-3 event paths (journey discovery)
+    "q_event_paths" -> ((s, d) =>
+      ops.Analytics.topEventPaths(Tables.events(s, d))),
     // ---- D63: RFM quintile segmentation of the order mart
     "q_rfm" -> ((s, d) =>
       ops.Analytics.rfmSegments(Tables.orders(s, d).select(
@@ -2797,6 +2811,11 @@ object SparkEntry {
       s"""WITH $sqlSnaps
          |SELECT * FROM scd_changed ORDER BY terminal_id""".stripMargin,
     "q_scd2_apply" ->
+      s"""SELECT * FROM $sqlScd2History
+         |ORDER BY terminal_id, effective_from, deleted_flg""".stripMargin,
+    // squash twin: splitting then squashing is the identity, so the
+    // oracle is the untouched apply history itself
+    "q_scd2_squash" ->
       s"""SELECT * FROM $sqlScd2History
          |ORDER BY terminal_id, effective_from, deleted_flg""".stripMargin,
     "q_scd2_current" ->
@@ -5585,6 +5604,24 @@ object SparkEntry {
         |  CAST(1000000 * n_trans
         |    // sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
         |FROM t ORDER BY from_state, to_state""".stripMargin,
+
+    // path twin: the same two leads + type³ aggregation + lexicographic
+    // tie-broken top-k
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |g AS (
+        |  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_walks,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY n_walks DESC, e1, e2, e3) AS rank FROM g)
+        |SELECT e1, e2, e3, n_walks, n_users, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
 
     "q_benford" ->
       """WITH c AS (

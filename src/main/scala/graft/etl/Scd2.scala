@@ -131,6 +131,57 @@ object Scd2 {
       .drop("__dim_key")
   }
 
+  /** B30 — SCD2 history SQUASH (history hygiene): merge runs of
+    * ADJACENT versions that carry identical (attrs, deleted_flg) and
+    * abut exactly (prev.effective_to == effective_from) into one
+    * span. Real histories accumulate such runs from flip-flopping
+    * feeds, replayed loaders and over-eager span splits; they bloat
+    * the dimension and slow every point-in-time join without changing
+    * any answer — squash is the OPTIMIZE of the SCD2 world. Islands
+    * via the D70 idiom: a running count of is-new-island markers per
+    * key (one window pass), then one (key, island) aggregation taking
+    * min(from)/max(to). Non-abutting identical spans and flag changes
+    * never merge (a tombstone between identical spans breaks the run
+    * by both tests). Point-in-time semantics are provably unchanged:
+    * [[splitSpans]] ∘ squash is the identity on any well-formed
+    * history — the q_scd2_squash oracle IS that round trip. */
+  def squash(history: DataFrame, key: String, attrs: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("effective_from"), col("deleted_flg"))
+    val sameAsPrev = (attrs.map(a => col(a) <=> lag(col(a), 1).over(w)) :+
+      (col("deleted_flg") <=> lag(col("deleted_flg"), 1).over(w)) :+
+      (col("effective_from") <=> lag(col("effective_to"), 1).over(w)))
+      .reduce(_ && _)
+    history
+      .withColumn("__new_island", when(sameAsPrev, 0L).otherwise(1L))
+      .withColumn("__island", sum(col("__new_island")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy((col(key) +: col("__island") +: attrs.map(col)) :+ col("deleted_flg"): _*)
+      .agg(min(col("effective_from")).as("effective_from"),
+        max(col("effective_to")).as("effective_to"))
+      .select(history.columns.map(col): _*)
+  }
+
+  /** The inverse dirtier (test/demo): split every span ≥2 days at its
+    * midpoint into two identical abutting versions — the redundant
+    * history squash must collapse back byte-identically. */
+  def splitSpans(history: DataFrame): DataFrame = {
+    val f = to_date(col("effective_from"))
+    val t = to_date(col("effective_to"))
+    val mid = date_format(
+      date_add(f, (datediff(t, f) / 2).cast("int")), "yyyy-MM-dd")
+    val two = array(
+      struct(col("effective_from").as("ef"), mid.as("et")),
+      struct(mid.as("ef"), col("effective_to").as("et")))
+    val one = array(struct(col("effective_from").as("ef"),
+      col("effective_to").as("et")))
+    history
+      .withColumn("__p", explode(when(datediff(t, f) >= 2, two).otherwise(one)))
+      .withColumn("effective_from", col("__p.ef"))
+      .withColumn("effective_to", col("__p.et"))
+      .select(history.columns.map(col): _*)
+  }
+
   /** CDC changelog derived from an SCD2 history: one (op, key, attrs)
     * row per change — 'I' for first versions, 'U' for reopened versions
     * of an existing key (new attribute values), 'D' for tombstones. The

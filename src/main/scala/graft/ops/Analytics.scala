@@ -263,6 +263,35 @@ object Analytics {
       .orderBy(col("from_state"), col("to_state"))
   }
 
+  /** D88 — top event PATHS: the most-traveled length-3 event-type
+    * sequences across user streams (the product-analytics "common
+    * journeys" read; D62's Markov matrix collapses order-2 structure
+    * that paths keep, D32's funnel checks ONE fixed pattern — this
+    * DISCOVERS the patterns). Two leads over the per-user time order
+    * (hot users cost their own sort, never a join), then a
+    * type³-bounded aggregation: occurrences + distinct travelers per
+    * path, top `k` by traversal count with a full lexicographic
+    * tie-break so the cut is engine-independent. */
+  def topEventPaths(events: DataFrame, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_walks"),
+        countDistinct(col("user_id")).as("n_users"))
+    paths
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("n_walks").desc, col("e1"), col("e2"), col("e3"))))
+      .filter(col("rn") <= k)
+      .select(col("e1"), col("e2"), col("e3"), col("n_walks"), col("n_users"),
+        col("rn").cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** D63 — RFM (recency / frequency / monetary) customer segmentation,
     * the classic CRM mart (Hughes, *Strategic Database Marketing*):
     * per-customer recency (latest order epoch-day), frequency (order

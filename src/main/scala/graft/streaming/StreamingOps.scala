@@ -281,6 +281,33 @@ object StreamingOps {
   def enrichStream(txns: DataFrame, clients: DataFrame): DataFrame =
     txns.join(broadcast(clients), Seq("user_id"), "left")
 
+  /** F32 — D87's grid-blocked spatial neighbor join run LIVE: each
+    * arriving point (id, x, y) is matched against the static point set
+    * within Chebyshev radius `r` via the same 3×3 cell explode on the
+    * STREAM side and the home-cell key on the static build side — a
+    * stateless stream-static equi-join per micro-batch, so there is no
+    * watermark and no state store to grow. Emitting only earlier
+    * (static_id < id) partners makes arrival-order replay equal the
+    * batch D87 pair set exactly once each — ParitySpec pins it. */
+  def spatialNeighborsStream(pts: DataFrame, static: DataFrame, r: Long): DataFrame = {
+    val home = static.select(col("id").as("id2"), col("x").as("x2"),
+      col("y").as("y2"),
+      (col("x").divide(r)).cast("long").as("cx"),
+      (col("y").divide(r)).cast("long").as("cy"))
+    val offsets = array((-1L to 1L).flatMap(dx => (-1L to 1L).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val probe = pts
+      .withColumn("o", explode(offsets))
+      .select(col("id").as("id1"), col("x").as("x1"), col("y").as("y1"),
+        ((col("x").divide(r)).cast("long") + col("o.dx")).as("cx"),
+        ((col("y").divide(r)).cast("long") + col("o.dy")).as("cy"))
+    probe.join(broadcast(home), Seq("cx", "cy"))
+      .filter(col("id2") < col("id1") &&
+        abs(col("x1") - col("x2")) <= r && abs(col("y1") - col("y2")) <= r)
+      .select(col("id1"), col("id2"),
+        greatest(abs(col("x1") - col("x2")), abs(col("y1") - col("y2"))).as("cheb"))
+  }
+
   /** F13 — continuous aggregate maintenance: the streaming form of B14
     * ([[graft.etl.IncrementalAgg]]). An unwindowed grouped aggregation
     * in complete/update mode IS mergeable-state maintenance — Spark's

@@ -326,6 +326,36 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F32 streaming spatial neighbors ≡ batch D87 pair set, each pair exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = 100000L
+    val pts = graft.ops.Spatial.points(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(pts.length > 30)
+    val static = pts.toSeq.toDF("id", "x", "y")
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.spatialNeighborsStream(
+      in.toDF().toDF("id", "x", "y"), static, r)
+      .writeStream.format("memory").queryName("pspatial")
+      .outputMode("append").start()
+    try {
+      // arrivals in two micro-batches, id order (the replay discipline)
+      val (b1, b2) = pts.sortBy(_._1).splitAt(pts.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("pspatial")
+        .select("id1", "id2", "cheb")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      // batch D87 emits (lo, hi); the stream emits (arrival, earlier)
+      val batch = graft.ops.Spatial.pairsFromPoints(static, r)
+        .collect().map(x => (x.getLong(1), x.getLong(0), x.getLong(2))).toSet
+      assert(streamed == batch, s"stream-batch=${streamed -- batch} batch-stream=${batch -- streamed}")
+      assert(streamed.nonEmpty)
+      // exactly once: no pair emitted twice across micro-batches
+      assert(spark.table("pspatial").count() == streamed.size)
+    } finally q.stop()
+  }
+
   test("F7 streaming embed dedup keeps exactly the batch first-per-signature vectors") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)

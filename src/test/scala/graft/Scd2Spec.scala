@@ -58,6 +58,36 @@ class Scd2Spec extends SparkSpec {
       12L -> Some("Lima"), 13L -> None, 14L -> None))
   }
 
+  test("B30 squash: merges only identical ABUTTING runs; flags and gaps break runs") {
+    import spark.implicits._
+    val hist = Seq(
+      // key A: a 3-run of identical abutting spans → one span
+      ("A", "x", "2024-01-01", "2024-01-05", 0L),
+      ("A", "x", "2024-01-05", "2024-01-09", 0L),
+      ("A", "x", "2024-01-09", "2024-02-01", 0L),
+      // key B: identical values but a GAP between spans → kept apart
+      ("B", "y", "2024-01-01", "2024-01-10", 0L),
+      ("B", "y", "2024-01-15", "2999-12-31", 0L),
+      // key C: abutting spans, attrs differ → kept apart
+      ("C", "p", "2024-01-01", "2024-01-10", 0L),
+      ("C", "q", "2024-01-10", "2999-12-31", 0L),
+      // key D: abutting + identical attrs but tombstone flag flips → kept
+      ("D", "z", "2024-01-01", "2024-01-10", 0L),
+      ("D", "z", "2024-01-10", "2999-12-31", 1L))
+      .toDF("k", "attr", "effective_from", "effective_to", "deleted_flg")
+    val out = Scd2.squash(hist, "k", Seq("attr")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      ("A", "x", "2024-01-01", "2024-02-01", 0L),
+      ("B", "y", "2024-01-01", "2024-01-10", 0L),
+      ("B", "y", "2024-01-15", "2999-12-31", 0L),
+      ("C", "p", "2024-01-01", "2024-01-10", 0L),
+      ("C", "q", "2024-01-10", "2999-12-31", 0L),
+      ("D", "z", "2024-01-01", "2024-01-10", 0L),
+      ("D", "z", "2024-01-10", "2999-12-31", 1L)))
+  }
+
   test("current view after merge equals the incoming snapshot (minus tombstones)") {
     val day1 = Scd2Snapshots.day1(spark, sf)
     val day2 = Scd2Snapshots.day2(spark, sf)
