@@ -1548,6 +1548,9 @@ object SparkEntry {
     // proves the 3×3 cell decomposition finds every pair exactly once
     "q_spatial_join" -> ((s, d) => ops.Spatial.neighborPairs(s, d)),
 
+    // D89: radius-capped nearest neighbor per point over the same grid
+    "q_spatial_nn" -> ((s, d) => ops.Spatial.nearestNeighbors(s, d)),
+
     // H8: the deployed operating point — best-F1 threshold of the E46
     // scorer, exact argmax in pico-units over the distinct-score frame
     "q_best_f1" -> ((s, d) =>
@@ -7021,6 +7024,24 @@ object SparkEntry {
         |  ON a.id < b.id
         |  AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000
         |ORDER BY 1, 2""".stripMargin,
+
+    // nearest-neighbor twin: quadratic argmin with the same
+    // (distance, id) tie-break
+    "q_spatial_nn" ->
+      """WITH pts AS (
+        |  SELECT event_id AS id,
+        |    ((event_id % 1000003) * 2654435761) % 1000000 AS x,
+        |    ((event_id % 1000033) * 2246822519) % 1000000 AS y
+        |  FROM events WHERE event_id % 17 = 0),
+        |cand AS (
+        |  SELECT a.id, b.id AS nn_id,
+        |    GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS cheb
+        |  FROM pts a JOIN pts b
+        |    ON a.id <> b.id
+        |    AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY cheb, nn_id) AS rn FROM cand)
+        |SELECT id, nn_id, cheb FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
 
     // best-F1 twin: the q_pr_curve CTEs + exact pico argmax, highest
     // threshold on ties

@@ -57,35 +57,52 @@ object Checks {
       throw new IllegalArgumentException("referential checks are not row-local")
   }
 
+  /** The fused one-row counter frame for all row-local checks — also
+    * the STREAMING state shape (F33): every metric is an associative
+    * conditional count, so the same aggregation runs unchanged as a
+    * complete-mode global aggregate over a stream. */
+  private[graft] def rowLocalCounts(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowChecks = checks.filterNot(_.isInstanceOf[Referential])
+    require(rowChecks.nonEmpty, "no row-local checks")
+    val aggs = rowChecks.map(c => violations(c).cast("long").as(c.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot the one-row counter frame to (check, violations). */
+  private[graft] def stackCounts(one: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowChecks = checks.filterNot(_.isInstanceOf[Referential])
+    val stacked = rowChecks.map(c => s"'${c.name}', `${c.name}`").mkString(", ")
+    one.selectExpr(s"stack(${rowChecks.length}, $stacked) as (`check`, violations)")
+  }
+
+  /** Budget join + verdict — the shared finisher (batch and F33). */
+  private[graft] def verdicts(counts: DataFrame, checks: Seq[Check]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val budgets = checks.map(c => (c.name, c.allowed)).toDF("check", "allowed")
+    counts.join(broadcast(budgets), Seq("check"))
+      .select(col("check"), col("violations"), col("allowed"),
+        when(col("violations") <= col("allowed"), 1L).otherwise(0L).as("pass"))
+      .orderBy(col("check"))
+  }
+
   /** Run the suite: one fused scan for all row-local checks + one
     * key-domain anti-join per referential check. Returns one verdict
     * row per check, ordered by name. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     require(checks.map(_.name).distinct.length == checks.length,
       "check names must be unique")
     val (refChecks, rowChecks) =
       checks.partition(_.isInstanceOf[Referential])
-    val fusedOpt = if (rowChecks.isEmpty) None else {
-      val aggs = rowChecks.map(c => violations(c).cast("long").as(c.name))
-      val one = df.agg(aggs.head, aggs.tail: _*)
-      val stacked = rowChecks
-        .map(c => s"'${c.name}', `${c.name}`").mkString(", ")
-      Some(one.selectExpr(
-        s"stack(${rowChecks.length}, $stacked) as (`check`, violations)"))
-    }
+    val fusedOpt =
+      if (rowChecks.isEmpty) None
+      else Some(stackCounts(rowLocalCounts(df, rowChecks), rowChecks))
     val refFrames = refChecks.collect { case Referential(name, c, ref, rc, _) =>
       df.select(col(c).as("k")).filter(col("k").isNotNull).distinct()
         .join(ref.select(col(rc).as("k")).distinct(), Seq("k"), "left_anti")
         .agg(count(lit(1)).cast("long").as("violations"))
         .select(lit(name).as("check"), col("violations"))
     }
-    val all = (fusedOpt.toSeq ++ refFrames).reduce(_.unionByName(_))
-    val budgets = checks.map(c => (c.name, c.allowed)).toDF("check", "allowed")
-    all.join(broadcast(budgets), Seq("check"))
-      .select(col("check"), col("violations"), col("allowed"),
-        when(col("violations") <= col("allowed"), 1L).otherwise(0L).as("pass"))
-      .orderBy(col("check"))
+    verdicts((fusedOpt.toSeq ++ refFrames).reduce(_.unionByName(_)), checks)
   }
 }

@@ -74,4 +74,27 @@ object Spatial {
         greatest(abs(col("x1") - col("x2")), abs(col("y1") - col("y2"))).as("cheb"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** D89 — radius-capped NEAREST-neighbor join: each point's closest
+    * other point within `r` (the kNN-join k=1 every spatial dedup /
+    * entity-resolution blocker wants; points with no neighbor inside
+    * the cap drop out — an UNCAPPED nearest neighbor is a global
+    * problem no grid can block, and real pipelines always carry a
+    * "beyond this distance it's not a match" cap anyway). Candidates
+    * come from the same 3×3 grid block, symmetrized; the argmin is a
+    * per-id window over candidate rows (grid-bounded, never n²) with
+    * a (distance, id) tie-break so the answer is engine-independent. */
+  def nearestNeighbors(s: SparkSession, d: String, r: Long = 20000L,
+                       sampleMod: Long = 17L): DataFrame = {
+    val pts = points(s, d, sampleMod)
+    val pairs = pairsFromPoints(pts, r)
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nn_id"), col("cheb"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nn_id"), col("cheb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cheb"), col("nn_id"))
+    sym.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("nn_id"), col("cheb"))
+      .orderBy(col("id"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Delimited-text ingestion, the Spark-native analog of the reference's
@@ -34,6 +35,36 @@ object DelimitedSource {
   final case class Json(schema: StructType) extends TabularSource {
     def load(spark: SparkSession, path: String): DataFrame =
       spark.read.schema(schema).json(path)
+  }
+
+  /** A10 — JSONL with a corrupt-record QUARANTINE: real feeds carry
+    * truncated lines, stray log text and schema drift; FAILFAST kills
+    * the batch for one bad line (one straggler blocks the day) and
+    * silent DROPMALFORMED destroys the evidence. PERMISSIVE decode
+    * surfaces each undecodable line verbatim in `_corrupt_record`;
+    * [[loadSplit]] returns (good rows, quarantine lines) from ONE
+    * parsed frame so operators can land the quarantine next to the
+    * data and replay it after a schema fix. The parsed frame is
+    * persisted before splitting — Spark (correctly) refuses plans that
+    * filter the internal corrupt column straight off the scan, because
+    * pushdown could prune the very columns whose failed decode defines
+    * corruption. */
+  final case class JsonLines(schema: StructType) {
+    private val Corrupt = "_corrupt_record"
+
+    def loadSplit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+      val parsed = spark.read
+        .schema(schema.add(Corrupt, org.apache.spark.sql.types.StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", Corrupt)
+        .json(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val good = parsed.filter(col(Corrupt).isNull)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val quarantine = parsed.filter(col(Corrupt).isNotNull)
+        .select(col(Corrupt).as("raw_line"))
+      (good, quarantine)
+    }
   }
 
   final case class Parquet() extends TabularSource {

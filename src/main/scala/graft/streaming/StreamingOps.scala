@@ -281,6 +281,24 @@ object StreamingOps {
   def enrichStream(txns: DataFrame, clients: DataFrame): DataFrame =
     txns.join(broadcast(clients), Seq("user_id"), "left")
 
+  /** F33 — B29's check suite run LIVE: the fused row-local violation
+    * counters maintained as ONE complete-mode global aggregation over
+    * the stream (every metric is an associative conditional count —
+    * the batch fusion survives streaming unchanged). Verdicts finish
+    * through the batch `Checks.stackCounts`+`verdicts` on each
+    * snapshot — budgets are presentation, never state. Unique needs a
+    * distinct aggregation (unbounded key state Spark rightly refuses
+    * in one global streaming agg) and Referential needs a second
+    * frame — both stay batch/periodic by design, and this guards
+    * against them loudly. */
+  def dqCountsStream(rows: DataFrame, checks: Seq[graft.etl.Checks.Check]): DataFrame = {
+    require(checks.forall(c => !c.isInstanceOf[graft.etl.Checks.Unique] &&
+      !c.isInstanceOf[graft.etl.Checks.Referential]),
+      "streaming DQ carries row-local counters only: Unique needs distinct " +
+        "state and Referential a second frame — run those on the batch cadence")
+    graft.etl.Checks.rowLocalCounts(rows, checks)
+  }
+
   /** F32 — D87's grid-blocked spatial neighbor join run LIVE: each
     * arriving point (id, x, y) is matched against the static point set
     * within Chebyshev radius `r` via the same 3×3 cell explode on the

@@ -354,4 +354,30 @@ class IngestSpec extends SparkSpec {
     assert(back.filter(org.apache.spark.sql.functions.col("batch_date") ===
       "2024-03-01").count() == day1.count())
   }
+
+  test("A10 JSONL quarantine: good rows decode, corrupt lines kept verbatim") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("feed.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "amount": 10.5, "tag": "a"}
+        |{"id": 2, "amount": "NOT_A_NUMBER", "tag": "b"}
+        |this line is not json at all
+        |{"id": 4, "amount": 7.25, "tag": "d"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+      StructField("tag", StringType)))
+    val (good, quarantine) =
+      graft.sources.DelimitedSource.JsonLines(schema).loadSplit(spark, f.toString)
+    val ids = good.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L))
+    assert(good.columns.toSeq == Seq("id", "amount", "tag"))
+    val bad = quarantine.select("raw_line").collect().map(_.getString(0))
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("NOT_A_NUMBER")) &&
+      bad.exists(_.contains("not json at all")),
+      s"quarantine must keep raw evidence, got ${bad.toSeq}")
+  }
 }

@@ -326,6 +326,39 @@ class ParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F33 streaming DQ counters finish ≡ batch check suite on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Checks
+    // streamable = row-local non-distinct counters (Unique/Referential
+    // are batch-cadence by contract — the op rejects them loudly)
+    val checks: Seq[Checks.Check] = Seq(
+      Checks.NotNull("m1_name", "name"),
+      Checks.Bounds("m2_v", col("v"), 0L, 50L),
+      Checks.Accepted("m3_tag", "tag", Seq("X", "Y")),
+      Checks.Predicate("m5_pos", col("v") > 0L, allowed = 1L))
+    val rows = Seq(
+      (1L, Some("a"), 10L, "X"), (2L, Some("b"), 99L, "Y"),
+      (2L, Some("c"), 20L, "X"), (3L, None, 30L, "Z"),
+      (9L, Some("d"), -5L, "X"), (4L, Some("e"), 11L, "Y"))
+    val in = MemoryStream[(Long, Option[String], Long, String)]
+    val q = StreamingOps.dqCountsStream(
+      in.toDF().toDF("k", "name", "v", "tag"), checks)
+      .writeStream.format("memory").queryName("pdq")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = Checks.verdicts(
+        Checks.stackCounts(spark.table("pdq"), checks), checks)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      val batch = Checks.run(rows.toDF("k", "name", "v", "tag"), checks)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.exists(_._2 > 0)) // violations actually flowed
+    } finally q.stop()
+  }
+
   test("F32 streaming spatial neighbors ≡ batch D87 pair set, each pair exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val r = 100000L
