@@ -134,7 +134,11 @@ class PlansSpec extends SparkSpec {
       // bhj=1 smj=1 — its LSH clustering truncates at checkpoint cuts)
       "q_cindex"            -> (1, 11),
       "q_dedup_curve"       -> (6, 18),
-      "q_curation_funnel"   -> (1, 1))
+      "q_curation_funnel"   -> (1, 1),
+      // r8 newcomers ≥2s (audited via graft.Explain at sf0.001:
+      // squash bhj=18 smj=0 — the SCD2 merge's detect joins all
+      // broadcast; a regression shows as smj growth)
+      "q_scd2_squash"       -> (0, 18))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
