@@ -338,6 +338,9 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => ops.Dedup.minhashLsh(Tables.documents(s, d))),
     "q_dedup_verify" -> ((s, d) => ops.Dedup.lshVerify(Tables.documents(s, d))),
+    // E71: the pair forensic mart — every overlap measure + triage
+    // class off ONE verify pass
+    "q_dedup_explain" -> ((s, d) => ops.Dedup.dupExplain(Tables.documents(s, d))),
     // E69: the what-if curve over candidate Jaccard cutoffs — one
     // verify pass, every threshold row emitted even when empty
     "q_dedup_curve" -> ((s, d) =>
@@ -3509,6 +3512,33 @@ object SparkEntry {
          |  n_sum - n_inter AS n_union,
          |  n_inter / (n_sum - n_inter) AS jaccard
          |FROM j ORDER BY id1, id2""".stripMargin,
+
+    // E71 twin: the same verified candidates, all measures + the same
+    // class ladder in integer ppm
+    "q_dedup_explain" ->
+      s"""WITH $sqlLshCtes,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (
+         |  SELECT c.id1, c.id2, c.n_shared_bands,
+         |    CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_inter,
+         |    CAST(len(a.shd) AS BIGINT) AS n1,
+         |    CAST(len(b.shd) AS BIGINT) AS n2
+         |  FROM cand c
+         |  JOIN sd a ON c.id1 = a.doc_id
+         |  JOIN sd b ON c.id2 = b.doc_id),
+         |m AS (
+         |  SELECT *,
+         |    CAST(1000000 * n_inter // (n1 + n2 - n_inter) AS BIGINT) AS jac_ppm,
+         |    CAST((n_inter * 1000000) // greatest(least(n1, n2), 1) AS BIGINT) AS cont_ppm,
+         |    CAST((least(n1, n2) * 1000000) // greatest(n1, n2) AS BIGINT) AS len_ratio_ppm
+         |  FROM j)
+         |SELECT id1, id2, n_shared_bands, n_inter, n1, n2,
+         |  jac_ppm, cont_ppm, len_ratio_ppm,
+         |  CASE WHEN n_inter = n1 AND n_inter = n2 THEN 'identical_grams'
+         |       WHEN cont_ppm = 1000000 THEN 'containment'
+         |       WHEN jac_ppm >= 700000 THEN 'near_dup'
+         |       ELSE 'candidate_only' END AS "class"
+         |FROM m ORDER BY id1, id2""".stripMargin,
 
     // E69: threshold fold over the same verified candidates, integer
     // ppm jaccard, zero-completed threshold rows

@@ -249,6 +249,37 @@ object Dedup {
         expr("(n_inter * 1000000) div greatest(n_min, 1)"))
       .orderBy(col("id1"), col("id2"))
 
+  /** E71 — near-dup pair EXPLANATION mart: the forensic row a curator
+    * reads before trusting a dedup pass. One verifyCore pass yields,
+    * per LSH candidate pair, every overlap measure the E-family uses
+    * separately (exact Jaccard ppm, containment ppm, shingle-count
+    * ratio, shared bands, raw intersection) PLUS a triage class:
+    * `identical_grams` (the gram SETS coincide — verbatim or
+    * reordered/duplicated-line copies), `containment` (one side fully
+    * inside the other but not vice versa — quote-inclusion /
+    * boilerplate-wrapping, the case Jaccard under-scores), `near_dup`
+    * (Jaccard ≥ τ), `candidate_only` (an LSH false positive — the
+    * banding's honest miss rate made visible instead of silently
+    * discarded). All integer ppm; pair work stays candidate-sized. */
+  def dupExplain(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                 dupMod: Long = 250, tPpm: Long = 700000L): DataFrame =
+    verifyCore(docs, bands, rowsPerBand, dupMod)
+      .select(col("id1"), col("id2"), col("n_shared_bands"),
+        col("n_inter"), col("n1"), col("n2"))
+      .withColumn("jac_ppm",
+        expr("1000000 * n_inter div (n1 + n2 - n_inter)"))
+      .withColumn("cont_ppm",
+        expr("(n_inter * 1000000) div greatest(least(n1, n2), 1)"))
+      .withColumn("len_ratio_ppm",
+        expr("(least(n1, n2) * 1000000) div greatest(n1, n2)"))
+      .withColumn("class",
+        when(col("n_inter") === col("n1") && col("n_inter") === col("n2"),
+          lit("identical_grams"))
+          .when(col("cont_ppm") === 1000000L, lit("containment"))
+          .when(col("jac_ppm") >= tPpm, lit("near_dup"))
+          .otherwise(lit("candidate_only")))
+      .orderBy(col("id1"), col("id2"))
+
   /** E69 — dedup threshold-SENSITIVITY curve: for each candidate
     * Jaccard threshold, the near-dup pair count and the distinct
     * documents touched, off ONE verify pass — the what-if a curator

@@ -136,13 +136,17 @@ object AtomicMart {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
+  private def manifestAt(spark: SparkSession, path: String, v: Long): Manifest = {
+    val f = fs(spark, path)
+    val file = new Path(path, f"$VersionsDir/v$v%09d.json")
+    require(f.exists(file), s"no committed version $v at $path")
+    val in = f.open(file)
+    val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    parse(body, v)
+  }
+
   private def readManifest(spark: SparkSession, path: String): Option[Manifest] =
-    currentVersion(spark, path).map { v =>
-      val f = fs(spark, path)
-      val in = f.open(new Path(path, f"$VersionsDir/v$v%09d.json"))
-      val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      parse(body, v)
-    }
+    currentVersion(spark, path).map(manifestAt(spark, path, _))
 
   /** Stage the batch's data under a fresh immutable snapshot dir and
     * return the partition entries it carries. Public so the crash test
@@ -231,6 +235,17 @@ object AtomicMart {
       throw new IllegalArgumentException(s"no committed version at $path"))
     readEntries(spark, m.entries)
   }
+
+  /** B31 — TIME TRAVEL: read the table exactly as version `v` committed
+    * it. Free by construction: every commit's manifest is an immutable
+    * file and committed snapshots are never rewritten, so any retained
+    * version reconstructs byte-identically. The one caveat is the same
+    * retention contract every lake format carries: [[vacuum]] reclaims
+    * snapshots the LATEST manifest no longer references, after which
+    * older versions pointing into them stop being readable — time
+    * travel reaches as far back as the vacuum horizon. */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
+    readEntries(spark, manifestAt(spark, path, v).entries)
 
   /** Read a live entry set: group leaves by snapshot root so each
     * group reads with one basePath (restoring partition columns from

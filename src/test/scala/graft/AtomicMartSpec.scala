@@ -70,6 +70,25 @@ class AtomicMartSpec extends SparkSpec {
     assert(AtomicMart.read(spark, path).count() == 2)
   }
 
+  test("B31 time travel: every retained version reads back exactly; vacuum sets the horizon") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)   // v0
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 999L)), path)   // v1 (replaces)
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 2L, 200L)), path)   // v2 (adds a day)
+    def amounts(v: Long) = AtomicMart.readVersion(spark, path, v)
+      .select("amount").as[Long].collect().toSeq.sorted
+    assert(amounts(0) == Seq(100L))
+    assert(amounts(1) == Seq(999L))
+    assert(amounts(2) == Seq(200L, 999L))
+    assert(intercept[IllegalArgumentException](
+      AtomicMart.readVersion(spark, path, 9L)).getMessage.contains("no committed version"))
+    // vacuum keeps only snapshots the LATEST manifest references: v0's
+    // replaced snapshot goes, v0 stops being readable, v2 is untouched
+    AtomicMart.vacuum(spark, path)
+    assert(amounts(2) == Seq(200L, 999L))
+    assert(intercept[Exception](amounts(0)).getMessage != null)
+  }
+
   test("republish replaces only its own partitions; others keep old pointers") {
     val path = Files.createTempDirectory("graft_amart").toString
     AtomicMart.publishDay(mart("2021-03-01",
