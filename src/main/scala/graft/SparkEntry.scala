@@ -409,6 +409,13 @@ object SparkEntry {
         m.framePhashes(m.syntheticFramePayloads(frames), m.StubDecoder)
           .toDF())
     }),
+    // G6: audio near-dup via fingerprint alignment histogram over the
+    // stub decode (decoder replayed in the oracle's recursive SQL)
+    "q_audio_dups" -> ((s, d) => {
+      val m = multimodal.Multimodal
+      m.audioAlignDups(
+        m.audioFingerprints(m.syntheticAudio(s, 60), m.StubDecoder).toDF())
+    }),
     "q_lang_id" -> ((s, d) => ops.TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => ops.TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -3880,6 +3887,60 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN x.bs <> y.bs THEN 1 ELSE 0 END) <= 8
         |ORDER BY 1, 2""".stripMargin,
+
+    // G6 twin: the audio pipeline replayed — remaster payload rule →
+    // stub sample scan (same recursion as q_phash_dups) → sliding
+    // 13-sample windows → 12 successive-comparison bits → df-capped
+    // fingerprint join → per-(pair, offset) vote histogram → best
+    // alignment per pair
+    "q_audio_dups" ->
+      """WITH RECURSIVE medias AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |    CASE WHEN i % 4 = 3
+        |      THEN 'audio-track-' || (i - 3) || '-program-material-remaster-v2'
+        |      ELSE 'audio-track-' || i || '-program-material' END AS payload
+        |  FROM range(60) t(i)),
+        |m2 AS (
+        |  SELECT media_id, payload, length(payload) AS len,
+        |    (4 + length(payload) % 8) * (3 + length(payload) % 5) AS n_luma
+        |  FROM medias),
+        |scan AS (
+        |  SELECT media_id, payload, len, n_luma, CAST(0 AS BIGINT) AS i,
+        |    CAST((17*31 + ascii(substr(payload, 1, 1))) % 4294967296 AS BIGINT) AS acc
+        |  FROM m2
+        |  UNION ALL
+        |  SELECT media_id, payload, len, n_luma, i + 1,
+        |    (acc * 31 + ascii(substr(payload, CAST((i + 1) % len AS INTEGER) + 1, 1))) % 4294967296
+        |  FROM scan WHERE i + 1 < n_luma),
+        |luma AS (SELECT media_id, n_luma, i, acc % 256 AS v FROM scan),
+        |wins AS (
+        |  SELECT DISTINCT l.media_id, CAST(w.w AS BIGINT) AS w
+        |  FROM luma l CROSS JOIN range(0, 4096, 2) w(w)
+        |  WHERE w.w <= l.n_luma - 13),
+        |fp AS (
+        |  SELECT ws.media_id, ws.w AS win_idx,
+        |    CAST(SUM(CASE WHEN hi.v > lo.v
+        |      THEN (CAST(1 AS BIGINT) << CAST(b.b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fhash
+        |  FROM wins ws CROSS JOIN range(12) b(b)
+        |  JOIN luma hi ON hi.media_id = ws.media_id AND hi.i = ws.w + b.b + 1
+        |  JOIN luma lo ON lo.media_id = ws.media_id AND lo.i = ws.w + b.b
+        |  GROUP BY 1, 2),
+        |keepf AS (
+        |  SELECT fhash FROM fp GROUP BY 1
+        |  HAVING COUNT(DISTINCT media_id) <= 10),
+        |hf AS (SELECT fp.* FROM fp JOIN keepf USING (fhash)),
+        |votes AS (
+        |  SELECT a.media_id AS id1, b.media_id AS id2,
+        |    a.win_idx - b.win_idx AS delta,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matches
+        |  FROM hf a JOIN hf b ON a.fhash = b.fhash AND a.media_id < b.media_id
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 3),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id1, id2
+        |    ORDER BY n_matches DESC, delta) AS rn FROM votes)
+        |SELECT id1, id2, delta AS best_delta, n_matches
+        |FROM best WHERE rn = 1 ORDER BY id1, id2""".stripMargin,
 
     // G5 twin: the whole video pipeline replayed — padded video
     // payloads → stub frame counts → per-frame payload derivation

@@ -264,6 +264,89 @@ object Multimodal {
     }.toDF("media_id", "kind", "payload")
   }
 
+  final case class AudioPrint(media_id: Long, win_idx: Long, fhash: Long)
+
+  /** G6 — audio FINGERPRINTS: the Shazam/chromaprint idea on the stub
+    * sample stream. A real decoder yields a waveform; the public
+    * fingerprint recipe is landmark bits from COMPARISONS between
+    * adjacent band energies per time window (comparisons survive gain
+    * and codec changes where absolute energies don't). Here each
+    * sliding window of `winLen` samples emits a (winLen−1)-bit hash of
+    * successive-sample comparisons — computed inside the per-partition
+    * decode pass (G2's discipline: payloads never shuffle, only
+    * (id, window, hash) rows move on). */
+  def audioFingerprints(media: DataFrame, decoder: MediaDecoder,
+                        winLen: Int = 13, hop: Int = 2): Dataset[AudioPrint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, kind, payload) =>
+          val d = decoder.decode(kind, payload)
+          val n = d.luma.length
+          (0 to n - winLen by hop).map { w =>
+            var h = 0L
+            var b = 0
+            while (b < winLen - 1) {
+              if (d.luma(w + b + 1) > d.luma(w + b)) h |= (1L << b)
+              b += 1
+            }
+            AudioPrint(id, w.toLong, h)
+          }
+        }
+      }
+  }
+
+  /** G6 — audio near-dup via the ALIGNMENT HISTOGRAM (the landmark
+    * pairing step of every audio-ID system): candidate window pairs
+    * join on equal fingerprints (hub hashes df-capped first — a
+    * silence-grade print matching half the corpus is the posting-skew
+    * hotspot, same cure as E47), then votes accumulate per
+    * (pair, offset delta): a real re-master concentrates its matches
+    * on ONE delta while chance collisions scatter. Reports each pair's
+    * best alignment with its vote count at `minMatches`+. */
+  def audioAlignDups(prints: DataFrame, minMatches: Long = 3L,
+                     maxDfMedia: Long = 10L): DataFrame = {
+    val hubFree = prints.join(
+      prints.groupBy(col("fhash"))
+        .agg(countDistinct(col("media_id")).as("nm"))
+        .filter(col("nm") <= maxDfMedia)
+        .select(col("fhash")),
+      Seq("fhash"), "left_semi")
+    val votes = hubFree.select(col("fhash"), col("media_id").as("id1"),
+        col("win_idx").as("w1"))
+      .join(hubFree.select(col("fhash"), col("media_id").as("id2"),
+        col("win_idx").as("w2")), Seq("fhash"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), (col("w1") - col("w2")).as("delta"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"))
+      .orderBy(col("n_matches").desc, col("delta"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id1"), col("id2"), col("delta").as("best_delta"),
+        col("n_matches"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Deterministic synthetic AUDIO corpus with re-master structure:
+    * every 4th track is a COPY of an earlier one sharing its payload
+    * prefix (the stub's rolling decode makes shared prefixes yield
+    * shared leading samples — the analog of "same program, different
+    * tail"). */
+  def syntheticAudio(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val payload =
+        if (i % 4 == 3) s"audio-track-${i - 3}-program-material-remaster-v2"
+        else s"audio-track-$i-program-material"
+      (i.toLong, "audio", payload.getBytes(StandardCharsets.UTF_8))
+    }.toDF("media_id", "kind", "payload")
+  }
+
   /** Deterministic synthetic media table built from any keyed source —
     * lets the plumbing run in a container with no real media files. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

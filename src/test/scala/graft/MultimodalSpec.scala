@@ -73,6 +73,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 3L, 2L)), out.toSeq.toString)
   }
 
+  test("G6 audio alignment: planted remasters win with full votes at delta 0") {
+    val audio = Multimodal.syntheticAudio(spark, 60)
+    val dups = Multimodal.audioAlignDups(
+      Multimodal.audioFingerprints(audio, Multimodal.StubDecoder).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // every planted (base, base+3) remaster pair aligns at delta 0
+    val planted = (3 until 60 by 4).map(i => (i - 3).toLong -> i.toLong)
+    planted.foreach { p =>
+      val (delta, votes) = dups.getOrElse(p, fail(s"planted pair $p not found"))
+      assert(delta == 0L, s"pair $p best delta $delta")
+      // the shared 30-sample prefix carries 9 windows; the first two
+      // ride corpus-common regions (the "audio-track-" intro and any
+      // sign-pattern coincidences), whose hub
+      // fingerprints the df-cap correctly drops (the silence-intro
+      // behavior) — a clear majority of discriminative votes remains
+      assert(votes >= 5L, s"pair $p only $votes votes")
+    }
+    // genuinely dissimilar tracks (different lengths → different
+    // sample streams end to end) never reach the vote floor. The OTHER
+    // high-vote pairs the histogram reports are single-byte payload
+    // siblings whose stub sample streams differ by a constant ±8
+    // (Δacc = 8·31^k, and 8·(±1 mod 32) mod 256 ∈ {8,248}) — near-
+    // identical signals the fingerprint CORRECTLY matches; a real
+    // decoder has no such linear structure.
+    for (p <- Seq((0L, 30L), (1L, 20L), (2L, 50L), (5L, 45L), (6L, 22L)))
+      assert(!dups.contains(p), s"dissimilar pair $p reported: ${dups.get(p)}")
+  }
+
   test("frame sampling explodes stride-spaced frame indices") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
