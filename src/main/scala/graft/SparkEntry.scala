@@ -846,6 +846,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- D90: exact MAD robust outliers per type — the heavy-tail-safe
+    // sibling of D38's z-score (one wild value inflates a stdev until
+    // nothing else flags; the median absolute deviation ignores it).
+    // Two exact percentile passes (median, then median of absolute
+    // deviations), group-domain frames broadcast, fence |x−med|>3·MAD.
+    // cents are ints so every interpolated value sits on the exact
+    // 0.5 grain — bit-equal as doubles in both engines.
+    "q_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val med = e.groupBy(col("event_type"))
+        .agg(percentile(col("v"), lit(0.5)).as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          count(lit(1)).as("n_rows"),
+          count(when(col("ad") > lit(3) * col("mad"), 1)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- D16: pivot (wide per-user event-type value matrix)
     "q_pivot" -> ((s, d) => {
       Tables.events(s, d)
@@ -3258,6 +3282,24 @@ object SparkEntry {
         |  min(x) AS min_outlier_cents, max(x) AS max_outlier_cents
         |FROM b JOIN m USING (l_returnflag)
         |WHERE (x*n - sx)*(x*n - sx)*n > 9*(n*sxx - sx*sx)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MAD twin: quantile_cont interpolates exactly like Spark's
+    // percentile, and integer cents keep every value on the 0.5 grain
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, ABS(e.v - m.med) AS ad, m.med
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, MIN(d.med) AS med, MIN(md.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(CASE WHEN d.ad > 3*md.mad THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_corr_subquery" ->

@@ -270,6 +270,34 @@ object AtomicMart {
     readEntries(spark, m.entries.filter(_.values(i) == value))
   }
 
+  /** B32 — SHALLOW CLONE: a new independent table whose v0 manifest
+    * points at the SOURCE's current snapshot directories — zero data
+    * copied (Delta's shallow-clone semantics, public). The clone then
+    * evolves independently: its own publishes stage under its own
+    * root; the shared snapshots are immutable so neither side can
+    * disturb the other's reads. Two explicit caveats, both inherent to
+    * the pattern: the clone's vacuum NEVER deletes borrowed dirs
+    * (they live outside its data root — [[vacuum]] only lists its
+    * own), but the SOURCE's vacuum doesn't know about borrowers, so
+    * cloning pins a retention obligation on the source exactly like a
+    * long-lived reader version does. */
+  def shallowClone(spark: SparkSession, src: String, dst: String): Long = {
+    val m = readManifest(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $src"))
+    val f = fs(spark, dst)
+    require(currentVersion(spark, dst).isEmpty, s"$dst already has commits")
+    f.mkdirs(new Path(dst, VersionsDir))
+    val tmp = new Path(dst, s"$VersionsDir/.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(render(Manifest(0L, m.partCols, m.entries))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(dst, f"$VersionsDir/v${0L}%09d.json")
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(s"clone commit lost a race at $dest")
+    0L
+  }
+
   /** Delete snapshot directories no longer referenced by the LATEST
     * manifest (failed stages, replaced partitions). Safe only once no
     * reader still holds an older version — the retention window is the

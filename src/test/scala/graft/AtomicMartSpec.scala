@@ -89,6 +89,28 @@ class AtomicMartSpec extends SparkSpec {
     assert(intercept[Exception](amounts(0)).getMessage != null)
   }
 
+  test("B32 shallow clone: zero-copy v0, then both sides evolve independently") {
+    val src = Files.createTempDirectory("graft_amart").toString
+    val dst = Files.createTempDirectory("graft_amart").toString + "/clone"
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), src)
+    AtomicMart.shallowClone(spark, src, dst)
+    assert(AtomicMart.read(spark, dst).select("amount").as[Long].collect().toSeq == Seq(100L))
+    // no data directories were copied: the clone root holds no snapshots
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "data")))
+    // diverge: a publish to the clone leaves the source untouched and
+    // vice versa
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 2L, 200L)), dst)
+    AtomicMart.publishDay(mart("2021-03-03", ("passport", 3L, 300L)), src)
+    assert(AtomicMart.read(spark, dst).select("amount").as[Long].collect().toSet
+      == Set(100L, 200L))
+    assert(AtomicMart.read(spark, src).select("amount").as[Long].collect().toSet
+      == Set(100L, 300L))
+    // the clone's vacuum reclaims nothing borrowed: source still reads
+    AtomicMart.vacuum(spark, dst)
+    assert(AtomicMart.read(spark, src).count() == 2)
+    assert(AtomicMart.read(spark, dst).count() == 2)
+  }
+
   test("republish replaces only its own partitions; others keep old pointers") {
     val path = Files.createTempDirectory("graft_amart").toString
     AtomicMart.publishDay(mart("2021-03-01",
