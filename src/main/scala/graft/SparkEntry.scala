@@ -846,6 +846,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- D91: audience OVERLAP matrix — for every event-type pair the
+    // exact shared-user count and Jaccard ppm (the which-surfaces-
+    // share-an-audience read behind cross-sell and cannibalization
+    // calls). D60's basket idiom on membership: contract to DISTINCT
+    // (type, user) FIRST, then the self-join on user_id is bounded by
+    // types-per-user ≤ |type domain| — per-user pair fan-out ≤ 25 here,
+    // never quadratic in events; sizes ride broadcast type-domain frames
+    "q_type_overlap" -> ((s, d) => {
+      val m = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sz = m.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      m.join(m.select(col("t").as("t2"), col("user_id")), Seq("user_id"))
+        .filter(col("t") < col("t2"))
+        .groupBy(col("t"), col("t2")).agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sz.select(col("t"), col("n").as("n1"))), Seq("t"))
+        .join(broadcast(sz.select(col("t").as("t2"), col("n").as("n2"))), Seq("t2"))
+        .select(col("t").as("type1"), col("t2").as("type2"), col("n_both"),
+          col("n1"), col("n2"),
+          expr("1000000 * n_both div (n1 + n2 - n_both)").as("jaccard_ppm"))
+        .orderBy(col("type1"), col("type2"))
+    }),
+
     // ---- D90: exact MAD robust outliers per type — the heavy-tail-safe
     // sibling of D38's z-score (one wild value inflates a stdev until
     // nothing else flags; the median absolute deviation ignores it).
@@ -3283,6 +3305,20 @@ object SparkEntry {
         |FROM b JOIN m USING (l_returnflag)
         |WHERE (x*n - sx)*(x*n - sx)*n > 9*(n*sxx - sx*sx)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // overlap twin: same membership contraction + self-join + ppm
+    "q_type_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS type1, b.t AS type2, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT type1, type2, n_both, s1.n AS n1, s2.n AS n2,
+        |  CAST(1000000 * n_both // (s1.n + s2.n - n_both) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p JOIN sz s1 ON s1.t = type1 JOIN sz s2 ON s2.t = type2
+        |ORDER BY 1, 2""".stripMargin,
 
     // MAD twin: quantile_cont interpolates exactly like Spark's
     // percentile, and integer cents keep every value on the 0.5 grain
