@@ -137,8 +137,9 @@ class PlansSpec extends SparkSpec {
       "q_curation_funnel"   -> (1, 1),
       // r8 newcomers ≥2s (audited via graft.Explain at sf0.001:
       // squash bhj=18 smj=0 — the SCD2 merge's detect joins all
-      // broadcast; a regression shows as smj growth)
-      "q_scd2_squash"       -> (0, 18))
+      // broadcast; explain bhj=8 smj=2, verifyCore's shape)
+      "q_scd2_squash"       -> (0, 18),
+      "q_dedup_explain"     -> (2, 8))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place
