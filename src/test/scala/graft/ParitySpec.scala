@@ -1003,6 +1003,63 @@ class ParitySpec extends SparkSpec {
     try { in.addData(feed: _*); q.processAllAvailable() } finally q.stop()
   }
 
+  test("restart/counters: F33 DQ counters survive a mid-stream restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Checks
+    val checks: Seq[Checks.Check] = Seq(
+      Checks.NotNull("r1_name", "name"),
+      Checks.Bounds("r2_v", col("v"), 0L, 50L),
+      Checks.Predicate("r3_pos", col("v") > 0L, allowed = 1L))
+    val in = MemoryStream[(Long, Option[String], Long)]
+    val ck = ckDir("dq")
+    val b1 = Seq((1L, Some("a"), 10L), (2L, None, 99L))
+    val b2 = Seq((3L, Some("c"), -5L), (4L, Some("d"), 20L))
+    def plan = StreamingOps.dqCountsStream(
+      in.toDS().toDF("k", "name", "v"), checks)
+    completeRun(in, plan, "dq_rs1", ck, b1)
+    completeRun(in, plan, "dq_rs2", ck, b2)
+    val streamed = Checks.verdicts(
+      Checks.stackCounts(spark.table("dq_rs2"), checks), checks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    val batch = Checks.run((b1 ++ b2).toDF("k", "name", "v"), checks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.map(_._2).sum > 0) // violations from BOTH incarnations
+  }
+
+  test("restart/stateless: F32 spatial monitor emits no duplicate pairs across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = 100000L
+    val pts = graft.ops.Spatial.points(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val static = pts.toSeq.toDF("id", "x", "y")
+    val in = MemoryStream[(Long, Long, Long)]
+    val ck = ckDir("spatial")
+    val (b1, b2) = pts.sortBy(_._1).splitAt(pts.length / 2)
+    // the memory sink cannot recover a checkpoint; the FILE sink is the
+    // fault-tolerant one (exactly-once via its file-manifest log) and
+    // is what a production F32 writes to anyway
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sp-out-").toString
+    def plan = StreamingOps.spatialNeighborsStream(
+      in.toDF().toDF("id", "x", "y"), static, r)
+    def appendRun(feed: Seq[(Long, Long, Long)]): Unit = {
+      val q = plan.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try { in.addData(feed: _*); q.processAllAvailable() } finally q.stop()
+    }
+    appendRun(b1.toSeq)
+    appendRun(b2.toSeq)
+    // the source offsets (not operator state — the join is stateless)
+    // are what recovery must not replay: batch-1 pairs must not re-emit
+    val all = spark.read.parquet(outDir)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(all.length == all.distinct.length, "a pair re-emitted across the restart")
+    val batch = graft.ops.Spatial.pairsFromPoints(static, r)
+      .collect().map(x => (x.getLong(1), x.getLong(0))).toSet
+    assert(all.toSet == batch)
+  }
+
   test("restart/agg: F13 state survives a mid-stream restart (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
