@@ -137,10 +137,17 @@ class LifecycleSpec extends SparkSpec {
           FraudEtlPipeline.atomicPublish).isDefined)
       }
       if (day == "04032021") {
-        // GDPR: forget client 4 — retracts its day-1 and day-4 rows
+        // GDPR: forget client 4 — retracts its day-1 and day-4 rows.
+        // `before` binds to the pre-erasure version at CALL time: it
+        // must read the full pre-erasure mart even when collected
+        // AFTER the erasure commits (snapshot isolation at the
+        // erasure boundary — a reader mid-report never sees a
+        // half-scrubbed mart).
         val before = AtomicMart.read(spark, layout1.martPath)
-        assert(before.filter(col("client_key") === 4L).count() > 0)
+        val nBefore = before.count()
         LakeLifecycle.eraseClient(spark, layout1.martPath, 4L)
+        assert(before.count() == nBefore &&
+          before.filter(col("client_key") === 4L).count() > 0)
         val after = AtomicMart.read(spark, layout1.martPath)
         assert(after.filter(col("client_key") === 4L).count() == 0)
         // erasure removed ONLY the subject's rows
