@@ -871,26 +871,14 @@ object SparkEntry {
     // ---- D90: exact MAD robust outliers per type — the heavy-tail-safe
     // sibling of D38's z-score (one wild value inflates a stdev until
     // nothing else flags; the median absolute deviation ignores it).
-    // Two exact percentile passes (median, then median of absolute
-    // deviations), group-domain frames broadcast, fence |x−med|>3·MAD.
-    // cents are ints so every interpolated value sits on the exact
-    // 0.5 grain — bit-equal as doubles in both engines.
-    "q_mad_outliers" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("event_type"), cents(col("value")).as("v"))
-      val med = e.groupBy(col("event_type"))
-        .agg(percentile(col("v"), lit(0.5)).as("med"))
-      val dev = e.join(broadcast(med), Seq("event_type"))
-        .withColumn("ad", abs(col("v") - col("med")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(percentile(col("ad"), lit(0.5)).as("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
-          count(lit(1)).as("n_rows"),
-          count(when(col("ad") > lit(3) * col("mad"), 1)).as("n_outliers"))
-        .orderBy(col("event_type"))
-    }),
+    // Histogram-first: one contraction to the (type, cents) value
+    // histogram, then finishMad's two rank-window median picks (≡
+    // percentile(0.5) for every n) and the |x−med|>3·MAD fence — the
+    // finisher the F34 stream shares verbatim. cents are ints so every
+    // interpolated value sits on the exact 0.5 grain — bit-equal as
+    // doubles in both engines.
+    "q_mad_outliers" -> ((s, d) =>
+      ops.Analytics.madOutliers(Tables.events(s, d))),
 
     // ---- D16: pivot (wide per-user event-type value matrix)
     "q_pivot" -> ((s, d) => {

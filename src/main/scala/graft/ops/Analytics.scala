@@ -1214,6 +1214,65 @@ object Analytics {
       .orderBy(col("grp"), col("p"))
   }
 
+  /** Attach the interpolated median as a per-group column via window
+    * aggregates — NO self-join (joins of a frame against its own
+    * aggregation hit conflicting-reference resolution on streaming
+    * snapshot tables; windows don't, and this finisher must run on
+    * those snapshots). Ranks r_lo=(n+1) div 2 and r_hi=(n+2) div 2
+    * are picked from cumulative ranges, med = their midpoint —
+    * exactly Spark's `percentile(x, 0.5)` for every n (odd: the
+    * middle; even: the average of the two middles). */
+  private def withMedian(hist: DataFrame, out: String): DataFrame = {
+    val wv = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wg = Window.partitionBy(col("grp"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n", sum(col("c")).over(wg))
+      .withColumn("rlo", expr("(n + 1) div 2"))
+      .withColumn("rhi", expr("(n + 2) div 2"))
+      .withColumn(out,
+        (max(when(col("cum") >= col("rlo") &&
+            col("cum") - col("c") < col("rlo"), col("x"))).over(wg) +
+          max(when(col("cum") >= col("rhi") &&
+            col("cum") - col("c") < col("rhi"), col("x"))).over(wg)) / 2)
+      .drop("cum", "n", "rlo", "rhi")
+  }
+
+  /** D90's back half over a (grp, x, c) value histogram — shared
+    * VERBATIM with the F34 streaming monitor (medians are
+    * non-associative, never state; the finishLadder discipline).
+    * Returns (event_type, med, mad, n_rows, n_outliers) under
+    * Hampel's |x−med| > 3·MAD rule. Join-free: both median picks are
+    * window aggregates over the (re-grouped) histogram. */
+  def finishMad(hist: DataFrame): DataFrame = {
+    val dev = withMedian(hist, "med")
+      .select(col("grp"), abs(col("x") - col("med")).as("x"), col("c"),
+        col("med"))
+      .groupBy(col("grp"), col("x"))
+      .agg(sum(col("c")).as("c"), min(col("med")).as("med"))
+    withMedian(dev, "mad")
+      .groupBy(col("grp"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(col("c")).as("n_rows"),
+        sum(when(col("x") > lit(3) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .select(col("grp").as("event_type"), col("med"), col("mad"),
+        col("n_rows"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D90 — exact MAD robust outliers per type, histogram-first: one
+    * scan contracts to the (type, cents) value histogram (value-domain
+    * bounded), then [[finishMad]] does two rank-window median picks
+    * and the fence count on that contraction — the same plan at any
+    * row count, and the finisher the F34 stream shares. */
+  def madOutliers(events: DataFrame): DataFrame =
+    finishMad(events
+      .select(col("event_type").as("grp"),
+        graft.functions.GraftFunctions.cents(col("value")).as("x"))
+      .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c")))
+
   /** B26 — FRESHNESS mart: per stream (event type) the lag of its last
     * arrival behind the corpus frontier — the is-the-feed-alive check
     * an ingestion SLA reads every run, and D70's complement: islands

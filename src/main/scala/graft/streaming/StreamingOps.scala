@@ -728,6 +728,17 @@ object StreamingOps {
     rows.groupBy(col(group).as("grp"), col(value).as("x"))
       .agg(count(lit(1)).as("c"))
 
+  /** F34 — streaming MAD robust-outlier monitor (D90 live): the SAME
+    * value-domain-bounded (grp, x, c) histogram state as F31 — one
+    * state family, two finishers — with each snapshot finishing
+    * through the batch [[graft.ops.Analytics]] `finishMad` (medians
+    * are non-associative, never state). A model-score or amount
+    * stream gets live Hampel outlier counts whose semantics are
+    * EXACTLY the nightly batch's. */
+  def madState(rows: DataFrame, group: String = "grp",
+               value: String = "x"): DataFrame =
+    ladderState(rows, group, value)
+
   /** F30 — streaming FRESHNESS monitor (B26 run live): per-stream
     * last-arrival lag behind the corpus frontier, refreshed every
     * trigger — the liveness alarm an ingestion SLA wants DURING the

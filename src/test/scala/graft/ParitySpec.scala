@@ -1060,6 +1060,38 @@ class ParitySpec extends SparkSpec {
     assert(all.toSet == batch)
   }
 
+  test("restart/histogram: F34 MAD monitor ≡ the percentile batch twin across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ck = ckDir("mad")
+    // odd AND even group sizes (both median interpolation branches),
+    // an outlier beyond 3·MAD, restart between the halves
+    val b1 = Seq(("a", 10L), ("a", 12L), ("a", 11L), ("b", 5L), ("b", 7L))
+    val b2 = Seq(("a", 13L), ("a", 500L), ("b", 6L), ("b", 100L))
+    def plan = StreamingOps.madState(in.toDS().toDF("t", "v"), "t", "v")
+    completeRun(in, plan, "mad_rs1", ck, b1)
+    completeRun(in, plan, "mad_rs2", ck, b2)
+    val streamed = graft.ops.Analytics.finishMad(spark.table("mad_rs2"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // independent twin: Spark's percentile formulation (what the DuckDB
+    // oracle checks), NOT the shared finisher
+    val e = (b1 ++ b2).toDF("t", "v")
+    val med = e.groupBy(col("t")).agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dev = e.join(med, Seq("t")).withColumn("ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("t")).agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    val batch = dev.join(mad, Seq("t"))
+      .groupBy(col("t"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n_rows"),
+        count(when(col("ad") > lit(3) * col("mad"), 1)).as("n_outliers"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.exists(_._5 > 0)) // the planted outliers actually flag
+  }
+
   test("restart/agg: F13 state survives a mid-stream restart (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
