@@ -89,6 +89,23 @@ class AtomicMartSpec extends SparkSpec {
     assert(intercept[Exception](amounts(0)).getMessage != null)
   }
 
+  test("empty publish: a zero-row batch commits a no-op version, retracts nothing") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    // a day with no fraud hits still publishes (the pipeline doesn't
+    // special-case empty marts): new version, zero partitions staged,
+    // every prior partition kept
+    val v = AtomicMart.publishDay(
+      mart("2021-03-02").limit(0), path)
+    assert(v == 1L)
+    assert(AtomicMart.read(spark, path).count() == 1)
+    // and publishReplacing with an empty frame IS the retraction path
+    AtomicMart.publishReplacing(
+      mart("2021-03-01", ("passport", 1L, 100L)).limit(0), path,
+      Seq("rule", "batch_date"), Seq(Seq("passport", "2021-03-01")))
+    assert(AtomicMart.read(spark, path).count() == 0)
+  }
+
   test("B32 shallow clone: zero-copy v0, then both sides evolve independently") {
     val src = Files.createTempDirectory("graft_amart").toString
     val dst = Files.createTempDirectory("graft_amart").toString + "/clone"
