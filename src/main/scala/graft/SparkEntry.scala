@@ -1351,6 +1351,17 @@ object SparkEntry {
           .select(expr("(margin + 1000000000) div 500").as("va"),
             expr("n_chars div 200").as("vb")))),
 
+    // H23: gamma + both Somers' D directions off H13's concordance
+    // contraction — one cell pass, three coefficient families
+    "q_rank_assoc" -> ((s, d) =>
+      ml.Evaluation.rankAssociation(
+        ops.TextAnalysis.hashedLinearScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("margin"))
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars")), Seq("doc_id"))
+          .select(expr("(margin + 1000000000) div 500").as("va"),
+            expr("n_chars div 200").as("vb")))),
+
     // H12: Murphy decomposition of the Brier score on the same frame —
     // reliability vs resolution vs base-rate uncertainty, one-row verdict
     "q_brier" -> ((s, d) =>
@@ -2401,6 +2412,51 @@ object SparkEntry {
         |    / sqrt(CAST(ntot * (ntot - 1) // 2 - ties_a AS DOUBLE)
         |         * CAST(ntot * (ntot - 1) // 2 - ties_b AS DOUBLE))
         |  END AS tau_b
+        |FROM conc, disc, ma, mb""".stripMargin,
+
+    // rank-association twin: the q_kendall CTEs with the gamma /
+    // Somers' D ratios instead of τ-b's geometric-mean denominator
+    "q_rank_assoc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5('qw:'||tok),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT (margin + 1000000000) // 500 AS va, n_chars // 200 AS vb
+        |  FROM m JOIN documents d USING (doc_id)),
+        |cells AS (SELECT va AS i, vb AS j, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1, 2),
+        |conc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+        |    AS c_pairs
+        |  FROM cells a JOIN cells b ON b.i > a.i AND b.j > a.j),
+        |disc AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+        |    AS d_pairs
+        |  FROM cells a JOIN cells b ON b.i > a.i AND b.j < a.j),
+        |ma AS (SELECT CAST(sum(t) AS BIGINT) AS ntot,
+        |    CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_a
+        |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY i)),
+        |mb AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_b
+        |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY j))
+        |SELECT ntot AS n, c_pairs, d_pairs,
+        |  ntot * (ntot - 1) // 2 AS n0, ties_a, ties_b,
+        |  CASE WHEN c_pairs + d_pairs = 0 THEN 0.0
+        |    ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+        |      / CAST(c_pairs + d_pairs AS DOUBLE) END AS gamma,
+        |  CASE WHEN ntot * (ntot - 1) // 2 = ties_a THEN 0.0
+        |    ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+        |      / CAST(ntot * (ntot - 1) // 2 - ties_a AS DOUBLE) END
+        |    AS somers_d_ba,
+        |  CASE WHEN ntot * (ntot - 1) // 2 = ties_b THEN 0.0
+        |    ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+        |      / CAST(ntot * (ntot - 1) // 2 - ties_b AS DOUBLE) END
+        |    AS somers_d_ab
         |FROM conc, disc, ma, mb""".stripMargin,
 
     // H12: Murphy decomposition — clamped-linear link (slope 25) to

@@ -437,7 +437,11 @@ object Evaluation {
     * Scale: one corpus pass to the cell contraction; the dominance
     * join broadcasts the cell frame (grid-bounded by contract). Exact
     * while N² < 2⁶³ — the H4 stratify-beyond caveat. */
-  def kendallTauB(binned: DataFrame, a: String = "va", b: String = "vb")
+  /** The shared concordance contraction: one row of exact-BIGINT pair
+    * masses (C, D), marginal tie terms and n0 off the (binA, binB)
+    * contingency cells — every rank-association coefficient (τ-b,
+    * gamma, Somers' D) is a different ratio over these five numbers. */
+  private def concordanceCounts(binned: DataFrame, a: String, b: String)
       : DataFrame = {
     val cells = binned.groupBy(col(a).as("i"), col(b).as("j"))
       .agg(count(lit(1)).as("n"))
@@ -457,6 +461,11 @@ object Evaluation {
     conc.crossJoin(broadcast(disc)).crossJoin(broadcast(margA))
       .crossJoin(broadcast(margB))
       .withColumn("n0", expr("ntot * (ntot - 1) div 2"))
+  }
+
+  def kendallTauB(binned: DataFrame, a: String = "va", b: String = "vb")
+      : DataFrame =
+    concordanceCounts(binned, a, b)
       .select(col("ntot").as("n"), col("c_pairs"), col("d_pairs"),
         col("n0"), col("ties_a"), col("ties_b"),
         when(col("n0") === col("ties_a") || col("n0") === col("ties_b"),
@@ -466,7 +475,36 @@ object Evaluation {
               sqrt((col("n0") - col("ties_a")).cast("double") *
                 (col("n0") - col("ties_b")).cast("double")))
           .as("tau_b"))
-  }
+
+  /** H23 — Goodman–Kruskal GAMMA and both Somers' D directions off the
+    * SAME concordance contraction as H13's τ-b (one cell pass, three
+    * coefficient families): gamma = (C−D)/(C+D) ignores all ties (the
+    * optimist — any monotone signal scores high); Somers' D is the
+    * asymmetric pair: D_b|a = (C−D)/(n0 − ties_a) normalizes by pairs
+    * untied on a, D_a|b by pairs untied on b. With a = score and b = a
+    * BINARY outcome, pairs untied on b are exactly the n_pos·n_neg
+    * label-crossing pairs, so D_a|b IS the credit-scoring Gini =
+    * 2·AUC−1 (the H4 bridge, spec-pinned — score ties count ½ in AUC
+    * and 0 in C−D, the same thing). All three are single IEEE divisions
+    * over exact BIGINTs; degenerate denominators emit 0 with the
+    * counts visible, never NULL. */
+  def rankAssociation(binned: DataFrame, a: String = "va", b: String = "vb")
+      : DataFrame =
+    concordanceCounts(binned, a, b)
+      .select(col("ntot").as("n"), col("c_pairs"), col("d_pairs"),
+        col("n0"), col("ties_a"), col("ties_b"),
+        when(col("c_pairs") + col("d_pairs") === 0L, lit(0.0))
+          .otherwise((col("c_pairs") - col("d_pairs")).cast("double") /
+            (col("c_pairs") + col("d_pairs")).cast("double"))
+          .as("gamma"),
+        when(col("n0") === col("ties_a"), lit(0.0))
+          .otherwise((col("c_pairs") - col("d_pairs")).cast("double") /
+            (col("n0") - col("ties_a")).cast("double"))
+          .as("somers_d_ba"),
+        when(col("n0") === col("ties_b"), lit(0.0))
+          .otherwise((col("c_pairs") - col("d_pairs")).cast("double") /
+            (col("n0") - col("ties_b")).cast("double"))
+          .as("somers_d_ab"))
 
   /** H16 — Cohen's κ chance-corrected agreement (Educ. Psychol. Meas.
     * 1960) between two categorical raters — the inter-rater companion

@@ -297,6 +297,29 @@ class MlSpec extends SparkSpec {
       .collect().head.getDouble(6) == 0.0)
   }
 
+  test("H23: gamma/Somers' D — hand counts, and D_a|b ≡ 2·AUC−1 on a binary outcome") {
+    import spark.implicits._
+    // scores: neg {1,2}, pos {2,3} — one score tie across labels.
+    // Cells: C=3, D=0, n0=6, ties_a(score)=1, ties_b(label)=2.
+    val rows = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L))
+    val r = graft.ml.Evaluation.rankAssociation(rows.toDF("va", "vb"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      (3L, 0L, 6L, 1L, 2L))
+    assert(r.getDouble(6) == 1.0) // gamma ignores all ties
+    assert(r.getDouble(7) == 3.0 / 5.0) // D_b|a: pairs untied on score = 5
+    assert(r.getDouble(8) == 0.75) // D_a|b: label-crossing pairs = 4
+    // the Gini bridge: AUC = (3 + 0.5)/4 = 0.875 → 2·AUC−1 = 0.75
+    val auc = graft.ml.Evaluation.aucExact(
+      rows.toDF("score", "label")).collect().head
+    assert(r.getDouble(8) == 2.0 * (auc.getLong(2) / 1e6) - 1.0)
+    // degenerate: every pair tied on both axes → all three pinned 0
+    val degen = graft.ml.Evaluation.rankAssociation(
+      Seq((1L, 1L), (1L, 1L)).toDF("va", "vb")).collect().head
+    assert(degen.getDouble(6) == 0.0 && degen.getDouble(7) == 0.0 &&
+      degen.getDouble(8) == 0.0)
+  }
+
   test("H16: Cohen's kappa — textbook 0.4, perfect disagreement -1, constant pinned 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
