@@ -1125,6 +1125,35 @@ object SparkEntry {
           "WHEN 5 THEN 'I' ELSE 'U' END").as("op"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
         col("o_orderstatus").as("status")))),
+    // ---- B33: MERGE INTO a live AtomicMart — bootstrap the mart from
+    // the first half of the synthesized op-log (lsn%4 in 0,1), merge
+    // the second half as a CDC delta (one OCC commit rewriting only
+    // touched partitions), read the table back. Delta lsns exceed base
+    // lsns per key, so merged ≡ the oracle's full fold of the whole log
+    "q_mart_merge" -> ((s, d) => {
+      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_merge"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val log = Tables.orders(s, d).select(
+        expr("o_orderkey div 4").as("k"),
+        col("o_orderkey").as("lsn"),
+        expr("CASE CAST(o_orderkey % 10 AS INT) WHEN 0 THEN 'D' " +
+          "WHEN 5 THEN 'I' ELSE 'U' END").as("op"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST((o_orderkey div 4) % 8 AS STRING))").as("part"))
+      val snap = etl.Cdc.applyLog(log.filter(expr("lsn % 4 < 2")))
+        .select(col("k"), col("price_cents"), col("status"), col("part"))
+      sources.AtomicMart.publish(snap, out, Seq("part"))
+      etl.MartMerge.merge(s, out, log.filter(expr("lsn % 4 >= 2")), Seq("part"))
+      val back = sources.AtomicMart.read(s, out)
+      // zero-row warehouse: an all-empty publish commits zero entries
+      // and reads back column-less — shape it with the snapshot type
+      (if (back.columns.isEmpty) snap.limit(0) else back)
+        .select(col("k"), col("price_cents"), col("status"),
+          col("part").cast("string").as("part"))
+        .orderBy(col("k"))
+    }),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
     "q_km" -> ((s, d) =>
       ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -6471,6 +6500,26 @@ object SparkEntry {
         |      OVER (PARTITION BY k) AS BIGINT) AS n_deletes
         |  FROM log)
         |SELECT k, lsn AS applied_lsn, n_ops, n_deletes, price_cents, status
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
+
+    // merged mart ≡ full recompute from the whole op-log (the B33
+    // equivalence: per-key delta lsns exceed base lsns, so folding the
+    // snapshot + delta equals folding everything)
+    "q_mart_merge" ->
+      """WITH log AS (
+        |  SELECT o_orderkey // 4 AS k, o_orderkey AS lsn,
+        |    CASE CAST(o_orderkey % 10 AS INT) WHEN 0 THEN 'D'
+        |      WHEN 5 THEN 'I' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST((o_orderkey // 4) % 8 AS VARCHAR) AS part
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY lsn DESC, op DESC,
+        |        md5(concat(CAST(price_cents AS VARCHAR), status, part)) DESC) AS rn
+        |  FROM log)
+        |SELECT k, price_cents, status, part
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
 
     "q_km" ->

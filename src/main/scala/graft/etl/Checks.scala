@@ -89,9 +89,18 @@ object Checks {
   /** Run the suite: one fused scan for all row-local checks + one
     * key-domain anti-join per referential check. Returns one verdict
     * row per check, ordered by name. */
+  /** Check names ride into a generated stack() expression; confine them
+    * to characters that can never break the quoting. */
+  private val SafeName = "[A-Za-z0-9_][A-Za-z0-9_ .:/=<>%-]*".r
+
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Checks.run needs at least one check")
     require(checks.map(_.name).distinct.length == checks.length,
       "check names must be unique")
+    checks.foreach { c =>
+      require(SafeName.pattern.matcher(c.name).matches(),
+        s"check name '${c.name}' must match $SafeName (no quotes/backticks)")
+    }
     val (refChecks, rowChecks) =
       checks.partition(_.isInstanceOf[Referential])
     val fusedOpt =

@@ -31,7 +31,13 @@ object LakeLifecycle {
     * their old pointers — no full-table rewrite at 100 TB). Returns
     * the committed version. */
   def eraseClient(spark: SparkSession, martPath: String, clientKey: Long): Long = {
-    val live = AtomicMart.read(spark, martPath)
+    // Bind to ONE version and declare it at commit time: if anything
+    // republishes an affected partition between our read and our
+    // commit, the OCC guard refuses instead of resurrecting the
+    // subject's rows from a half-stale rewrite.
+    val readV = AtomicMart.currentVersion(spark, martPath)
+    val live = readV.map(AtomicMart.readVersion(spark, martPath, _))
+      .getOrElse(AtomicMart.read(spark, martPath))
     // Partition keys holding the subject: bounded by the partition
     // count (days × rules), never by row count — safe to collect.
     val affected = live.filter(col("client_key") === clientKey)
@@ -39,12 +45,19 @@ object LakeLifecycle {
       .distinct().collect()
       .map(r => Seq(r.getString(0), r.getString(1)))
     if (affected.isEmpty) return AtomicMart.currentVersion(spark, martPath).getOrElse(0L)
-    val affectedKeys = affected.map(_.mkString("|")).toSet
+    // Match affected partitions on the value PAIR (a concatenated key
+    // would collide if a rule ever contained the separator), and keep
+    // survivors null-safely: a NULL client_key row is NOT the erased
+    // subject and must survive the rewrite (=!= would drop it).
+    val inAffected = affected
+      .map(a => col("rule").cast("string") === a(0) &&
+        col("batch_date").cast("string") === a(1))
+      .reduce(_ || _)
     val survivors = live
-      .filter(concat_ws("|", col("rule").cast("string"), col("batch_date").cast("string"))
-        .isin(affectedKeys.toSeq: _*))
-      .filter(col("client_key") =!= clientKey)
-    AtomicMart.publishReplacing(survivors, martPath, Seq("rule", "batch_date"), affected.toSeq)
+      .filter(inAffected)
+      .filter(!(col("client_key") <=> lit(clientKey)))
+    AtomicMart.publishReplacing(survivors, martPath, Seq("rule", "batch_date"),
+      affected.toSeq, baseVersion = readV)
   }
 
   // ------------------------------------------------------------------
@@ -141,6 +154,12 @@ object LakeLifecycle {
     * AtomicMart-published keyed by the day, so the rerun replaces the
     * day's own partitions instead of double-appending, and the
     * returned survivors are a pure function of (prior state, batch). */
+  /** PRECONDITION (what makes incremental ≡ one-shot provable): doc_ids
+    * must increase monotonically across batches — "earlier" is any-seen
+    * incrementally but strictly-smaller-id within the one-shot pass, so
+    * a later batch carrying a smaller id than an already-seen doc would
+    * give the two lanes different survivor sets. Enforced below with a
+    * max(seen)/min(batch) gate (one column-pruned agg per side). */
   def dedupDay(spark: SparkSession, lake: DocLake, batch: DataFrame, day: String,
                bands: Int = 4, rowsPerBand: Int = 2,
                tNum: Int = 7, tDen: Int = 10): DataFrame = {
@@ -153,6 +172,16 @@ object LakeLifecycle {
       else spark.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("text", lit(""))
         .withColumn("ch", lit("")).limit(0)
+    if (seenAll.columns.nonEmpty) {
+      val maxSeen = seenAll.filter(col("batch_day") =!= day)
+        .agg(max(col("doc_id"))).head.get(0)
+      val minBatch = batch.agg(min(col("doc_id"))).head.get(0)
+      if (maxSeen != null && minBatch != null) {
+        require(maxSeen.asInstanceOf[Long] < minBatch.asInstanceOf[Long],
+          s"dedupDay requires monotone doc_ids across batches: seen max " +
+            s"$maxSeen >= batch min $minBatch (day $day)")
+      }
+    }
     val idxAll = AtomicCatalog.read(spark, lake.root, "index")
     val seenIdx =
       if (idxAll.columns.nonEmpty)

@@ -61,10 +61,15 @@ object AtomicCatalog {
       val f = fs(spark, root)
       val in = f.open(new Path(root, f"$VersionsDir/v$v%09d.json"))
       val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      // [["table","manifestPath"],…] — flat string pairs, jq-escaped
-      AtomicMart.jstrings(body.substring(
-          body.indexOf("\"tables\":[") + "\"tables\":[".length))
-        .grouped(2).map { case Seq(t, p) => t -> p }.toMap
+      // {"version":N,"tables":[["table","manifestPath"],…]} — parsed
+      // with B27's escape-aware reader (table names are user data)
+      val root0 = new AtomicMart.JReader(body).value()
+        .asInstanceOf[AtomicMart.JObj].fields
+      root0("tables").asInstanceOf[AtomicMart.JArr].vs.map { pair =>
+        val ps = pair.asInstanceOf[AtomicMart.JArr].vs
+          .map(_.asInstanceOf[AtomicMart.JStr].s)
+        ps(0) -> ps(1)
+      }.toMap
     }.getOrElse(Map.empty)
 
   private def readTableManifest(spark: SparkSession, root: String,
@@ -107,22 +112,17 @@ object AtomicCatalog {
       finally out.close()
       b.table -> file.toString
     }.toMap
-    // 3. the single atomic commit: catalog = untouched pointers + new ones
+    // 3. the single atomic commit: catalog = untouched pointers + new
+    // ones, claimed create-if-absent (B36's primitive — a plain rename
+    // would silently overwrite a racing catalog commit on POSIX)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val tables = (prior ++ touched).toSeq.sortBy(_._1)
       .map { case (t, p) => s"[${AtomicMart.jq(t)},${AtomicMart.jq(p)}]" }
       .mkString("[", ",", "]")
-    val tmp = new Path(root, s"$VersionsDir/.tmp-${UUID.randomUUID()}")
-    f.mkdirs(new Path(root, VersionsDir))
-    val out = f.create(tmp, false)
-    try out.write(s"""{"version":$next,"tables":$tables}""".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val dest = new Path(root, f"$VersionsDir/v$next%09d.json")
-    if (!f.rename(tmp, dest)) {
-      f.delete(tmp, false)
+    if (!AtomicMart.claimVersion(f, root,
+        s"""{"version":$next,"tables":$tables}""", next))
       throw new IllegalStateException(
-        s"catalog commit of version $next lost a race (single-writer contract violated?)")
-    }
+        s"catalog commit of version $next lost a race (concurrent catalog writer)")
     next
   }
 

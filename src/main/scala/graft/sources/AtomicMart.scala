@@ -49,9 +49,18 @@ object AtomicMart {
   private val VersionsDir = "_versions"
   private val DataDir = "data"
 
-  /** One live logical partition: values aligned with partCols, plus
-    * the absolute directory that serves it. */
-  final case class Entry(values: Seq[String], dir: String)
+  /** Per-partition column bounds captured at stage time, the manifest's
+    * DATA-SKIPPING index (Delta/Iceberg file-stats semantics, held at
+    * dir granularity). `typ` picks the comparison domain: "n" compares
+    * as numbers (BigDecimal over the rendered string), "s" compares
+    * lexicographically (strings, ISO dates/timestamps). */
+  final case class ColStat(typ: String, min: String, max: String)
+
+  /** One live logical partition: values aligned with partCols, the
+    * absolute directory that serves it, and optional column bounds
+    * (absent = never skipped — older manifests parse as stat-less). */
+  final case class Entry(values: Seq[String], dir: String,
+                         stats: Map[String, ColStat] = Map.empty)
 
   final case class Manifest(version: Long, partCols: Seq[String], entries: Seq[Entry])
 
@@ -73,53 +82,105 @@ object AtomicMart {
   private[sources] def render(m: Manifest): String = {
     val cols = m.partCols.map(jq).mkString("[", ",", "]")
     val entries = m.entries.map { e =>
-      s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}}"""
+      val stats =
+        if (e.stats.isEmpty) ""
+        else e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+          s"${jq(c)}:{\"t\":${jq(s.typ)},\"min\":${jq(s.min)},\"max\":${jq(s.max)}}"
+        }.mkString(""","stats":{""", ",", "}")
+      s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}$stats}"""
     }.mkString("[", ",", "]")
     s"""{"version":${m.version},"partCols":$cols,"entries":$entries}"""
   }
 
-  // Minimal parser for exactly the JSON `render` produces (strings are
-  // uuid paths + partition values we wrote ourselves, so the only
-  // escapes that occur are the ones jq emits).
-  /** Every jq-escaped string literal in `arr`, in order. */
-  private[sources] def jstrings(arr: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var i = 0
-      while (i < arr.length) {
-        if (arr(i) == '"') {
-          val sb = new StringBuilder
+  // Escape-aware recursive-descent reader for the JSON subset `render`
+  // emits (objects, arrays, strings, integers). A regex splitter here
+  // silently mis-parsed manifests whose partition values contained '}'
+  // or '],"dir"' — values are user data, so the parser must honor the
+  // full escape grammar jq writes, not pattern-match around it.
+  private[sources] sealed trait JVal
+  private[sources] final case class JStr(s: String) extends JVal
+  private[sources] final case class JNum(n: Long) extends JVal
+  private[sources] final case class JArr(vs: Vector[JVal]) extends JVal
+  private[sources] final case class JObj(fields: Map[String, JVal]) extends JVal
+
+  private[sources] final class JReader(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      require(i < s.length && s(i) == c, s"manifest parse: expected '$c' at $i")
+      i += 1
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
           i += 1
-          while (arr(i) != '"') {
-            if (arr(i) == '\\') {
-              i += 1
-              arr(i) match {
-                case 'n' => sb += '\n'
-                case 'r' => sb += '\r'
-                case 't' => sb += '\t'
-                case 'u' => sb += Integer.parseInt(arr.substring(i + 1, i + 5), 16).toChar; i += 4
-                case c => sb += c
-              }
-            } else sb += arr(i)
-            i += 1
+          s(i) match {
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
           }
-          out += sb.result()
-        }
+        } else sb += s(i)
         i += 1
       }
-      out.result()
+      i += 1
+      sb.result()
+    }
+    def value(): JVal = {
+      ws()
+      s(i) match {
+        case '"' => JStr(str())
+        case '{' =>
+          i += 1; ws()
+          val fields = Map.newBuilder[String, JVal]
+          if (s(i) != '}') {
+            var more = true
+            while (more) {
+              val k = str(); expect(':'); fields += k -> value(); ws()
+              if (s(i) == ',') { i += 1; ws() } else more = false
+            }
+          }
+          expect('}')
+          JObj(fields.result())
+        case '[' =>
+          i += 1; ws()
+          val vs = Vector.newBuilder[JVal]
+          if (s(i) != ']') {
+            var more = true
+            while (more) {
+              vs += value(); ws()
+              if (s(i) == ',') { i += 1; ws() } else more = false
+            }
+          }
+          expect(']')
+          JArr(vs.result())
+        case _ =>
+          val start = i
+          while (i < s.length && (s(i).isDigit || s(i) == '-')) i += 1
+          JNum(s.substring(start, i).toLong)
+      }
+    }
   }
 
   private[sources] def parse(body: String, version: Long): Manifest = {
-    val colsStart = body.indexOf("\"partCols\":[") + "\"partCols\":[".length
-    val colsEnd = body.indexOf("]", colsStart)
-    val partCols = jstrings(body.substring(colsStart, colsEnd))
-    val entriesStart = body.indexOf("\"entries\":[") + "\"entries\":[".length
-    val entriesBody = body.substring(entriesStart, body.lastIndexOf("]"))
-    val entries = "\\{[^}]*\\}".r.findAllIn(entriesBody).map { obj =>
-      val vs = obj.substring(obj.indexOf("\"values\":[") + "\"values\":[".length, obj.indexOf("],\"dir\""))
-      val dir = jstrings(obj.substring(obj.indexOf("\"dir\":") + "\"dir\":".length)).head
-      Entry(jstrings(vs), dir)
-    }.toSeq
+    val root = new JReader(body).value().asInstanceOf[JObj].fields
+    val partCols = root("partCols").asInstanceOf[JArr].vs.map(_.asInstanceOf[JStr].s)
+    val entries = root("entries").asInstanceOf[JArr].vs.map { v =>
+      val o = v.asInstanceOf[JObj].fields
+      val stats = o.get("stats").map(_.asInstanceOf[JObj].fields.map { case (c, sv) =>
+        val so = sv.asInstanceOf[JObj].fields
+        c -> ColStat(so("t").asInstanceOf[JStr].s,
+          so("min").asInstanceOf[JStr].s, so("max").asInstanceOf[JStr].s)
+      }).getOrElse(Map.empty[String, ColStat])
+      Entry(
+        o("values").asInstanceOf[JArr].vs.map(_.asInstanceOf[JStr].s),
+        o("dir").asInstanceOf[JStr].s,
+        stats)
+    }
     Manifest(version, partCols, entries)
   }
 
@@ -148,11 +209,35 @@ object AtomicMart {
   private def readManifest(spark: SparkSession, path: String): Option[Manifest] =
     currentVersion(spark, path).map(manifestAt(spark, path, _))
 
+  /** The comparison domain for a column's stats, or None for types the
+    * skipper does not index (binary, arrays, …). ISO-rendered dates and
+    * timestamps order lexicographically, so they share "s". */
+  private def statDomain(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => Some("n")
+      case _: DecimalType => Some("n")
+      case StringType | DateType | TimestampType | TimestampNTZType => Some("s")
+      case _ => None
+    }
+  }
+
   /** Stage the batch's data under a fresh immutable snapshot dir and
     * return the partition entries it carries. Public so the crash test
     * can stop HERE (stage, no commit) and assert readers still see the
-    * old version. */
-  def stage(mart: DataFrame, path: String, partCols: Seq[String]): (String, Seq[Entry]) = {
+    * old version.
+    *
+    * `statCols` names data columns whose per-partition min/max are
+    * captured into the manifest for [[readBetween]] data skipping: ONE
+    * extra partial-aggregated pass over the batch (map-side combine,
+    * partition-count-sized result), paid once at write time so every
+    * later selective read can prune without listing a file. Columns a
+    * partition holds only NULLs of simply get no stat (never skipped).
+    * Pairs with z-order layout (I11): clustering the batch on the
+    * stat columns before publishing tightens each dir's [min,max] and
+    * turns the skip from "sometimes" into "almost always". */
+  def stage(mart: DataFrame, path: String, partCols: Seq[String],
+            statCols: Seq[String] = Nil): (String, Seq[Entry]) = {
     require(partCols.nonEmpty, "AtomicMart is a partitioned sink; give >=1 partition column")
     val spark = mart.sparkSession
     val snapDir = s"$path/$DataDir/snap-${UUID.randomUUID()}"
@@ -168,43 +253,142 @@ object AtomicMart {
           val v = URLDecoder.decode(s.getPath.getName.split("=", 2)(1), "UTF-8")
           leaves(s.getPath, depth + 1, acc :+ v)
         }
-    (snapDir, leaves(new Path(snapDir), 0, Nil))
+    val plain = leaves(new Path(snapDir), 0, Nil)
+    if (statCols.isEmpty) return (snapDir, plain)
+
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val schema = mart.schema
+    val indexed = statCols.flatMap { c =>
+      statDomain(schema(c).dataType).map(c -> _)
+    }
+    val aggs = indexed.flatMap { case (c, _) =>
+      Seq(fmin(col(c)).cast("string").as(s"__min_$c"),
+        fmax(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val statRows = mart
+      .groupBy(partCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byValues: Map[Seq[String], Map[String, ColStat]] = statRows.map { r =>
+      val values = partCols.indices.map(i => Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      val stats = indexed.flatMap { case (c, t) =>
+        val lo = r.getAs[String](s"__min_$c")
+        val hi = r.getAs[String](s"__max_$c")
+        if (lo == null || hi == null) None else Some(c -> ColStat(t, lo, hi))
+      }.toMap
+      (values: Seq[String]) -> stats
+    }.toMap
+    (snapDir, plain.map(e => e.copy(stats = byValues.getOrElse(e.values, Map.empty))))
   }
+
+  /** Atomically claim manifest version `v` with `body`: write a temp
+    * file, then create-if-absent the version file. Returns false if
+    * another writer claimed `v` first — the loser's temp is removed.
+    *
+    * The primitive must be CREATE-IF-ABSENT, not plain rename: POSIX
+    * rename(2) silently overwrites an existing destination, so on a
+    * local filesystem two racing renames would BOTH "succeed" and one
+    * commit would vanish. link(2) is the POSIX atomic create-if-absent
+    * (EEXIST loses); HDFS rename-without-overwrite is atomic by
+    * contract; an object store uses a conditional PUT
+    * (if-none-match) on the same one manifest file. */
+  private[sources] def claimVersion(f: FileSystem, path: String, body: String, v: Long): Boolean = {
+    f.mkdirs(new Path(path, VersionsDir))
+    val tmp = new Path(path, s"$VersionsDir/.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dest = new Path(path, f"$VersionsDir/v$v%09d.json")
+    val won =
+      if ("file" == Option(f.getUri.getScheme).getOrElse("")) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(dest) && f.rename(tmp, dest)
+    if (f.exists(tmp)) f.delete(tmp, false)
+    won
+  }
+
+  /** Thrown when optimistic-concurrency rebase finds that a concurrent
+    * commit replaced one of THIS commit's partitions — the one race
+    * that cannot be merged mechanically (last-writer-wins would
+    * silently drop a publish). */
+  final class PartitionConflictException(msg: String)
+    extends RuntimeException(msg)
 
   /** Commit staged entries: next manifest = previous entries whose
     * partition values are NOT republished here (and not in `drops`) +
     * the staged entries. `drops` retracts partitions even when nothing
     * re-stages them — the erasure case, where a partition's every row
     * belonged to the erased subject and the "replacement" is nothing.
-    * The rename is the single atomic commit point. */
+    *
+    * MULTI-WRITER (optimistic concurrency, the Delta/Iceberg commit
+    * loop, public semantics): losing the version-claim race does NOT
+    * discard the batch. The loser re-reads the latest manifest,
+    * re-applies its kept/staged merge on top, and claims the next
+    * version — commits to DISJOINT partition sets serialize in some
+    * order and all land. The rebase only refuses — loudly, with
+    * [[PartitionConflictException]] — when a concurrent commit touched
+    * one of THIS commit's partitions (the entry for a replaced
+    * partition changed under us), because then two writers produced
+    * the same partition and a silent winner would lose data.
+    *
+    * `baseVersion` is the snapshot the writer READ when it derived
+    * `staged` (a merge/erasure reads the table first). Declaring it
+    * widens the conflict check to everything committed since that
+    * read, exactly like Delta's read-snapshot tracking; leaving it
+    * None checks only from commit-entry onward (blind appends, where
+    * staged data derives from nothing in the table). */
   def commit(spark: SparkSession, path: String, staged: Seq[Entry], partCols: Seq[String],
-             drops: Set[Seq[String]] = Set.empty): Long = {
+             drops: Set[Seq[String]] = Set.empty, baseVersion: Option[Long] = None,
+             maxRetries: Int = 50): Long = {
     val f = fs(spark, path)
-    val prev = readManifest(spark, path)
-    prev.foreach { m =>
-      require(m.partCols == partCols,
-        s"partition columns changed: table has ${m.partCols}, publish has $partCols")
-    }
     val replaced = staged.map(_.values).toSet ++ drops
-    val kept = prev.map(_.entries).getOrElse(Nil).filterNot(e => replaced.contains(e.values))
-    val next = prev.map(_.version + 1).getOrElse(0L)
-    val manifest = Manifest(next, partCols, kept ++ staged)
-    f.mkdirs(new Path(path, VersionsDir))
-    val tmp = new Path(path, s"$VersionsDir/.tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(render(manifest).getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val dest = new Path(path, f"$VersionsDir/v$next%09d.json")
-    if (!f.rename(tmp, dest)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit of version $next lost a race (single-writer contract violated?): $dest exists")
+    def mine(m: Option[Manifest]): Map[Seq[String], String] =
+      m.map(_.entries).getOrElse(Nil)
+        .filter(e => replaced.contains(e.values)).map(e => e.values -> e.dir).toMap
+    def conflict(a: Option[Manifest], b: Option[Manifest]): Unit =
+      if (mine(a) != mine(b))
+        throw new PartitionConflictException(
+          s"concurrent commit replaced partition(s) " +
+            s"${(mine(a).keySet ++ mine(b).keySet).filter(k => mine(a).get(k) != mine(b).get(k)).mkString(", ")} " +
+            s"at $path — same-partition writes do not auto-merge")
+    var base = readManifest(spark, path)
+    baseVersion.foreach { v =>
+      if (!base.map(_.version).contains(v))
+        conflict(Some(manifestAt(spark, path, v)), base)
     }
-    next
+    var attempt = 0
+    while (true) {
+      base.foreach { m =>
+        require(m.partCols == partCols,
+          s"partition columns changed: table has ${m.partCols}, publish has $partCols")
+      }
+      val kept = base.map(_.entries).getOrElse(Nil).filterNot(e => replaced.contains(e.values))
+      val next = base.map(_.version + 1).getOrElse(0L)
+      if (claimVersion(f, path, render(Manifest(next, partCols, kept ++ staged)), next))
+        return next
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"commit at $path still losing the version race after $maxRetries rebases")
+      val latest = readManifest(spark, path)
+      // Rebase guard: OUR partitions must be untouched between the
+      // manifest we merged against and the one that beat us.
+      conflict(base, latest)
+      base = latest
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Publish one batch atomically: stage, then manifest-commit. */
-  def publish(mart: DataFrame, path: String, partCols: Seq[String]): Long = {
-    val (_, entries) = stage(mart, path, partCols)
+  def publish(mart: DataFrame, path: String, partCols: Seq[String],
+              statCols: Seq[String] = Nil): Long = {
+    val (_, entries) = stage(mart, path, partCols, statCols)
     commit(mart.sparkSession, path, entries, partCols)
   }
 
@@ -212,18 +396,44 @@ object AtomicMart {
   def publishDay(mart: DataFrame, path: String): Long =
     publish(mart, path, Seq("rule", "batch_date"))
 
+  /** F35 — EXACTLY-ONCE epoch publish, the foreachBatch sink contract:
+    * partition the batch by `partCols` PLUS its epoch id, stage, then
+    * commit retracting every live partition already carrying this
+    * epoch — a prior attempt's output. foreachBatch is at-least-once
+    * (a crash between sink write and checkpoint advance replays the
+    * epoch); because the replay REPLACES its own epoch partitions in
+    * one manifest commit instead of appending beside them, the mart
+    * converges to exactly-once no matter where the previous attempt
+    * died: before stage (nothing visible), between stage and commit
+    * (orphan snapshot, invisible, vacuumed later), or after commit
+    * (the retraction swaps the old epoch out atomically). Readers stay
+    * snapshot-isolated throughout, as with every other commit here. */
+  def publishEpoch(batch: DataFrame, path: String, partCols: Seq[String],
+                   epochId: Long): Long = {
+    val spark = batch.sparkSession
+    require(!partCols.contains("epoch"), "'epoch' is the sink's own partition column")
+    val all = partCols :+ "epoch"
+    val withEpoch = batch.withColumn("epoch", lit(epochId.toString))
+    val (_, entries) = stage(withEpoch, path, all)
+    val stale = readManifest(spark, path).map(_.entries).getOrElse(Nil)
+      .filter(_.values.last == epochId.toString).map(_.values)
+    commit(spark, path, entries, all, drops = stale.toSet)
+  }
+
   /** Publish that REPLACES an explicit partition set: every partition
     * in `replaced` is retracted, then whatever `mart` stages (a subset
     * of `replaced`, possibly empty for some partitions) is added. The
     * erasure/compaction primitive: "these partitions are now exactly
     * this data — including none". */
   def publishReplacing(mart: DataFrame, path: String, partCols: Seq[String],
-                       replaced: Seq[Seq[String]]): Long = {
-    val (_, entries) = stage(mart, path, partCols)
+                       replaced: Seq[Seq[String]],
+                       baseVersion: Option[Long] = None,
+                       statCols: Seq[String] = Nil): Long = {
+    val (_, entries) = stage(mart, path, partCols, statCols)
     val extra = entries.map(_.values).filterNot(replaced.contains)
     require(extra.isEmpty,
       s"staged data carries partitions outside the replaced set: $extra")
-    commit(mart.sparkSession, path, entries, partCols, replaced.toSet)
+    commit(mart.sparkSession, path, entries, partCols, replaced.toSet, baseVersion)
   }
 
   /** Snapshot-isolated read: binds to the highest committed version at
@@ -270,6 +480,49 @@ object AtomicMart {
     readEntries(spark, m.entries.filter(_.values(i) == value))
   }
 
+  /** Read selected whole partitions (values tuples), optionally at a
+    * pinned version — the multi-partition readWhere a merge needs. */
+  def readPartitions(spark: SparkSession, path: String, values: Seq[Seq[String]],
+                     version: Option[Long] = None): DataFrame = {
+    val m = version.map(manifestAt(spark, path, _)).orElse(readManifest(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val want = values.toSet
+    readEntries(spark, m.entries.filter(e => want.contains(e.values)))
+  }
+
+  private def statGe(typ: String, a: String, b: String): Boolean =
+    if (typ == "n") BigDecimal(a) >= BigDecimal(b) else a >= b
+
+  /** DATA SKIPPING on a NON-partition column: prune every partition
+    * whose manifest [min,max] for `column` cannot intersect [lo, hi]
+    * — driver-side, before any directory is listed — then apply the
+    * exact predicate as a residual filter, so the answer is correct
+    * whether or not any entry carries stats (stat-less entries are
+    * conservatively kept). `lo`/`hi` are compared in the stat's own
+    * domain (numeric or lexicographic); pass the column's native
+    * literal type so the residual comparison is typed right. Point
+    * lookups are readBetween(c, v, v). Returns (frame, partitions
+    * scanned, partitions skipped) so operators can assert the skip. */
+  def readBetween(spark: SparkSession, path: String, column: String,
+                  lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val (keep, skip) = m.entries.partition { e =>
+      e.stats.get(column) match {
+        case Some(s) =>
+          statGe(s.typ, s.max, lo.toString) && statGe(s.typ, hi.toString, s.min)
+        case None => true // no stats: must scan
+      }
+    }
+    val df = readEntries(spark, keep)
+    val exact =
+      if (df.columns.contains(column))
+        df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      else df // every partition skipped: empty frame, no such column
+    (exact, keep.size, skip.size)
+  }
+
   /** B32 — SHALLOW CLONE: a new independent table whose v0 manifest
     * points at the SOURCE's current snapshot directories — zero data
     * copied (Delta's shallow-clone semantics, public). The clone then
@@ -298,20 +551,87 @@ object AtomicMart {
     0L
   }
 
-  /** Delete snapshot directories no longer referenced by the LATEST
-    * manifest (failed stages, replaced partitions). Safe only once no
-    * reader still holds an older version — the retention window is the
-    * caller's contract, as in every lake format. Returns dirs removed. */
-  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+  /** B35 — OPTIMIZE under the manifest: rewrite fragmented partitions
+    * into a compact layout and swap them in with ONE OCC commit.
+    * Readers are snapshot-isolated throughout — the old snapshot dirs
+    * are immutable and stay referenced by older manifests until
+    * [[vacuum]]'s retention window passes, so a scan that bound before
+    * the compaction finishes on the old files untouched.
+    *
+    * Partition selection is metadata-only (B17's posture: list file
+    * counts, never read data to decide). Each fragmented partition's
+    * rows are re-shuffled onto one task via repartition on the
+    * partition columns → ONE output file per partition; `layout`
+    * overrides that with a custom clustering (e.g.
+    * [[graft.plans.ZOrder.layout]]), in which case the layout's own
+    * partitioning decides file boundaries. `statCols` re-captures
+    * manifest stats over the compacted (tighter) layout. Returns the
+    * committed version, or the current one when nothing is fragmented. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 1,
+              statCols: Seq[String] = Nil,
+              layout: Option[DataFrame => DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val readV = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val m = manifestAt(spark, path, readV)
     val f = fs(spark, path)
-    val live: Set[String] = readManifest(spark, path)
-      .map(_.entries.map(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-")))).toSet)
-      .getOrElse(Set.empty)
+    def nDataFiles(dir: String): Int =
+      f.listStatus(new Path(dir)).count { s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+      }
+    val frag = m.entries.filter(e => nDataFiles(e.dir) > maxFiles)
+    if (frag.isEmpty) return readV
+    val df = readEntries(spark, frag)
+    val packed = layout match {
+      case Some(l) => l(df)
+      case None => df.repartition(m.partCols.map(col): _*)
+    }
+    publishReplacing(packed, path, m.partCols, frag.map(_.values),
+      baseVersion = Some(readV), statCols = statCols)
+  }
+
+  /** Reclaim storage outside an explicit RETENTION WINDOW of the last
+    * `retainLast` committed versions (default 1 = head only):
+    *
+    *  - every manifest OLDER than the window is deleted first, so time
+    *    travel outside the window fails loudly at version resolution
+    *    ("no committed version"), never half-reads a vacuumed snapshot;
+    *  - then every snapshot directory referenced by NO retained
+    *    manifest goes (failed stages, partitions replaced before the
+    *    window opened).
+    *
+    * The contract this gives readers is the one every lake format
+    * documents: [[readVersion]] works for exactly the retained
+    * versions; concurrent readers are safe as long as they bind to a
+    * version inside the window for the duration of their scan. Returns
+    * the paths removed (manifests + snapshot dirs). */
+  def vacuum(spark: SparkSession, path: String, retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the head version")
+    val f = fs(spark, path)
+    val vDir = new Path(path, VersionsDir)
+    val versions: Seq[Long] =
+      if (!f.exists(vDir)) Nil
+      else f.listStatus(vDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+        }.sorted
+    val retained = versions.takeRight(retainLast)
+    val droppedManifests = versions.dropRight(retainLast).map { v =>
+      val p = new Path(path, f"$VersionsDir/v$v%09d.json")
+      f.delete(p, false)
+      p.toString
+    }
+    val live: Set[String] = retained
+      .flatMap(v => manifestAt(spark, path, v).entries)
+      .map(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
+      .toSet
     val dataRoot = new Path(path, DataDir)
-    if (!f.exists(dataRoot)) return Nil
-    f.listStatus(dataRoot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
-      .filterNot(s => live.contains(s.getPath.toString))
-      .map { s => f.delete(s.getPath, true); s.getPath.toString }
+    val droppedSnaps =
+      if (!f.exists(dataRoot)) Nil
+      else f.listStatus(dataRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+        .filterNot(s => live.contains(s.getPath.toString))
+        .map { s => f.delete(s.getPath, true); s.getPath.toString }
+    droppedManifests ++ droppedSnaps
   }
 }

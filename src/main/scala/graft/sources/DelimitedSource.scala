@@ -49,10 +49,17 @@ object DelimitedSource {
     * filter the internal corrupt column straight off the scan, because
     * pushdown could prune the very columns whose failed decode defines
     * corruption. */
+  /** A split load's two frames plus the cache-release handle: the good
+    * and quarantine frames share one persisted parse, and a daily-loop
+    * caller must `release()` after materializing both or it leaks one
+    * cached RDD per batch for the life of the session. */
+  final case class SplitLoad(good: DataFrame, quarantine: DataFrame,
+                             release: () => Unit)
+
   final case class JsonLines(schema: StructType) {
     private val Corrupt = "_corrupt_record"
 
-    def loadSplit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    def loadSplit(spark: SparkSession, path: String): SplitLoad = {
       val parsed = spark.read
         .schema(schema.add(Corrupt, org.apache.spark.sql.types.StringType))
         .option("mode", "PERMISSIVE")
@@ -63,7 +70,7 @@ object DelimitedSource {
         .select(schema.fieldNames.map(col).toSeq: _*)
       val quarantine = parsed.filter(col(Corrupt).isNotNull)
         .select(col(Corrupt).as("raw_line"))
-      (good, quarantine)
+      SplitLoad(good, quarantine, () => { parsed.unpersist(); () })
     }
   }
 

@@ -103,6 +103,26 @@ object StreamingIngest {
       .map(v => s.read.parquet(s"$histPath/v=$v"))
   }
 
+  /** F35 — stream → AtomicMart with exactly-once epoch commits: every
+    * micro-batch stages under the mart and lands via ONE manifest
+    * commit keyed on its epoch id
+    * ([[graft.sources.AtomicMart.publishEpoch]]). A killed epoch
+    * replays from the checkpoint and REPLACES its own partitions, so
+    * the table converges to exactly-once while concurrent readers stay
+    * snapshot-isolated — the streaming lane gets the same publish
+    * guarantees as the batch lane, from the same commit primitive. */
+  def epochMartStream(stream: DataFrame, martPath: String,
+                      partCols: Seq[String], checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epochId: Long) =>
+        graft.sources.AtomicMart.publishEpoch(batch.toDF(), martPath, partCols, epochId)
+        ()
+      }
+      .start()
+
   /** Land a transaction stream into a date-partitioned parquet lake —
     * partitioning by event date makes every date-ranged read prune at
     * the directory level (the 100 TB access path). */

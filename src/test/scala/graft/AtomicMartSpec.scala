@@ -66,7 +66,8 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.publishDay(mart("2021-03-02", ("passport", 9L, 900L)), path)
     assert(AtomicMart.read(spark, path).count() == 2)
     val removed = AtomicMart.vacuum(spark, path)
-    assert(removed.size == 1) // exactly the crashed stage's snapshot
+    // exactly the crashed stage's snapshot (plus the aged-out manifest)
+    assert(removed.count(_.contains("/data/")) == 1)
     assert(AtomicMart.read(spark, path).count() == 2)
   }
 
@@ -126,6 +127,84 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.vacuum(spark, dst)
     assert(AtomicMart.read(spark, src).count() == 2)
     assert(AtomicMart.read(spark, dst).count() == 2)
+  }
+
+  test("OCC: two concurrent publishers to disjoint partitions both land, versions linearize") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path) // v0
+    // Two writers race: both stage, both try to commit v1. The loser
+    // must REBASE onto the winner and land as v2 — neither batch lost.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(day: String, txId: Long) = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        val (_, entries) = AtomicMart.stage(
+          mart(day, ("passport", txId, txId * 10)), path, Seq("rule", "batch_date"))
+        gate.await(10, TimeUnit.SECONDS) // both staged; commit simultaneously
+        AtomicMart.commit(spark, path, entries, Seq("rule", "batch_date"))
+      }
+    })
+    val (fa, fb) = (racer("2021-03-02", 2L), racer("2021-03-03", 3L))
+    gate.countDown()
+    val (va, vb) = (fa.get(60, TimeUnit.SECONDS), fb.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(Set(va, vb) == Set(1L, 2L), s"versions must linearize, got $va/$vb")
+    assert(AtomicMart.currentVersion(spark, path).contains(2L))
+    // no entry lost: the head manifest carries all three days
+    assert(AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // and history is coherent: v1 = base + the v1 winner only
+    assert(AtomicMart.readVersion(spark, path, 1L).count() == 2)
+  }
+
+  test("OCC: same-partition concurrent replace is a loud conflict, not a silent winner") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path) // v0
+    // Writer A stages a replacement of (passport, 03-01)...
+    val (_, entriesA) = AtomicMart.stage(
+      mart("2021-03-01", ("passport", 1L, 111L)), path, Seq("rule", "batch_date"))
+    // ...writer B replaces the SAME partition and commits first (v1).
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 222L)), path)
+    // A's commit declares the snapshot it read (v0), sees its partition
+    // changed since, refuses.
+    val e = intercept[AtomicMart.PartitionConflictException] {
+      AtomicMart.commit(spark, path, entriesA, Seq("rule", "batch_date"),
+        baseVersion = Some(0L))
+    }
+    assert(e.getMessage.contains("passport"))
+    // B's publish is intact
+    assert(AtomicMart.read(spark, path).select("amount").as[Long].collect().toSeq
+      == Seq(222L))
+  }
+
+  test("vacuum retention window: v(n-1) readable, v(n-2) loudly gone, head untouched") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path) // v0
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 200L)), path) // v1
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 300L)), path) // v2
+    AtomicMart.vacuum(spark, path, retainLast = 2)
+    def amount(v: Long) = AtomicMart.readVersion(spark, path, v)
+      .select("amount").as[Long].collect().toSeq
+    assert(amount(2L) == Seq(300L)) // head untouched
+    assert(amount(1L) == Seq(200L)) // v(n-1) inside the window: still whole
+    val e = intercept[IllegalArgumentException](amount(0L))
+    assert(e.getMessage.contains("no committed version")) // v(n-2): loud, not corrupt
+  }
+
+  test("JSON-hostile partition values round-trip through the manifest") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    // '}', '],"dir"' and quotes/backslashes are exactly what broke the
+    // old regex splitter; values are user data so all must survive
+    val hostile = Seq("""a}b"c\d""", """x],"dir"y""", "tab\there")
+    val rows = hostile.zipWithIndex.map { case (r, i) => (r, i.toLong, 100L * i) }
+    AtomicMart.publishDay(mart("2021-03-01", rows: _*), path)
+    val back = AtomicMart.read(spark, path)
+    assert(back.select("rule").as[String].collect().toSet == hostile.toSet)
+    // manifest-pruned read still resolves each hostile value exactly
+    hostile.foreach { r =>
+      assert(AtomicMart.readWhere(spark, path, "rule", r).count() == 1, s"value <$r>")
+    }
   }
 
   test("republish replaces only its own partitions; others keep old pointers") {

@@ -369,15 +369,19 @@ class IngestSpec extends SparkSpec {
       StructField("id", LongType),
       StructField("amount", DoubleType),
       StructField("tag", StringType)))
-    val (good, quarantine) =
+    val split =
       graft.sources.DelimitedSource.JsonLines(schema).loadSplit(spark, f.toString)
-    val ids = good.select("id").collect().map(_.getLong(0)).toSet
+    val ids = split.good.select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 4L))
-    assert(good.columns.toSeq == Seq("id", "amount", "tag"))
-    val bad = quarantine.select("raw_line").collect().map(_.getString(0))
+    assert(split.good.columns.toSeq == Seq("id", "amount", "tag"))
+    val bad = split.quarantine.select("raw_line").collect().map(_.getString(0))
     assert(bad.length == 2)
     assert(bad.exists(_.contains("NOT_A_NUMBER")) &&
       bad.exists(_.contains("not json at all")),
       s"quarantine must keep raw evidence, got ${bad.toSeq}")
+    // the shared parse is caller-released — its cached RDD is gone after
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    split.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
   }
 }

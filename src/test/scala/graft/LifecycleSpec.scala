@@ -269,4 +269,66 @@ class LifecycleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors.values.flatten.toSet == oneShot)
   }
+
+  test("dedupDay rejects a non-monotone batch loudly (the incremental ≡ one-shot precondition)") {
+    val root = Files.createTempDirectory("graft_lc_mono")
+    val lake = LakeLifecycle.DocLake(root.toString)
+    LakeLifecycle.dedupDay(spark, lake, docs((10L, "alpha beta gamma one")), "d1")
+    // a later batch carrying a SMALLER id than a seen doc would make the
+    // survivor set depend on batch boundaries — refused, not mis-answered
+    val e = intercept[IllegalArgumentException] {
+      LakeLifecycle.dedupDay(spark, lake, docs((5L, "delta epsilon zeta two")), "d2")
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
+  test("B33 merge day: a CDC batch lands as one commit touching only its partitions") {
+    val root = Files.createTempDirectory("graft_mergeday")
+    val path = root.resolve("t").toString
+    val base = Seq(
+      (1L, 100L, "a", "p0"), (2L, 200L, "a", "p1"), (3L, 300L, "b", "p2"))
+      .toDF("k", "price_cents", "status", "part")
+    AtomicMart.publish(base, path, Seq("part"))
+    val p2FilesBefore = AtomicMart.readWhere(spark, path, "part", "p2").inputFiles.toSet
+    // the day's CDC batch: update k=1, tombstone k=2 (its partition
+    // empties → retracted), insert k=9; p2 is untouched
+    val delta = Seq(
+      (1L, 10L, "U", 111L, "c", "p0"),
+      (2L, 11L, "D", 0L, "x", "p1"),
+      (9L, 12L, "I", 900L, "n", "p0"))
+      .toDF("k", "lsn", "op", "price_cents", "status", "part")
+    val v = graft.etl.MartMerge.merge(spark, path, delta, Seq("part"))
+    assert(v == 1L)
+    val after = AtomicMart.read(spark, path)
+      .select("k", "price_cents", "status", "part")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(after == Set(
+      (1L, 111L, "c", "p0"), (3L, 300L, "b", "p2"), (9L, 900L, "n", "p0")))
+    // the untouched partition kept its OLD pointer: zero files rewritten
+    assert(AtomicMart.readWhere(spark, path, "part", "p2").inputFiles.toSet
+      == p2FilesBefore)
+    // an empty delta is a no-op version-wise
+    assert(graft.etl.MartMerge.merge(spark, path, delta.limit(0), Seq("part")) == 1L)
+    // a second application of the same delta converges (lsn fold is
+    // idempotent: the ops lose to themselves, tombstoned keys stay gone)
+    graft.etl.MartMerge.merge(spark, path, delta, Seq("part"))
+    assert(AtomicMart.read(spark, path).count() == 3)
+  }
+
+  test("erasure is null-safe: rows with NULL client_key survive the partition rewrite") {
+    val root = Files.createTempDirectory("graft_lc_null")
+    val martPath = root.resolve("mart").toString
+    val day = Seq(
+      (Some(4L), "passport_fraud", "2021-03-01", 1L),
+      (None: Option[Long], "passport_fraud", "2021-03-01", 2L),
+      (Some(7L), "passport_fraud", "2021-03-01", 3L))
+      .toDF("client_key", "rule", "batch_date", "tx_id")
+    AtomicMart.publish(day, martPath, Seq("rule", "batch_date"))
+    LakeLifecycle.eraseClient(spark, martPath, 4L)
+    val after = AtomicMart.read(spark, martPath)
+    // subject gone; the NULL-key row and the unrelated client both live
+    assert(after.count() == 2)
+    assert(after.filter(col("client_key").isNull).count() == 1)
+    assert(after.filter(col("client_key") === 7L).count() == 1)
+  }
 }

@@ -139,7 +139,12 @@ class PlansSpec extends SparkSpec {
       // squash bhj=18 smj=0 — the SCD2 merge's detect joins all
       // broadcast; explain bhj=8 smj=2, verifyCore's shape)
       "q_scd2_squash"       -> (0, 18),
-      "q_dedup_explain"     -> (2, 8))
+      "q_dedup_explain"     -> (2, 8),
+      // r9: q_mart_merge's returned frame is the read-back of the merged
+      // AtomicMart (fold is one window pass inside the publish): ZERO
+      // joins of any kind — a cartesian or smj appearing here would mean
+      // the manifest read started joining (audited: bhj=0 smj=0)
+      "q_mart_merge"        -> (0, 0))
     val bad = audited.flatMap { case (q, (maxSmj, minBhj)) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE in place

@@ -506,4 +506,81 @@ class ScaleSpec extends SparkSpec {
     assert(total > 0 && total <= n / 8,
       s"sorted layout should prune most row groups: read $total of $n")
   }
+
+  test("B35 compaction under the manifest: file count drops, rows identical, readers isolated") {
+    import spark.implicits._
+    import graft.sources.AtomicMart
+    val path = java.nio.file.Files.createTempDirectory("graft_optimize").toString
+    // fragment on purpose: 8 writer tasks × 4 partitions → 8 files/partition
+    val rows = spark.range(4000).repartition(8)
+      .select(col("id"), (col("id") % 4).cast("string").as("bucket"),
+        (col("id") * 7).as("v"))
+    AtomicMart.publish(rows, path, Seq("bucket"))
+    val before = AtomicMart.read(spark, path)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore == 32, s"expected 8 files × 4 partitions, got $filesBefore")
+    val sumBefore = before.agg(sum("v")).as[Long].head()
+    // a reader binds BEFORE the compaction...
+    val reader = AtomicMart.read(spark, path)
+    val v = AtomicMart.compact(spark, path, statCols = Seq("v"))
+    assert(v == 1L)
+    val after = AtomicMart.read(spark, path)
+    // one file per partition, same rows
+    assert(after.inputFiles.length == 4, s"got ${after.inputFiles.length} files")
+    assert(after.agg(sum("v")).as[Long].head() == sumBefore)
+    assert(after.count() == 4000)
+    // ...and still sees exactly its own version afterwards (old files live)
+    assert(reader.agg(sum("v")).as[Long].head() == sumBefore)
+    assert(reader.inputFiles.length == 32)
+    // compacting again is a no-op (nothing fragmented): same version back
+    assert(AtomicMart.compact(spark, path) == 1L)
+    // the rewrite captured stats → skipping now works on the compacted set
+    val (thin, kept, skipped) = AtomicMart.readBetween(spark, path, "v", 0L, 70L)
+    assert(kept + skipped == 4 && thin.count() == 11)
+  }
+
+  test("B34 manifest data skipping: a non-partition predicate prunes files before listing") {
+    import spark.implicits._
+    import graft.sources.AtomicMart
+    val path = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // 8 date partitions; amount_cents is clustered so each partition's
+    // [min,max] window is tight — the layout stats skipping rewards
+    val rows = spark.range(8000)
+      .select(col("id"),
+        concat(lit("2024-03-0"), (col("id") % 8) + 1).as("dt"),
+        (col("id") * 10).as("amount_cents"),
+        concat(lit("u"), col("id") % 97).as("user"))
+    AtomicMart.publish(rows, path, Seq("dt"), statCols = Seq("amount_cents", "user"))
+    // full-scan twin for the hash check
+    val full = AtomicMart.read(spark, path)
+      .filter(col("amount_cents") >= 100L && col("amount_cents") <= 3000L)
+    // id*10 in [100,3000] → id in [10,300]; those ids hit every dt
+    // partition, so THIS predicate skips nothing (stats are honest)...
+    val (all, keptAll, skipAll) = AtomicMart.readBetween(spark, path, "amount_cents", 100L, 3000L)
+    assert(keptAll == 8 && skipAll == 0)
+    assert(all.count() == full.count())
+    // ...but republishing one partition with a disjoint amount range
+    // gives the skipper something to prune: per-partition stats differ
+    val hot = spark.range(8000, 9000)
+      .select(col("id"), lit("2024-03-09").as("dt"),
+        (col("id") * 1000L).as("amount_cents"),
+        concat(lit("v"), col("id") % 7).as("user"))
+    AtomicMart.publish(hot, path, Seq("dt"), statCols = Seq("amount_cents", "user"))
+    val (pruned, kept, skipped) = AtomicMart.readBetween(
+      spark, path, "amount_cents", 8_000_000L, 8_500_000L)
+    assert(skipped == 8 && kept == 1,
+      s"manifest stats must skip the 8 cold partitions, kept=$kept skipped=$skipped")
+    // the skip is visible at the FILE level: only the hot partition's
+    // files are in the scan, and values are exact (residual filter)
+    assert(pruned.inputFiles.length < AtomicMart.read(spark, path).inputFiles.length)
+    assert(pruned.select(min("amount_cents"), max("amount_cents")).as[(Long, Long)].head()
+      == ((8_000_000L, 8_500_000L)))
+    // string-domain stats prune too: users v0..v6 live only in the hot partition
+    val (justHot, keptS, skippedS) = AtomicMart.readBetween(spark, path, "user", "v0", "v6")
+    assert(skippedS == 8 && keptS == 1 && justHot.count() == 1000)
+    // stat-less manifests stay readable and conservative: a column with
+    // no stats scans everything, answers exactly
+    val (noStats, keptN, skippedN) = AtomicMart.readBetween(spark, path, "id", 0L, 10L)
+    assert(keptN == 9 && skippedN == 0 && noStats.count() == 11)
+  }
 }

@@ -129,4 +129,70 @@ class StreamingIngestSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("p_date"), "expected partition filter in scan")
   }
+
+  test("F35 epoch commit: kills on either side of the commit replay into exactly-once") {
+    import graft.sources.AtomicMart
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = Files.createTempDirectory("graft_epoch")
+    val drop = Files.createDirectory(root.resolve("drop")).toString
+    val mart = root.resolve("mart").toString
+    val ckpt = root.resolve("ckpt").toString
+    val sch = StructType(Seq(
+      StructField("user", StringType), StructField("amount", LongType)))
+    def stream() = StreamingIngest.dropStream(spark, drop, sch)
+    def writeDrop(name: String, rows: (String, Long)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(drop, name),
+        "user;amount\n" + rows.map { case (u, a) => s"$u;$a" }.mkString("\n") + "\n")
+
+    // epoch 0 lands cleanly through the real sink
+    writeDrop("d1.csv", ("u1", 10L), ("u2", 20L))
+    StreamingIngest.epochMartStream(stream(), mart, Seq("user"), ckpt).awaitTermination()
+    assert(AtomicMart.read(spark, mart).count() == 2)
+    val reader0 = AtomicMart.read(spark, mart) // binds v-now: isolation witness
+
+    // epoch 1: the sink dies AFTER the commit but BEFORE the checkpoint
+    // advances — the nastiest at-least-once window (work is visible,
+    // the engine doesn't know). The replay must REPLACE, not append.
+    writeDrop("d2.csv", ("u1", 11L), ("u3", 30L))
+    val killedLate = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       e: Long) =>
+        AtomicMart.publishEpoch(b.toDF(), mart, Seq("user"), e)
+        sys.error(s"killed after epoch $e committed")
+      }
+      .start()
+    intercept[Exception](killedLate.awaitTermination())
+    assert(AtomicMart.read(spark, mart).count() == 4) // the kill landed once
+    StreamingIngest.epochMartStream(stream(), mart, Seq("user"), ckpt).awaitTermination()
+    assert(AtomicMart.read(spark, mart).count() == 4, "replayed epoch must replace itself, not append")
+
+    // epoch 2: the sink dies BETWEEN stage and commit — nothing may be
+    // visible, and the restart must converge from the checkpoint.
+    writeDrop("d3.csv", ("u4", 40L))
+    val killedEarly = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       e: Long) =>
+        AtomicMart.stage(b.toDF().withColumn("epoch", lit(e.toString)),
+          mart, Seq("user", "epoch"))
+        sys.error(s"killed mid-epoch $e, after stage, before commit")
+      }
+      .start()
+    intercept[Exception](killedEarly.awaitTermination())
+    assert(AtomicMart.read(spark, mart).count() == 4, "a staged-only epoch must be invisible")
+    StreamingIngest.epochMartStream(stream(), mart, Seq("user"), ckpt).awaitTermination()
+    val fin = AtomicMart.read(spark, mart)
+    assert(fin.count() == 5)
+    import spark.implicits._
+    assert(fin.select("user", "amount").as[(String, Long)].collect().toSet ==
+      Set(("u1", 10L), ("u2", 20L), ("u1", 11L), ("u3", 30L), ("u4", 40L)))
+    // exactly one orphan snapshot (the staged-only attempt) to reclaim,
+    // and the pre-kill reader still sees its own version in full
+    assert(AtomicMart.vacuum(spark, mart, retainLast = 10)
+      .count(_.contains("/data/")) == 1)
+    assert(reader0.count() == 2)
+  }
 }
