@@ -1678,7 +1678,90 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("tp_cents")).as("sum_cents"))
         .orderBy(col("nat"))
-    })
+    }),
+
+    // D92: Mann–Whitney U — did urgent orders' price distribution move
+    // vs the rest, per order status (rank-based, outlier-immune)
+    "q_mannwhitney" -> ((s, d) =>
+      ops.RankTests.mannWhitney(
+        Tables.orders(s, d).select(
+          col("o_orderstatus").as("slice"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("grp"),
+          cents(col("o_totalprice")).as("v")))),
+
+    // D93: Kruskal–Wallis H — price across ALL five priority classes
+    // per status, the k-sample rank ANOVA over the same frame
+    "q_kruskal" -> ((s, d) =>
+      ops.RankTests.kruskalWallis(
+        Tables.orders(s, d).select(
+          col("o_orderstatus").as("slice"),
+          col("o_orderpriority").as("g"),
+          cents(col("o_totalprice")).as("v")))),
+
+    // D94: HHI supplier-revenue concentration per nation market
+    "q_hhi" -> ((s, d) =>
+      ops.Analytics.hhiProfile(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), cents(col("l_extendedprice"))
+            .as("amt_cents"))
+          .join(Tables.supplier(s, d).select(col("s_suppkey")
+            .as("l_suppkey"),
+            col("s_nationkey").cast(LongType).as("s_nationkey")),
+            Seq("l_suppkey")),
+        market = "s_nationkey", participant = "l_suppkey")),
+
+    // D95: neighbor-overlap link prediction over the co-purchase graph
+    "q_linkpred" -> ((s, d) =>
+      ops.MarketBasket.linkPredict(Tables.lineitem(s, d))),
+
+    // H24: NDCG@10 of brute-force retrieval vs label ground truth,
+    // fixed-point discount table (pinned literals — no libm log)
+    "q_ndcg" -> ((s, d) => ops.Ann.ndcgAtK(Tables.embeddings(s, d))),
+
+    // H25: recall@3 of the IVF index vs the brute-force ground truth
+    "q_ann_recall" -> ((s, d) => ops.Ann.recallAtK(Tables.embeddings(s, d))),
+
+    // H26: Cochran's Q — do three rule-raters fire at the same rate
+    // over the same orders, per status (k-rater McNemar)
+    "q_cochran" -> ((s, d) =>
+      ml.Evaluation.cochranQ(
+        Tables.orders(s, d).select(col("o_orderstatus").as("slice"),
+            col("o_orderkey").as("item"),
+            cents(col("o_totalprice")).as("pc"),
+            col("o_orderpriority").as("pri"),
+            month(col("o_orderdate")).as("mth"))
+          .select(col("slice"), col("item"), explode(array(
+            struct(lit("r_bigticket").as("rater"),
+              when(col("pc") > 15000000L, 1L).otherwise(0L).as("x")),
+            struct(lit("r_priority").as("rater"),
+              when(col("pri").isin("1-URGENT", "2-HIGH"), 1L)
+                .otherwise(0L).as("x")),
+            struct(lit("r_h1season").as("rater"),
+              when(col("mth") <= 6, 1L).otherwise(0L).as("x")))).as("r"))
+          .select(col("slice"), col("item"), col("r.rater").as("rater"),
+            col("r.x").as("x")))),
+
+    // H27: Kendall's W — do revenue, quantity and breadth rank the
+    // suppliers concordantly (m=3 raters over the supplier items)
+    "q_kendall_w" -> ((s, d) =>
+      ops.RankTests.kendallW(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("item"))
+          .agg(sum(cents(col("l_extendedprice"))).as("rev"),
+            sum(col("l_quantity").cast(LongType)).as("qty"),
+            countDistinct(col("l_partkey")).as("npart"))
+          .select(col("item"), explode(array(
+            struct(lit("rev").as("rater"), col("rev").as("v")),
+            struct(lit("qty").as("rater"), col("qty").as("v")),
+            struct(lit("npart").as("rater"), col("npart").as("v"))))
+            .as("r"))
+          .select(col("item"), col("r.rater").as("rater"),
+            col("r.v").as("v")),
+        m = 3)),
+
+    // E72: per-source OOV mass against the corpus top-2000 vocabulary
+    "q_oov" -> ((s, d) => ops.CorpusStats.oovRate(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -7392,6 +7475,370 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS slice,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders),
+        |byval AS (
+        |  SELECT slice, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(grp) AS BIGINT) AS n1v
+        |  FROM base GROUP BY 1, 2),
+        |cums AS (
+        |  SELECT *, CAST(coalesce(SUM(n) OVER (PARTITION BY slice ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum
+        |  FROM byval),
+        |agg AS (
+        |  SELECT slice, CAST(SUM(n1v) AS BIGINT) AS n1,
+        |    CAST(SUM(n - n1v) AS BIGINT) AS n2,
+        |    CAST(SUM(n1v * (2*cum + n + 1)) AS BIGINT) AS r1_x2,
+        |    CAST(SUM(CAST(n AS HUGEINT)*n*n - n) AS HUGEINT) AS ties
+        |  FROM cums GROUP BY 1),
+        |fin AS (
+        |  SELECT slice, n1, n2, r1_x2 - n1*(n1+1) AS u1_x2,
+        |    CAST(n1 AS HUGEINT) * n2
+        |      * (CAST(n1+n2 AS HUGEINT)*(n1+n2)*(n1+n2) - (n1+n2) - ties)
+        |      AS var_num,
+        |    CAST(3 AS HUGEINT)*(n1+n2)*(n1+n2-1) AS var_den
+        |  FROM agg)
+        |SELECT slice, n1, n2, u1_x2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR var_num <= 0 THEN 0.0
+        |  ELSE CAST(u1_x2 - n1*n2 AS DOUBLE)
+        |    / sqrt(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE)) END AS z
+        |FROM fin ORDER BY slice""".stripMargin,
+
+    "q_kruskal" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS slice, o_orderpriority AS g,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders),
+        |byval AS (
+        |  SELECT slice, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, 2 * CAST(coalesce(SUM(n) OVER (PARTITION BY slice
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) + n + 1 AS ar2
+        |  FROM byval),
+        |pg AS (
+        |  SELECT pc.slice, pc.g, CAST(SUM(pc.c) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(pc.c AS HUGEINT) * r.ar2) AS HUGEINT) AS r2g
+        |  FROM (SELECT slice, g, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1, 2, 3) pc
+        |  JOIN ranked r ON pc.slice = r.slice AND pc.v = r.v
+        |  GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT slice, ng,
+        |    CAST(r2g * r2g * 3000000 // CAST(ng AS HUGEINT) AS HUGEINT)
+        |      AS term
+        |  FROM pg),
+        |tie AS (
+        |  SELECT slice, CAST(SUM(CAST(n AS HUGEINT)*n*n - n) AS HUGEINT)
+        |    AS ties
+        |  FROM ranked GROUP BY 1),
+        |agg AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n_tot,
+        |    CAST(SUM(term) AS HUGEINT) AS s3m
+        |  FROM terms GROUP BY 1),
+        |fin AS (
+        |  SELECT a.slice, a.k, a.n_tot,
+        |    greatest(CAST(a.s3m // (CAST(a.n_tot AS HUGEINT)*(a.n_tot+1))
+        |      - 3000000*(a.n_tot+1) AS BIGINT), 0) AS h_nn,
+        |    CAST(a.n_tot AS HUGEINT)*a.n_tot*a.n_tot - a.n_tot AS cube_n,
+        |    CAST(a.n_tot AS HUGEINT)*a.n_tot*a.n_tot - a.n_tot - t.ties
+        |      AS corr_den
+        |  FROM agg a JOIN tie t ON a.slice = t.slice)
+        |SELECT slice, k, n_tot,
+        |  CASE WHEN corr_den <= 0 THEN 0 ELSE h_nn END AS h_ppm,
+        |  CASE WHEN corr_den <= 0 THEN 0
+        |    ELSE CAST(CAST(h_nn AS HUGEINT) * cube_n // corr_den AS BIGINT)
+        |  END AS h_corr_ppm
+        |FROM fin ORDER BY slice""".stripMargin,
+
+    "q_hhi" ->
+      """WITH per AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS grp, l_suppkey AS p,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+        |      AS x
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_participants,
+        |    CAST(SUM(x) AS HUGEINT) AS tot, CAST(SUM(x*x) AS HUGEINT) AS sq
+        |  FROM per GROUP BY 1),
+        |fin AS (
+        |  SELECT grp, n_participants, CAST(tot AS BIGINT) AS total_cents,
+        |    CASE WHEN tot <= 0 THEN 0
+        |      ELSE CAST(1000000 * sq // (tot * tot) AS BIGINT) END AS hhi
+        |  FROM agg)
+        |SELECT grp, n_participants, total_cents, hhi AS hhi_ppm,
+        |  CASE WHEN n_participants <= 1 THEN 1000000
+        |    WHEN hhi * n_participants <= 1000000 THEN 0
+        |    ELSE (hhi * n_participants - 1000000) // (n_participants - 1)
+        |  END AS hhi_norm_ppm,
+        |  CASE WHEN hhi <= 0 THEN 0 ELSE 1000000000 // hhi END
+        |    AS eff_n_milli
+        |FROM fin ORDER BY grp""".stripMargin,
+
+    "q_linkpred" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (
+        |  SELECT p FROM items GROUP BY p HAVING count(*) >= 2),
+        |kept AS (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
+        |edges AS (
+        |  SELECT a.p AS p1, b.p AS p2
+        |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges) u
+        |  GROUP BY 1 HAVING count(*) <= 60),
+        |adj AS (
+        |  SELECT e.x, e.nbr FROM (
+        |    SELECT p1 AS x, p2 AS nbr FROM edges
+        |    UNION ALL SELECT p2, p1 FROM edges) e
+        |  JOIN deg dx ON dx.p = e.x JOIN deg dn ON dn.p = e.nbr),
+        |wedge AS (
+        |  SELECT l.x AS a, r.x AS c, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.x < r.x
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.* FROM wedge w
+        |  LEFT JOIN edges e ON w.a = e.p1 AND w.c = e.p2
+        |  WHERE e.p1 IS NULL)
+        |SELECT cand.a AS p1, cand.c AS p2, cn, da.deg AS deg_a,
+        |  dc.deg AS deg_c,
+        |  CAST(1000000 * cn // (da.deg + dc.deg - cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM cand JOIN deg da ON da.p = cand.a JOIN deg dc ON dc.p = cand.c
+        |ORDER BY cn DESC, jaccard_ppm DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(
+        |    embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, svec AS q_svec,
+        |    norm2 AS q_norm2 FROM n WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.q_id, q.q_label, n.vec_id, n.label AS h_label,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*n.svec[i])),
+        |      (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS
+        |        DOUBLE))) AS cos
+        |  FROM n JOIN q ON n.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS INT) AS rnk
+        |  FROM sc),
+        |top AS (SELECT * FROM r WHERE rnk <= 10),
+        |dcg AS (
+        |  SELECT q_id, q_label,
+        |    CAST(SUM(CASE WHEN h_label = q_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rel_topk,
+        |    CAST(SUM(CASE WHEN h_label = q_label THEN
+        |      ([1000000, 630929, 500000, 430676, 386852,
+        |        356207, 333333, 315464, 301029, 289064])[rnk]
+        |      ELSE 0 END) AS BIGINT) AS dcg_fp
+        |  FROM top GROUP BY 1, 2),
+        |lc AS (SELECT CAST(label AS BIGINT) AS q_label,
+        |    CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1),
+        |fin AS (
+        |  SELECT d.q_id, d.q_label, lc.n_label - 1 AS n_rel, d.n_rel_topk,
+        |    d.dcg_fp,
+        |    CASE WHEN lc.n_label - 1 <= 0 THEN 0
+        |      ELSE ([1000000, 1630929, 2130929, 2561605, 2948457,
+        |        3304664, 3637997, 3953461, 4254490, 4543554])
+        |        [CAST(least(lc.n_label - 1, 10) AS INT)] END AS idcg_fp
+        |  FROM dcg d JOIN lc ON d.q_label = lc.q_label)
+        |SELECT q_id, q_label, n_rel, n_rel_topk, dcg_fp,
+        |  CASE WHEN idcg_fp <= 0 THEN 0
+        |    ELSE CAST(1000000 * dcg_fp // idcg_fp AS BIGINT) END AS ndcg_ppm
+        |FROM fin ORDER BY q_id""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, svec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, svec AS q_svec, norm2 AS q_norm2
+        |  FROM n WHERE vec_id < 10),
+        |bsc AS (
+        |  SELECT q.q_id, n.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*n.svec[i])),
+        |      (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS
+        |        DOUBLE))) AS cos
+        |  FROM n JOIN q ON n.vec_id <> q.q_id),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rnk FROM bsc) WHERE rnk <= 3),
+        |cent0 AS (
+        |  SELECT label, i, SUM(svec[i]) AS s
+        |  FROM n, range(1,65) t(i) GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(s ORDER BY i) AS cvec FROM cent0
+        |  GROUP BY label),
+        |centn AS (
+        |  SELECT label, cvec,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(cvec, x -> x*x)), (a,b) -> a+b) AS cnorm2
+        |  FROM cent),
+        |routed0 AS (
+        |  SELECT q.q_id, q.q_svec, q.q_norm2, c.label,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> q.q_svec[i]*c.cvec[i])),
+        |      (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS
+        |        DOUBLE))) AS ccos
+        |  FROM q CROSS JOIN centn c),
+        |routed AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ccos DESC, label) AS crnk
+        |    FROM routed0) WHERE crnk = 1),
+        |isc AS (
+        |  SELECT r.q_id, n.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,65), i -> r.q_svec[i]*n.svec[i])),
+        |      (a,b) -> a+b) AS DOUBLE)
+        |      / (sqrt(CAST(r.q_norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS
+        |        DOUBLE))) AS cos
+        |  FROM n JOIN routed r ON n.label = r.label AND n.vec_id <> r.q_id),
+        |approx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rnk FROM isc) WHERE rnk <= 3)
+        |SELECT b.q_id,
+        |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(1000000 * SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) // 3 AS BIGINT) AS recall_ppm
+        |FROM brute b LEFT JOIN approx a
+        |  ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cochran" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS slice, o_orderkey AS item,
+        |    CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) > 15000000
+        |      THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS r3
+        |  FROM orders),
+        |lng AS (
+        |  SELECT slice, item, 'r_bigticket' AS rater, r1 AS x FROM base
+        |  UNION ALL SELECT slice, item, 'r_priority', r2 FROM base
+        |  UNION ALL SELECT slice, item, 'r_h1season', r3 FROM base),
+        |byr AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(cj) AS BIGINT) AS t,
+        |    CAST(SUM(CAST(cj AS HUGEINT)*cj) AS HUGEINT) AS sc2
+        |  FROM (SELECT slice, rater, CAST(SUM(x) AS BIGINT) AS cj
+        |        FROM lng GROUP BY 1, 2) c GROUP BY 1),
+        |byi AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(ri AS HUGEINT)*ri) AS HUGEINT) AS sr2
+        |  FROM (SELECT slice, item, CAST(SUM(x) AS BIGINT) AS ri
+        |        FROM lng GROUP BY 1, 2) i GROUP BY 1),
+        |fin AS (
+        |  SELECT r.slice, r.k, i.n_items, r.t,
+        |    (r.k - 1) * (r.k * r.sc2 - CAST(r.t AS HUGEINT) * r.t) AS num,
+        |    CAST(r.k AS HUGEINT) * r.t - i.sr2 AS den
+        |  FROM byr r JOIN byi i ON r.slice = i.slice)
+        |SELECT slice, k, n_items, t, k - 1 AS df,
+        |  CASE WHEN den <= 0 THEN 0
+        |    ELSE CAST(1000 * num // den AS BIGINT) END AS q_milli
+        |FROM fin ORDER BY slice""".stripMargin,
+
+    "q_kendall_w" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS item,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS npart
+        |  FROM lineitem GROUP BY 1),
+        |lng AS (
+        |  SELECT item, 'rev' AS rater, rev AS v FROM per
+        |  UNION ALL SELECT item, 'qty', qty FROM per
+        |  UNION ALL SELECT item, 'npart', npart FROM per),
+        |byval AS (
+        |  SELECT rater, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM lng GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, 2 * CAST(coalesce(SUM(t) OVER (PARTITION BY rater
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) + t + 1 AS ar2
+        |  FROM byval),
+        |itemsums AS (
+        |  SELECT l.item, CAST(SUM(r.ar2) AS BIGINT) AS r2i
+        |  FROM lng l JOIN ranked r ON l.rater = r.rater AND l.v = r.v
+        |  GROUP BY 1),
+        |tie AS (
+        |  SELECT CAST(coalesce(SUM(CAST(t AS HUGEINT)*t*t - t), 0)
+        |    AS HUGEINT) AS tsum FROM ranked),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(r2i AS HUGEINT)*r2i) AS HUGEINT) AS s2
+        |  FROM itemsums),
+        |fin AS (
+        |  SELECT n_items,
+        |    3*s2 - CAST(27 AS HUGEINT)*n_items*(n_items+1)*(n_items+1)
+        |      AS num,
+        |    CAST(9 AS HUGEINT)
+        |      * (CAST(n_items AS HUGEINT)*n_items*n_items - n_items)
+        |      - 3*tsum AS den
+        |  FROM base, tie)
+        |SELECT CAST(3 AS BIGINT) AS m, n_items,
+        |  CASE WHEN den <= 0 THEN 0
+        |    ELSE CAST(num * 1000000 // den AS BIGINT) END AS w_ppm,
+        |  CASE WHEN den <= 0 THEN 0
+        |    ELSE CAST(num * 1000000 * 3 * (n_items - 1) // den AS BIGINT)
+        |  END AS chi2_ppm
+        |FROM fin""".stripMargin,
+
+    "q_oov" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, CAST(SUM(f) AS BIGINT) AS cf FROM ps GROUP BY 1) c
+        |  ORDER BY cf DESC, w LIMIT 2000)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN f ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_types,
+        |  CASE WHEN SUM(f) = 0 THEN 0
+        |    ELSE CAST(1000000 * SUM(CASE WHEN v.w IS NULL THEN f ELSE 0 END)
+        |      // SUM(f) AS BIGINT) END AS oov_ppm
+        |FROM ps LEFT JOIN vocab v ON ps.w = v.w
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

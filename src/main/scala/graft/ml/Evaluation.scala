@@ -843,4 +843,46 @@ object Evaluation {
         col("brier_e12") - (col("reliability_e12") - col("resolution_e12")
           + col("uncertainty_e12")))
   }
+
+  /** H26 — Cochran's Q test (Biometrika 1950): do k paired binary
+    * raters fire at the same RATE over the same items — the k-rater
+    * generalization of H14's McNemar (k = 2 reduces to it exactly),
+    * and the gate before averaging k rule verdicts into one score:
+    * per slice, Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j =
+    * rater j's fire count, R_i = item i's fired-rater count, T = ΣC =
+    * ΣR. Both numerator (Cauchy–Schwarz) and denominator (R_i ≤ k)
+    * are nonnegative exact integers, so the single milli `div` floors
+    * identically cross-engine; all-agree slices (den = 0) pin 0 with
+    * the marginals visible. Q ~ χ²(k−1) under H₀.
+    *
+    * Scale: input is the long (slice, item, rater, x) frame; one agg
+    * per (slice, rater) for the C_j's, one per (slice, item) for the
+    * R_i's — both contractions, then slice-domain arithmetic.
+    * Decimal(38) squares: ΣC² passes int64 at ~3·10⁹ fires. */
+  def cochranQ(long: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byRater = long.groupBy(col("slice"), col("rater"))
+      .agg(sum(col("x")).as("cj"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("k"), sum(col("cj")).as("t"),
+        sum(col("cj").cast(dec) * col("cj")).as("sc2"))
+    val byItem = long.groupBy(col("slice"), col("item"))
+      .agg(sum(col("x")).as("ri"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("ri").cast(dec) * col("ri")).as("sr2"))
+    byRater.join(byItem, Seq("slice"))
+      .withColumn("num",
+        (col("k") - lit(1L)).cast(dec)
+          * (col("k").cast(dec) * col("sc2")
+            - col("t").cast(dec) * col("t")))
+      .withColumn("den",
+        col("k").cast(dec) * col("t") - col("sr2"))
+      .select(col("slice"), col("k"), col("n_items"), col("t"),
+        (col("k") - lit(1L)).as("df"),
+        when(col("den") <= 0, lit(0L))
+          .otherwise(expr("CAST(1000 * num div den AS BIGINT)"))
+          .as("q_milli"))
+      .orderBy(col("slice"))
+  }
 }

@@ -981,6 +981,59 @@ object Analytics {
       .orderBy(col("grp"))
   }
 
+  /** D94 — Herfindahl–Hirschman concentration index per market
+    * (Herfindahl 1950; the antitrust screen, and the one-number
+    * companion to D76's full Lorenz curve): HHI = Σ shareᵢ² over the
+    * market's participants — 10⁶/n for perfect competition, 10⁶ for
+    * monopoly. Computed WITHOUT materializing shares:
+    * hhi_ppm = 10⁶·Σxᵢ² div (Σx)², so everything is exact decimal
+    * until one floored nonnegative `div`. Alongside: the normalized
+    * form ((HHI − 1/n)/(1 − 1/n), 0 for even split regardless of n)
+    * and the "effective number of participants" 1/HHI in milli-units
+    * (the diversity reciprocal — 3.0 means "concentrated as if 3 equal
+    * firms"). Single-participant markets pin hhi = 10⁶, normalized = 10⁶,
+    * eff_n = 1000, never divide by zero.
+    *
+    * Scale: one corpus-scan contraction to (market, participant)
+    * totals, one agg per market — Σx² needs decimal(38,0) (x ≈ 10¹²
+    * cents squares past int64). */
+  def hhiProfile(txns: DataFrame, market: String = "grp",
+                 participant: String = "p",
+                 amt: String = "amt_cents"): DataFrame =
+    finishHhi(hhiContract(txns, market, participant, amt))
+
+  /** The (market, participant) → total contraction — HHI's only
+    * corpus-sized pass, and (sums merge associatively) exactly the
+    * bounded state the F36 streaming monitor maintains live. */
+  def hhiContract(txns: DataFrame, market: String = "grp",
+                  participant: String = "p",
+                  amt: String = "amt_cents"): DataFrame =
+    txns.groupBy(col(market).as("grp"), col(participant).as("p"))
+      .agg(sum(col(amt)).as("x"))
+
+  /** The market-domain back half over a (grp, p, x) contraction —
+    * shared verbatim with the F36 streaming monitor so live and batch
+    * HHI are the same arithmetic over the same contraction shape. */
+  def finishHhi(per: DataFrame): DataFrame =
+    per
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_participants"),
+        sum(col("x")).cast("decimal(38,0)").as("tot"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sq"))
+      .withColumn("hhi",
+        when(col("tot") <= 0, lit(0L))
+          .otherwise(expr("CAST(1000000 * sq div (tot * tot) AS BIGINT)")))
+      .select(col("grp"), col("n_participants"),
+        col("tot").cast("long").as("total_cents"), col("hhi").as("hhi_ppm"),
+        when(col("n_participants") <= 1L, lit(1000000L))
+          .when(col("hhi") * col("n_participants") <= 1000000L, lit(0L))
+          .otherwise(expr(
+            "(hhi * n_participants - 1000000) div (n_participants - 1)"))
+          .as("hhi_norm_ppm"),
+        when(col("hhi") <= 0, lit(0L))
+          .otherwise(expr("1000000000 div hhi")).as("eff_n_milli"))
+      .orderBy(col("grp"))
+
   /** Per-type daily volume with ZERO-ACTIVITY DAYS COMPLETED into the
     * [min, max] day grid (the D74 posture: a dead day is a real
     * observation for any series statistic — dispersion, runs,

@@ -284,4 +284,81 @@ object Ann {
         max(col("norm2")).as("max_norm2"))
       .withColumn("label", col("label").cast(LongType))
       .orderBy(col("label"))
+
+  /** H24's fixed-point DCG discount table: w_r = ⌊10⁶/log₂(r+1)⌋ for
+    * ranks 1..10 — PINNED LITERALS, not computed, so no engine's log
+    * implementation can leak into the hash (log is the one libm call
+    * IEEE 754 does not require correctly rounded). */
+  private[graft] val NdcgW: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** H24 — NDCG@k of the E5 brute-force retrieval against the label
+    * ground truth (Järvelin & Kekäläinen TOIS'02): each probe's top-k
+    * neighbors are "relevant" iff they carry the probe's own label;
+    * DCG folds the pinned fixed-point discount table (so gain at rank
+    * r is w_r per relevant hit), and IDCG is the discount prefix-sum
+    * at min(R, k) where R = same-label corpus vectors minus the probe
+    * itself — the ideal ranking puts all R relevant first. ndcg_ppm =
+    * 10⁶·DCG div IDCG, exact integers end-to-end; a probe whose label
+    * has no other members pins 0 with R visible.
+    *
+    * Scale: rides E5's one broadcast-probe corpus scan; the per-label
+    * relevant counts are a label-domain aggregate, broadcast back. */
+  def ndcgAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    require(k <= NdcgW.size, s"discount table pinned to ${NdcgW.size}")
+    val wArr = array(NdcgW.take(k).map(lit): _*)
+    val pArr = array(NdcgW.take(k).scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val labels = emb.select(col("vec_id"), col("label").cast(LongType))
+    val relCounts = emb.groupBy(col("label").cast(LongType).as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    bruteForceTopK(emb, nQueries, k)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), Seq("q_id"))
+      .join(labels.select(col("vec_id"), col("label").as("h_label")),
+        Seq("vec_id"))
+      .withColumn("rel",
+        when(col("h_label") === col("q_label"), 1L).otherwise(0L))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        sum(col("rel") * element_at(wArr, col("rnk").cast("int")))
+          .as("dcg_fp"))
+      .join(broadcast(relCounts), Seq("q_label"))
+      .withColumn("n_rel", col("n_label") - lit(1L))
+      .withColumn("idcg_fp",
+        when(col("n_rel") <= 0L, lit(0L))
+          .otherwise(element_at(pArr,
+            least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .select(col("q_id"), col("q_label"), col("n_rel"),
+        col("n_rel_topk"), col("dcg_fp"),
+        when(col("idcg_fp") <= 0L, lit(0L))
+          .otherwise(expr("1000000 * dcg_fp div idcg_fp"))
+          .as("ndcg_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** H25 — recall@k of the E6 IVF index against the E5 brute-force
+    * ground truth: THE number an ANN deployment is judged by (how much
+    * of the true top-k does the index surface at its probe budget).
+    * recall_ppm = 10⁶·|IVF∩brute| div k per probe, with the cells the
+    * probe actually searched alongside — single-cell routing (nprobe=1)
+    * makes missed mass attributable. Both rankings break cosine ties
+    * by vec_id, so the intersection is well-defined cross-engine.
+    *
+    * Scale: two index probes (each bounded as documented on its op)
+    * and one k-row-per-probe join — eval cost is probe cost. */
+  def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val brute = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopK(emb, nQueries, k)
+      .select(col("q_id"), col("vec_id"), col("label"))
+    brute
+      .join(approx.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        expr(s"1000000 * n_hit div ${k}L").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
 }

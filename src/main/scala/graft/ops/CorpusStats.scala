@@ -312,6 +312,66 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** E72 — per-source OUT-OF-VOCABULARY rate against the corpus's own
+    * top-V vocabulary: the tokenizer-coverage read E68's fertility
+    * can't give — fertility says how many pieces a word shatters
+    * into; OOV rate says how much of a source's token MASS falls
+    * outside the head vocabulary at all (transliterations, code,
+    * mojibake, boilerplate IDs — exactly the sources that later blow
+    * up a fixed-vocab tokenizer). Vocabulary = top `vocabSize` tokens
+    * by corpus occurrence count, ties broken by token ascending (a
+    * TOTAL order, so the cut line is deterministic cross-engine); per
+    * source: occurrence-mass OOV share in ppm plus the distinct OOV
+    * type count (mass says "how much", types say "how varied").
+    *
+    * Scale: one token pass to (source, w) counts — the corpus-sized
+    * shuffle; the global vocab is a word-domain aggregate of that
+    * same frame (no second corpus scan) whose top-V cut is one
+    * word-domain sort; membership rides a broadcast semi-join. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 2000): DataFrame = {
+    val perSource = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val vocab = perSource.groupBy(col("w"))
+      .agg(sum(col("f")).as("cf"))
+      .orderBy(col("cf").desc, col("w"))
+      .limit(vocabSize)
+      .select(col("w"))
+    finishOovMass(perSource
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+        Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("f")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_types")))
+      .orderBy(col("source"))
+  }
+
+  /** E72's deploy-time vocabulary off a STATIC reference corpus — the
+    * table the F37 streaming monitor broadcasts (a live monitor pins
+    * its vocabulary at deploy time; recomputing it per batch would
+    * make OOV rates non-comparable across batches, the F17 rule). */
+  def topVocab(docs: DataFrame, vocabSize: Int = 2000): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("w"))
+      .limit(vocabSize)
+      .select(col("w"))
+
+  /** The ppm back half over per-source (n_tokens, oov_tokens[, …])
+    * counters — shared verbatim with the F37 streaming monitor so
+    * live and batch OOV mass are the same arithmetic. */
+  def finishOovMass(counts: DataFrame): DataFrame =
+    counts.withColumn("oov_ppm",
+      when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(expr("1000000 * oov_tokens div n_tokens")))
+
   /** E64 — per-document NOVELTY profile against the whole corpus: how
     * much of each document's shingle set exists nowhere else
     * (`unique_ppm`), how common its most-common shingle is (`max_df`),

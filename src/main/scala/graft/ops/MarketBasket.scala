@@ -44,4 +44,50 @@ object MarketBasket {
         expr("(n_orders * tot * 1000000L) div (nf1 * nf2)").as("lift_ppm"))
       .orderBy(col("p1"), col("p2"))
   }
+
+  /** D95 — neighbor-overlap LINK PREDICTION over the co-purchase graph
+    * (Liben-Nowell & Kleinberg CIKM'03, the common-neighbors /
+    * Jaccard family): for part pairs NOT yet co-purchased, score how
+    * strongly the graph implies the edge — cn = |Γ(a) ∩ Γ(c)| common
+    * co-purchase partners, jaccard_ppm = 10⁶·cn div (deg a + deg c −
+    * cn) — the "customers also bought" candidate generator, and the
+    * same machinery that proposes entity-resolution merges. Exact
+    * integers end-to-end.
+    *
+    * Scale posture: the wedge join fans out quadratically in degree,
+    * so HUB PARTS ARE DROPPED FIRST (`maxDeg`, the E38/G6 df-cap
+    * discipline — a part co-bought with everything predicts nothing);
+    * after the cap the a<c orientation finds each candidate wedge
+    * once, the existing-edge anti-join runs on the wedge output (graph-
+    * sized), and the final top-k is one bounded sort. Candidate volume
+    * ≤ Σ deg(n)² ≤ maxDeg·|E| — linear in edges at fixed cap. */
+  def linkPredict(lineitem: DataFrame, minSupport: Long = 2,
+                  maxDeg: Long = 60, topK: Int = 20): DataFrame = {
+    val edges = coPurchase(lineitem, minSupport)
+      .select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("p"))
+      .unionByName(edges.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    val adj = edges.select(col("p1").as("x"), col("p2").as("nbr"))
+      .unionByName(edges.select(col("p2").as("x"), col("p1").as("nbr")))
+      .join(deg.select(col("p").as("x")), Seq("x"), "left_semi")
+      .join(deg.select(col("p").as("nbr")), Seq("nbr"), "left_semi")
+    val wedges = adj.select(col("x").as("a"), col("nbr").as("n"))
+      .join(adj.select(col("nbr").as("n"), col("x").as("c")), Seq("n"))
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("cn"))
+    wedges
+      .join(edges.select(col("p1").as("a"), col("p2").as("c")),
+        Seq("a", "c"), "left_anti")
+      .join(deg.select(col("p").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("p").as("c"), col("deg").as("deg_c")), Seq("c"))
+      .select(col("a").as("p1"), col("c").as("p2"), col("cn"),
+        col("deg_a"), col("deg_c"),
+        expr("1000000 * cn div (deg_a + deg_c - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("p1"),
+        col("p2"))
+      .limit(topK)
+  }
 }

@@ -739,6 +739,45 @@ object StreamingOps {
                value: String = "x"): DataFrame =
     ladderState(rows, group, value)
 
+  /** F36 — streaming HHI concentration monitor (D94 live): the
+    * (market, participant) total contraction maintained as complete-
+    * mode grouped aggregation — sums merge associatively, so
+    * micro-batch folding provably lands on the same contraction as
+    * one batch pass, and state is bounded at markets·participants
+    * rows (the dimension domain, never the transaction stream). Each
+    * emitted snapshot finishes through the batch
+    * [[graft.ops.Analytics]] `finishHhi` (the share-squared ratio is
+    * non-associative, never state — the F31/F34 split): a payments
+    * desk watches a market's concentration drift toward one
+    * counterparty LIVE, with semantics EXACTLY the nightly D94's. */
+  def hhiState(txns: DataFrame, market: String = "grp",
+               participant: String = "p",
+               amt: String = "amt_cents"): DataFrame =
+    graft.ops.Analytics.hhiContract(txns, market, participant, amt)
+
+  /** F37 — streaming OUT-OF-VOCABULARY mass monitor (E72 live): each
+    * micro-batch's tokens classify STATELESSLY against the pinned
+    * deploy-time vocabulary ([[graft.ops.CorpusStats]] `topVocab`,
+    * broadcast — recomputing it per batch would make rates
+    * non-comparable, the F17 fixed-baseline rule), then per-source
+    * (n_tokens, oov_tokens) counters fold as complete-mode grouped
+    * sums — state bounded by the SOURCE domain forever. Snapshots
+    * finish through the shared `finishOovMass` ppm. The batch op's
+    * distinct `oov_types` is deliberately ABSENT here: exact distinct
+    * types need per-source word state (unbounded — the F33
+    * reject-don't-degrade rule); a corpus audit uses E72, and a live
+    * approximate-types sidecar is one F16 HLL register file away. */
+  def oovMassState(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+        Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_tokens"))
+
   /** F30 — streaming FRESHNESS monitor (B26 run live): per-stream
     * last-arrival lag behind the corpus frontier, refreshed every
     * trigger — the liveness alarm an ingestion SLA wants DURING the

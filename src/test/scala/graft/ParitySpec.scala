@@ -1482,4 +1482,53 @@ class ParitySpec extends SparkSpec {
         r.getLong(8), r.getLong(9))).toSet
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("restart/hhi: F36 concentration state ≡ batch D94 across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val ck = ckDir("hhi")
+    val b1 = Seq(("m1", 1L, 100L), ("m1", 2L, 50L), ("m2", 9L, 10L))
+    // m2 stays single-participant (pins hhi=norm=10⁶, eff_n=1000);
+    // m1 gains a third participant AFTER the restart — the recovered
+    // (m1, 1) counter must absorb the new 25 on top of the pre-kill 100
+    val b2 = Seq(("m1", 1L, 25L), ("m1", 3L, 25L), ("m2", 9L, 90L))
+    def plan = StreamingOps.hhiState(
+      in.toDS().toDF("grp", "p", "amt_cents"))
+    completeRun(in, plan, "hhi_rs1", ck, b1)
+    completeRun(in, plan, "hhi_rs2", ck, b2)
+    val streamed = graft.ops.Analytics.finishHhi(spark.table("hhi_rs2"))
+    val batch = graft.ops.Analytics.hhiProfile(
+      (b1 ++ b2).toDF("grp", "p", "amt_cents"))
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty)
+    val m2 = streamed.filter(col("grp") === "m2").collect().head
+    assert(m2.getLong(3) == 1000000L && m2.getLong(5) == 1000L)
+  }
+
+  test("restart/oov: F37 OOV-mass counters ≡ the batch ppm across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // deploy-time vocabulary off a static reference corpus: counts
+    // alpha=2, beta=1, gamma=1 — the V=2 cut keeps alpha then beta
+    // (tie broken token-ascending), so gamma is OOV by the cut line
+    val vocab = graft.ops.CorpusStats.topVocab(
+      Seq(("ref", "alpha beta gamma alpha")).toDF("source", "text"),
+      vocabSize = 2)
+    val in = MemoryStream[(String, String)]
+    val ck = ckDir("oov")
+    val b1 = Seq(("s1", "alpha beta zeta"), ("s2", "qq alpha"))
+    val b2 = Seq(("s1", "gamma yy"))
+    def plan = StreamingOps.oovMassState(
+      in.toDS().toDF("source", "text"), vocab)
+    completeRun(in, plan, "oov_rs1", ck, b1)
+    completeRun(in, plan, "oov_rs2", ck, b2)
+    val streamed = graft.ops.CorpusStats
+      .finishOovMass(spark.table("oov_rs2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // s1: 5 tokens, OOV {zeta, gamma, yy} = 3 → 600000 ppm (the
+    // post-restart gamma+yy fold onto the recovered pre-kill counter);
+    // s2: 2 tokens, OOV {qq} = 1 → 500000 ppm
+    assert(streamed == Set(("s1", 5L, 3L, 600000L),
+      ("s2", 2L, 1L, 500000L)), streamed.toString)
+  }
 }
