@@ -1761,7 +1761,38 @@ object SparkEntry {
         m = 3)),
 
     // E72: per-source OOV mass against the corpus top-2000 vocabulary
-    "q_oov" -> ((s, d) => ops.CorpusStats.oovRate(Tables.documents(s, d)))
+    "q_oov" -> ((s, d) => ops.CorpusStats.oovRate(Tables.documents(s, d))),
+
+    // E73: leakage-safe split — E23's hash split keyed by the near-dup
+    // cluster representative so twins never straddle train and test
+    "q_split_safe" -> ((s, d) =>
+      ops.TrainingData.clusterSafeSplit(Tables.documents(s, d))),
+
+    // H28: Krippendorff's α — 3 nominal band-raters over orders, the
+    // season rater ABSTAINS on every third order (missing-tolerant)
+    "q_kripp" -> ((s, d) =>
+      ml.Evaluation.krippendorffAlpha(
+        Tables.orders(s, d).select(col("o_orderstatus").as("slice"),
+            col("o_orderkey").as("item"),
+            cents(col("o_totalprice")).as("pc"),
+            col("o_orderpriority").as("pri"),
+            month(col("o_orderdate")).as("mth"))
+          .select(col("slice"), col("item"), explode(array(
+            struct(lit("r_price").as("rater"),
+              when(col("pc") < 5000000L, "low")
+                .when(col("pc") < 15000000L, "mid").otherwise("high")
+                .as("cat")),
+            struct(lit("r_priority").as("rater"),
+              when(col("pri").isin("1-URGENT", "2-HIGH"), "high")
+                .when(col("pri") === "3-MEDIUM", "mid").otherwise("low")
+                .as("cat")),
+            struct(lit("r_season").as("rater"),
+              when(col("mth") <= 4, "low").when(col("mth") <= 8, "mid")
+                .otherwise("high").as("cat")))).as("r"))
+          .select(col("slice"), col("item"), col("r.rater").as("rater"),
+            col("r.cat").as("cat"))
+          .filter(!(col("rater") === "r_season" && col("item") % 3 === 0)),
+        maxRaters = 3))
   )
 
   // ---------------------------------------------------------------------
@@ -1879,8 +1910,8 @@ object SparkEntry {
   /** Transitive closure over the LSH candidate pairs — the shared truth
     * for both cluster operators (min-label `q_dedup_clusters` and
     * star-contraction `q_dedup_cc`). */
-  private lazy val sqlClustersOracle: String =
-    s"""WITH RECURSIVE $sqlLshCtes,
+  private lazy val sqlClusterAssignCtes: String =
+    s"""$sqlLshCtes,
        |edges AS (
        |  SELECT id1 AS a, id2 AS b FROM cand
        |  UNION SELECT id2, id1 FROM cand),
@@ -1890,10 +1921,34 @@ object SparkEntry {
        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
        |assign AS (
        |  SELECT node AS doc_id, min(reach) AS cluster_id
-       |  FROM walk GROUP BY node)
+       |  FROM walk GROUP BY node)""".stripMargin
+
+  private lazy val sqlClustersOracle: String =
+    s"""WITH RECURSIVE $sqlClusterAssignCtes
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM assign ORDER BY doc_id""".stripMargin
+
+  /** E73 twin: the SAME closure, then E23's salted split hash keyed by
+    * the cluster representative (singletons key by their own id). */
+  private lazy val sqlSplitSafeOracle: String =
+    s"""WITH RECURSIVE $sqlClusterAssignCtes,
+       |k AS (
+       |  SELECT d.source, d.n_chars,
+       |    coalesce(a.cluster_id, d.doc_id) AS ckey
+       |  FROM documents d LEFT JOIN assign a ON d.doc_id = a.doc_id),
+       |b AS (
+       |  SELECT source, n_chars, ckey,
+       |    CAST(('0x'||substr(md5('split:'||CAST(ckey AS VARCHAR)),1,8))
+       |      AS BIGINT) % 100 AS b
+       |  FROM k)
+       |SELECT source,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
   /** Shared LSH pipeline CTEs (mirror of [[ops.Dedup.minhashLsh]]):
     * synthetic-dup universe → shingles → minhash signatures → banded
@@ -4047,6 +4102,7 @@ object SparkEntry {
     },
 
     "q_dedup_clusters" -> sqlClustersOracle,
+    "q_split_safe" -> sqlSplitSafeOracle,
 
     // same transitive-closure truth — the Spark side differs (alternating
     // star contraction instead of min-label propagation)
@@ -7818,6 +7874,54 @@ object SparkEntry {
         |    ELSE CAST(num * 1000000 * 3 * (n_items - 1) // den AS BIGINT)
         |  END AS chi2_ppm
         |FROM fin""".stripMargin,
+
+    "q_kripp" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS slice, o_orderkey AS item,
+        |    CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) < 5000000
+        |      THEN 'low'
+        |      WHEN CAST(round(o_totalprice*100) AS BIGINT) < 15000000
+        |      THEN 'mid' ELSE 'high' END AS c1,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+        |      WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+        |      ELSE 'low' END AS c2,
+        |    CASE WHEN month(o_orderdate) <= 4 THEN 'low'
+        |      WHEN month(o_orderdate) <= 8 THEN 'mid'
+        |      ELSE 'high' END AS c3
+        |  FROM orders),
+        |lng AS (
+        |  SELECT slice, item, c1 AS cat FROM base
+        |  UNION ALL SELECT slice, item, c2 FROM base
+        |  UNION ALL SELECT slice, item, c3 FROM base WHERE item % 3 <> 0),
+        |cells AS (
+        |  SELECT slice, item, cat, CAST(count(*) AS BIGINT) AS ncu
+        |  FROM lng GROUP BY 1, 2, 3),
+        |units AS (
+        |  SELECT slice, item, CAST(SUM(ncu) AS BIGINT) AS mu,
+        |    CAST(SUM(ncu*ncu) AS BIGINT) AS snc2
+        |  FROM cells GROUP BY 1, 2 HAVING SUM(ncu) >= 2),
+        |obs AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM((2 // (mu - 1)) * (mu*mu - snc2)) AS BIGINT)
+        |      AS o_scaled
+        |  FROM units GROUP BY 1),
+        |marg AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS n_cats,
+        |    CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(nc AS HUGEINT)*nc) AS HUGEINT) AS msnc2
+        |  FROM (SELECT c.slice, c.cat, CAST(SUM(c.ncu) AS BIGINT) AS nc
+        |        FROM cells c JOIN units u
+        |          ON c.slice = u.slice AND c.item = u.item
+        |        GROUP BY 1, 2) mm GROUP BY 1),
+        |fin AS (
+        |  SELECT o.slice, o.n_items, m.n, m.n_cats, o.o_scaled,
+        |    CAST(m.n AS HUGEINT) * m.n - m.msnc2 AS de_num
+        |  FROM obs o JOIN marg m ON o.slice = m.slice)
+        |SELECT slice, n_items, n, n_cats,
+        |  CASE WHEN de_num <= 0 THEN 1000000
+        |    ELSE 1000000 - CAST(1000000 * CAST(n - 1 AS HUGEINT) * o_scaled
+        |      // (2 * de_num) AS BIGINT) END AS alpha_ppm
+        |FROM fin ORDER BY slice""".stripMargin,
 
     "q_oov" ->
       """WITH toks AS (

@@ -885,4 +885,60 @@ object Evaluation {
           .as("q_milli"))
       .orderBy(col("slice"))
   }
+
+  /** H28 — Krippendorff's α (nominal data; Content Analysis 1980), the
+    * general inter-rater reliability H16's κ cannot give: ANY number
+    * of raters, MISSING ratings allowed (units keep whatever raters
+    * showed up, m_u varies), chance-corrected against the pooled
+    * category marginals. Off the coincidence-matrix identity:
+    * Do = Σ_u (m_u² − Σ_c n_cu²)/(m_u − 1), De = (n² − Σ_c n_c²)/(n−1),
+    * α = 1 − Do/De — computed with Do scaled by lcm(1..maxRaters−1)
+    * so every per-unit weight is INTEGER (m_u ≤ maxRaters by
+    * construction of the long frame), and one floored nonnegative div:
+    * alpha_ppm = 10⁶ − (10⁶·(n−1)·Do_scaled) div (scale·(n² − Σn_c²)).
+    * Units with m_u < 2 are unpairable and excluded (the standard
+    * conditioning); a slice whose pairable ratings all carry ONE
+    * category pins α = 10⁶ (no disagreement is expressible), never a
+    * zero-divide. α < 0 (systematic disagreement) falls out of the
+    * subtraction with no sign-split needed — the div itself is
+    * nonnegative.
+    *
+    * Scale: two contractions (slice×item×cat cells, then units), the
+    * marginal pass is a semi-join of the cell frame against pairable
+    * units — everything after is slice-domain. Decimal(38): n² passes
+    * int64 at ~3·10⁹ pairable ratings per slice. */
+  def krippendorffAlpha(long: DataFrame, maxRaters: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1L until maxRaters.toLong)
+      .foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+    val cells = long.groupBy(col("slice"), col("item"), col("cat"))
+      .agg(count(lit(1)).as("ncu"))
+    val units = cells.groupBy(col("slice"), col("item"))
+      .agg(sum(col("ncu")).as("mu"),
+        sum(col("ncu") * col("ncu")).as("snc2"))
+      .filter(col("mu") >= 2L)
+    val obs = units.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr(s"$scale div (mu - 1)")
+          * (col("mu") * col("mu") - col("snc2"))).as("o_scaled"))
+    val marg = cells
+      .join(units.select(col("slice"), col("item")), Seq("slice", "item"),
+        "left_semi")
+      .groupBy(col("slice"), col("cat"))
+      .agg(sum(col("ncu")).as("nc"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_cats"), sum(col("nc")).as("n"),
+        sum(col("nc").cast(dec) * col("nc")).as("snc2"))
+    obs.join(marg, Seq("slice"))
+      .withColumn("de_num",
+        col("n").cast(dec) * col("n") - col("snc2"))
+      .select(col("slice"), col("n_items"), col("n"), col("n_cats"),
+        when(col("de_num") <= 0, lit(1000000L))
+          .otherwise(lit(1000000L) - expr(
+            s"CAST(1000000 * CAST(n - 1 AS DECIMAL(38,0)) * o_scaled " +
+              s"div ($scale * de_num) AS BIGINT)"))
+          .as("alpha_ppm"))
+      .orderBy(col("slice"))
+  }
 }

@@ -166,6 +166,38 @@ object TrainingData {
       .orderBy(col("source"), col("split"))
   }
 
+  /** E73 — LEAKAGE-SAFE train/val/test split: E23's deterministic
+    * hash split keyed by the near-dup CLUSTER representative instead
+    * of the document id, so a near-duplicate pair can never straddle
+    * train and test — the eval-contamination hole a doc-id split
+    * leaves wide open (the test twin of a train doc inflates eval;
+    * E24/E54 SCREEN for that leak, this split makes it structurally
+    * impossible for known clusters). Singletons (no LSH candidate)
+    * key by their own id, so the split reduces to E23 exactly on a
+    * dup-free corpus; cluster ids are min-ids, hence stable under
+    * corpus growth like E23's contract. Per (source, split): docs,
+    * distinct cluster keys, char mass.
+    *
+    * Scale: rides E16's bounded cluster machinery (contraction-first
+    * LSH, min-label closure on the rep graph), one doc-keyed join,
+    * one split-key hash — nothing new at corpus scale. */
+  def clusterSafeSplit(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.lshClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = pmod(
+      h32(concat(lit("split:"), col("ckey").cast("string"))), lit(100L))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ckey")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** E35 — priority sampling (Duffield, Lund & Thorup, JACM 2007):
     * weight-proportional subset selection with DETERMINISTIC uniforms.
     * u = (md5₃₂(doc)+1)/2³² ∈ (0,1], priority q = w/u, keep the N

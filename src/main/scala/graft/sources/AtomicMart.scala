@@ -240,6 +240,11 @@ object AtomicMart {
             statCols: Seq[String] = Nil): (String, Seq[Entry]) = {
     require(partCols.nonEmpty, "AtomicMart is a partitioned sink; give >=1 partition column")
     val spark = mart.sparkSession
+    // B38: the table's declared constraint suite gates EVERY commit
+    // path here — stage is the one funnel publish / publishReplacing /
+    // merge / epoch sink / erasure all share — and it refuses BEFORE
+    // any file is written, so a violation leaves no orphan snapshot.
+    MartConstraints.enforce(spark, path, mart)
     val snapDir = s"$path/$DataDir/snap-${UUID.randomUUID()}"
     mart.write.partitionBy(partCols: _*).parquet(snapDir)
     val f = fs(spark, path)

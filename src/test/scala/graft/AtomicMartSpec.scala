@@ -228,4 +228,38 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.vacuum(spark, path)
     assert(AtomicMart.read(spark, path).count() == 4)
   }
+
+  test("B38 table constraints: violating publish refused pre-stage, table untouched") {
+    import graft.etl.Checks
+    import graft.sources.MartConstraints
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    MartConstraints.set(spark, path, Seq(
+      Checks.NotNull("c_rule", "rule"),
+      Checks.Bounds("c_amount", col("amount"), 0L, 1000L),
+      Checks.Unique("c_pk", Seq("tx_id"))))
+    // good batch passes through every commit path's shared funnel
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 2L, 500L)), path)
+    assert(AtomicMart.read(spark, path).count() == 2)
+    // bounds + uniqueness violations: refused, loudly, naming both
+    val bad = mart("2021-03-03", ("passport", 7L, 5000L), ("city", 7L, 10L))
+    val ex = intercept[MartConstraints.ConstraintViolationException] {
+      AtomicMart.publishDay(bad, path)
+    }
+    assert(ex.getMessage.contains("c_amount")
+      && ex.getMessage.contains("c_pk"), ex.getMessage)
+    // the refusal is PRE-stage: version head unmoved, rows unchanged,
+    // and no orphan snapshot was even written
+    assert(AtomicMart.currentVersion(spark, path).contains(1L))
+    assert(AtomicMart.read(spark, path).count() == 2)
+    // non-declarative checks cannot become table constraints
+    intercept[IllegalArgumentException] {
+      MartConstraints.set(spark, path,
+        Seq(Checks.Predicate("c_pred", col("amount") > 0L)))
+    }
+    // clearing the suite re-opens the gate
+    MartConstraints.clear(spark, path)
+    AtomicMart.publishDay(bad, path)
+    assert(AtomicMart.read(spark, path).count() == 4)
+  }
 }
