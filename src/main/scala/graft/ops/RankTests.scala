@@ -108,30 +108,41 @@ object RankTests {
     val ties = ranked.groupBy(col("slice"))
       .agg(sum(col("n").cast(dec) * col("n") * col("n") - col("n"))
         .as("ties"))
+    // Floored division that STAYS DECIMAL: Spark's `div` narrows to
+    // BIGINT and silently wraps once the quotient passes int64 (r2g² ≈
+    // N⁴ does at ~10⁶ rows per slice — caught by the 10× tier, where
+    // the wrapped terms drove H negative and the 0-pin swallowed it).
+    // (a − a % b)/b is exact for nonnegative decimals: the remainder
+    // subtraction makes the division exact, so the result scale carries
+    // no rounding and DuckDB's `//` floors to the same integer.
+    def floorDiv(a: String, b: String): String =
+      s"CAST(($a - $a % $b) / $b AS DECIMAL(38,0))"
     perGroup
-      .withColumn("term",
-        expr("CAST(r2g * r2g * 3000000 div CAST(ng AS DECIMAL(38,0)) " +
-          "AS DECIMAL(38,0))"))
+      .withColumn("ngd", col("ng").cast(dec))
+      .withColumn("t2", expr("r2g * r2g * 3000000"))
+      .withColumn("term", expr(floorDiv("t2", "ngd")))
       .groupBy(col("slice"))
       .agg(count(lit(1)).as("k"),
         sum(col("ng")).as("n_tot"),
         sum(col("term")).as("s3m"))
       .join(ties, Seq("slice"))
       .withColumn("nd", col("n_tot").cast(dec))
+      .withColumn("nn1", expr("nd * (nd + 1)"))
       .withColumn("h_raw",
-        expr("s3m div (nd * (nd + 1)) - 3000000 * (n_tot + 1)"))
+        expr(floorDiv("s3m", "nn1")) -
+          lit(3000000L).cast(dec) * (col("n_tot") + lit(1L)).cast(dec))
       .withColumn("h_nn",
-        when(col("h_raw") < 0, lit(0L)).otherwise(col("h_raw")))
+        when(col("h_raw") < 0, lit(0).cast(dec)).otherwise(col("h_raw")))
       .withColumn("cube_n",
         col("nd") * col("nd") * col("nd") - col("nd"))
       .withColumn("corr_den", col("cube_n") - col("ties"))
+      .withColumn("hc_num", expr("h_nn * cube_n"))
       .select(col("slice"), col("k"), col("n_tot"),
         when(col("corr_den") <= 0, lit(0L))
-          .otherwise(col("h_nn")).as("h_ppm"),
+          .otherwise(col("h_nn").cast("long")).as("h_ppm"),
         when(col("corr_den") <= 0, lit(0L))
-          .otherwise(expr(
-            "CAST(CAST(h_nn AS DECIMAL(38,0)) * cube_n div corr_den " +
-              "AS BIGINT)")).as("h_corr_ppm"))
+          .otherwise(expr(floorDiv("hc_num", "corr_den")).cast("long"))
+          .as("h_corr_ppm"))
       .orderBy(col("slice"))
   }
 

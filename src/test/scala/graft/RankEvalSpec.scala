@@ -42,6 +42,27 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getLong(3) == 3000000L && r.getLong(4) == 3000000L)
   }
 
+  test("D93: quotients beyond int64 stay exact (the 10x-tier wrap regression)") {
+    // 20k tie-free rows split into two maximally-separated groups: the
+    // per-group term r2g²·3e6/ng ≈ 2.7e19 exceeds int64, which Spark's
+    // `div` (IntegralDivide → BIGINT) silently wrapped negative before
+    // the decimal floor-division fix — caught live by the 10× Zipf
+    // tier, where the wrapped terms drove H < 0 and the 0-pin ate it.
+    val df = spark.range(1, 20001).select(
+      lit("s").as("slice"),
+      when(col("id") <= 10000, "a").otherwise("b").as("g"),
+      col("id").as("v"))
+    val r = RankTests.kruskalWallis(df).collect().head
+    def term(r2: BigInt, ng: BigInt) = r2 * r2 * 3000000 / ng
+    val s3m = term(BigInt(100010000L), 10000) + term(BigInt(300010000L), 10000)
+    val n = BigInt(20000)
+    val h = s3m / (n * (n + 1)) - BigInt(3000000) * (n + 1)
+    // the per-group quotient really does bite int64 in this fixture
+    assert(term(BigInt(300010000L), 10000) > BigInt(Long.MaxValue))
+    assert(r.getLong(3) == h.toLong && r.getLong(4) == h.toLong,
+      s"got ${r.getLong(3)} want $h")
+  }
+
   test("D93: all-tied slice pins both statistics to 0") {
     val df = Seq(("s", "g1", 7L), ("s", "g2", 7L), ("s", "g2", 7L))
       .toDF("slice", "g", "v")
