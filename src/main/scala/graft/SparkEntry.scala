@@ -7642,29 +7642,30 @@ object SparkEntry {
         |FROM fin ORDER BY grp""".stripMargin,
 
     "q_linkpred" ->
-      """WITH items AS (
+      """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |freq AS (
-        |  SELECT p FROM items GROUP BY p HAVING count(*) >= 2),
-        |kept AS (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
-        |edges AS (
+        |freq AS MATERIALIZED (
+        |  SELECT p FROM items GROUP BY p
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |kept AS MATERIALIZED (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
+        |edges AS MATERIALIZED (
         |  SELECT a.p AS p1, b.p AS p2
         |  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
         |    SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges) u
         |  GROUP BY 1 HAVING count(*) <= 60),
-        |adj AS (
+        |adj AS MATERIALIZED (
         |  SELECT e.x, e.nbr FROM (
         |    SELECT p1 AS x, p2 AS nbr FROM edges
         |    UNION ALL SELECT p2, p1 FROM edges) e
         |  JOIN deg dx ON dx.p = e.x JOIN deg dn ON dn.p = e.nbr),
-        |wedge AS (
+        |wedge AS MATERIALIZED (
         |  SELECT l.x AS a, r.x AS c, CAST(count(*) AS BIGINT) AS cn
         |  FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.x < r.x
         |  GROUP BY 1, 2),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT w.* FROM wedge w
         |  LEFT JOIN edges e ON w.a = e.p1 AND w.c = e.p2
         |  WHERE e.p1 IS NULL)

@@ -54,16 +54,36 @@ object MarketBasket {
     * same machinery that proposes entity-resolution merges. Exact
     * integers end-to-end.
     *
-    * Scale posture: the wedge join fans out quadratically in degree,
-    * so HUB PARTS ARE DROPPED FIRST (`maxDeg`, the E38/G6 df-cap
-    * discipline — a part co-bought with everything predicts nothing);
-    * after the cap the a<c orientation finds each candidate wedge
-    * once, the existing-edge anti-join runs on the wedge output (graph-
-    * sized), and the final top-k is one bounded sort. Candidate volume
-    * ≤ Σ deg(n)² ≤ maxDeg·|E| — linear in edges at fixed cap. */
+    * Scale posture: two hub caps, one per explosion. (1) `maxFreq`
+    * drops parts in more than that many baskets BEFORE the pair join —
+    * the EDGE BUILD is Σ basket² rows, and under Zipf skew one part in
+    * 20% of all orders alone makes that corpus-quadratic (the 10×
+    * tier's DuckDB twin filled 75 GB of spill before this cap
+    * existed; such a part's degree is far past maxDeg anyway, so at
+    * plausible basket shapes it predicts nothing — documented
+    * semantics, like the E38 df gate). (2) `maxDeg` drops hub NODES
+    * of the support-filtered graph before the wedge join, so candidate
+    * volume is ≤ Σ deg(n)² ≤ maxDeg·|E| — linear in edges at fixed
+    * cap. After both caps the a<c orientation finds each candidate
+    * wedge once, the existing-edge anti-join runs on the wedge output
+    * (graph-sized), and the final top-k is one bounded sort. */
   def linkPredict(lineitem: DataFrame, minSupport: Long = 2,
-                  maxDeg: Long = 60, topK: Int = 20): DataFrame = {
-    val edges = coPurchase(lineitem, minSupport)
+                  maxDeg: Long = 60, topK: Int = 20,
+                  maxFreq: Long = 1000): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    // one basket-count pass serves BOTH gates: Apriori support floor
+    // and the hub-frequency ceiling
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= minSupport && col("nf") <= maxFreq)
+    val kept = items.join(freq.select(col("p")), Seq("p"), "left_semi")
+    val edges = kept.as("a")
+      .join(kept.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
       .select(col("p1"), col("p2"))
     val deg = edges.select(col("p1").as("p"))
       .unionByName(edges.select(col("p2").as("p")))
