@@ -736,8 +736,8 @@ object Evaluation {
       .join(ranks("va", "ra2"), Seq("va"))
       .join(ranks("vb", "rb2"), Seq("vb"))
       .agg(sum(col("n")).as("nn"),
-        sum((col("n") * col("ra2")).cast("decimal(38,0)")).as("sa"),
-        sum((col("n") * col("rb2")).cast("decimal(38,0)")).as("sb"),
+        sum(col("n").cast("decimal(38,0)") * col("ra2")).as("sa"),
+        sum(col("n").cast("decimal(38,0)") * col("rb2")).as("sb"),
         sum(col("n").cast("decimal(38,0)") * col("ra2") * col("ra2"))
           .as("saa"),
         sum(col("n").cast("decimal(38,0)") * col("rb2") * col("rb2"))

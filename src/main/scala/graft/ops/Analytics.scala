@@ -904,7 +904,7 @@ object Analytics {
       .withColumn("n", count(lit(1)).over(wt))
       .withColumn("s", sum(col("x")).over(wt))
       .select(col("event_type"), col("day"), col("n"),
-        (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("c"))
+        (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("c"))
     val den = centered.groupBy(col("event_type"))
       .agg(sum(col("c") * col("c")).as("den"), max(col("n")).as("n_days"))
     // equi-join on the MATERIALIZED (type, day+lag) key — a join on
@@ -961,8 +961,11 @@ object Analytics {
       .withColumn("tot", sum(col("x")).over(wg))
       .groupBy(col("grp"))
       .agg(max(col("n")).as("n_users"), max(col("tot")).as("total_cents"),
-        sum(((lit(2L) * col("i") - col("n") - 1L) * col("x"))
-          .cast("decimal(38,0)")).as("gnum"),
+        // cast BEFORE the multiply: (2i−n−1)·x in raw long wraps once
+        // rank·cents passes int64 (the 100× tier hit it under ANSI —
+        // a Zipf-hot user's lifetime cents × a 10⁶-deep rank)
+        sum((lit(2L) * col("i") - col("n") - 1L).cast("decimal(38,0)")
+          * col("x")).as("gnum"),
         sum(when(col("i") <= expr("n div 2"), col("x")).otherwise(0L))
           .as("bottom_half_cents"),
         sum(when(col("i") > expr("(9 * n) div 10"), col("x")).otherwise(0L))
