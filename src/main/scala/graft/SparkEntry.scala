@@ -6469,7 +6469,7 @@ object SparkEntry {
         |  FROM per),
         |ag AS (
         |  SELECT grp, max(n) AS n_users, max(tot) AS total_cents,
-        |    sum(CAST((2 * i - n - 1) * x AS HUGEINT)) AS gnum,
+        |    sum(CAST(2 * i - n - 1 AS HUGEINT) * x) AS gnum,
         |    CAST(sum(CASE WHEN i <= n // 2 THEN x ELSE 0 END) AS BIGINT)
         |      AS bottom_half_cents,
         |    CAST(sum(CASE WHEN i > (9 * n) // 10 THEN x ELSE 0 END)
@@ -6481,10 +6481,10 @@ object SparkEntry {
         |      // (CAST(n_users - 1 AS HUGEINT) * total_cents)
         |    END AS BIGINT) AS gini_ppm,
         |  CAST(CASE WHEN total_cents = 0 THEN 0
-        |    ELSE 1000000 * bottom_half_cents // total_cents
+        |    ELSE 1000000 * CAST(bottom_half_cents AS HUGEINT) // total_cents
         |    END AS BIGINT) AS bottom50_share_ppm,
         |  CAST(CASE WHEN total_cents = 0 THEN 0
-        |    ELSE 1000000 * top_decile_cents // total_cents
+        |    ELSE 1000000 * CAST(top_decile_cents AS HUGEINT) // total_cents
         |    END AS BIGINT) AS top10_share_ppm
         |FROM ag ORDER BY grp""".stripMargin,
 

@@ -976,10 +976,12 @@ object Analytics {
             "1000000 * gnum div (cast(n_users - 1 as decimal(38,0)) * total_cents)")
             .cast("long")).as("gini_ppm"),
         when(col("total_cents") === 0L, lit(0L))
-          .otherwise(expr("1000000 * bottom_half_cents div total_cents"))
+          .otherwise(expr("""CAST(1000000 * CAST(bottom_half_cents AS DECIMAL(38,0))
+            div total_cents AS BIGINT)"""))
           .as("bottom50_share_ppm"),
         when(col("total_cents") === 0L, lit(0L))
-          .otherwise(expr("1000000 * top_decile_cents div total_cents"))
+          .otherwise(expr("""CAST(1000000 * CAST(top_decile_cents AS DECIMAL(38,0))
+            div total_cents AS BIGINT)"""))
           .as("top10_share_ppm"))
       .orderBy(col("grp"))
   }

@@ -178,7 +178,7 @@ object CorpusStats {
       .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
         col("n_tokens"), col("n_bpe"),
         when(col("n_tokens") === 0L, lit(0L))
-          .otherwise(expr("1000000 * n_chars div n_tokens"))
+          .otherwise(expr("CAST(1000000 * CAST(n_chars AS DECIMAL(38,0)) div n_tokens AS BIGINT)"))
           .as("chars_per_tok_ppm"),
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("1000000 * n_bpe div n_tokens"))
@@ -405,7 +405,7 @@ object CorpusStats {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         expr("1000000 * n_unique div n_shingles").as("unique_ppm"),
         col("max_df"),
-        expr("1000000 * sum_df_bits div n_shingles")
+        expr("CAST(1000000 * CAST(sum_df_bits AS DECIMAL(38,0)) div n_shingles AS BIGINT)")
           .as("mean_df_bits_e6"))
       .orderBy(col("doc_id"))
   }
