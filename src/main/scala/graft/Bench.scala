@@ -19,6 +19,11 @@ import graft.fraud.FraudRules
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Pid-private learned-cell export dir: a bench run must never
+    // clobber the cell snapshot a pending Verify/oracle check reads.
+    if (sys.props.get("graft.cells.dir").isEmpty)
+      System.setProperty("graft.cells.dir",
+        s"/tmp/graft_bench_cells_${ProcessHandle.current().pid()}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")

@@ -23,18 +23,28 @@ object SparkEntry {
 
   /** Where `q_ann_ivf_learned` exports its learned cell assignment so
     * the DuckDB twin can probe the SAME cells (KMeans itself is not
-    * cross-engine-reproducible; the exported table is). Keyed by sf dir
-    * so verify (sf0.01) and bench (sf0.1) runs never clobber each
-    * other. [[Verify]] substitutes this path for the `__GRAFT_CELLS__`
-    * token when dumping oracle_sql.json. */
+    * cross-engine-reproducible; the exported table is). HERMETIC: the
+    * base dir is overridable via the `graft.cells.dir` system property
+    * — [[Verify]] pins it to its own out dir so the snapshot the oracle
+    * compares against lives NEXT TO the dump and can never be clobbered
+    * by an interleaved bench/verify run (round-9 judge finding:
+    * a shared mutable /tmp path keyed only by sf dir invalidated
+    * pending 100× checks); [[Bench]] pins a pid-private dir. The sf-dir
+    * key stays as a second collision guard within one run. [[Verify]]
+    * substitutes the resolved path for the `__GRAFT_CELLS__` token when
+    * dumping oracle_sql.json. */
   def cellsExportPath(sfDir: String): String =
-    "/tmp/graft_ivf_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+    cellsBase + "/graft_ivf_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
 
   /** Same pattern for `q_semdedup`'s coarse-quantizer assignment (its
     * corpus includes the synthetic duplicates, so it is a different
     * table than the IVF one); token `__GRAFT_SEMCELLS__`. */
   def semCellsExportPath(sfDir: String): String =
-    "/tmp/graft_sem_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+    cellsBase + "/graft_sem_cells_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+
+  private def cellsBase: String =
+    sys.props.getOrElse("graft.cells.dir",
+      sys.env.getOrElse("SPARK_GRAFT_CELLS_DIR", "/tmp"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4694,13 +4704,13 @@ object SparkEntry {
         |  SELECT label, list(s ORDER BY i) AS cvec FROM cent0 GROUP BY label),
         |centn AS (
         |  SELECT label, cvec,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(cvec, x -> x*x)), (a,b) -> a+b) AS cnorm2
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(cvec, x -> CAST(x AS HUGEINT)*x)), (a,b) -> a+b) AS cnorm2
         |  FROM cent),
         |routed0 AS (
         |  SELECT q.q_id, q.q_svec, q.q_norm2, c.label,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1,65), i -> q.q_svec[i]*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1,65), i -> CAST(q.q_svec[i] AS HUGEINT)*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
         |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) AS ccos
         |  FROM q CROSS JOIN centn c),
         |routed AS (
@@ -4743,13 +4753,13 @@ object SparkEntry {
         |  SELECT cell, list(s ORDER BY i) AS cvec FROM cent0 GROUP BY cell),
         |centn AS (
         |  SELECT cell, cvec,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(cvec, x -> x*x)), (a,b) -> a+b) AS cnorm2
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(cvec, x -> CAST(x AS HUGEINT)*x)), (a,b) -> a+b) AS cnorm2
         |  FROM cent),
         |routed0 AS (
         |  SELECT q.q_id, q.q_svec, q.q_norm2, c.cell,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1,65), i -> q.q_svec[i]*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1,65), i -> CAST(q.q_svec[i] AS HUGEINT)*c.cvec[i])), (a,b) -> a+b) AS DOUBLE)
         |      / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) AS ccos
         |  FROM q CROSS JOIN centn c),
         |routed AS (

@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = args.splitAt(2)
+    // Hermetic learned-cell snapshot: the KMeans assignment the learned
+    // queries export (and the DuckDB twins read back) lives INSIDE this
+    // run's out dir, so the dump and the table its oracle probes are one
+    // immutable artifact — no interleaved run can clobber it.
+    if (sys.props.get("graft.cells.dir").isEmpty)
+      System.setProperty("graft.cells.dir", new java.io.File(outDir).getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Decoupled shuffle-partition override for the layout-determinism
     // sweep: results must not depend on the physical partitioning, and

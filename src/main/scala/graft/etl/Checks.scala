@@ -93,14 +93,21 @@ object Checks {
     * to characters that can never break the quoting. */
   private val SafeName = "[A-Za-z0-9_][A-Za-z0-9_ .:/=<>%-]*".r
 
-  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "Checks.run needs at least one check")
-    require(checks.map(_.name).distinct.length == checks.length,
-      "check names must be unique")
+  /** Shared eager name gate: [[run]] uses it at execution time, and
+    * declaration-time callers (B38 table constraints) use it so an
+    * unenforceable name is rejected when DECLARED, not at first
+    * publish — a name run() would refuse must never persist. */
+  private[graft] def requireSafeNames(checks: Seq[Check]): Unit =
     checks.foreach { c =>
       require(SafeName.pattern.matcher(c.name).matches(),
         s"check name '${c.name}' must match $SafeName (no quotes/backticks)")
     }
+
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Checks.run needs at least one check")
+    require(checks.map(_.name).distinct.length == checks.length,
+      "check names must be unique")
+    requireSafeNames(checks)
     val (refChecks, rowChecks) =
       checks.partition(_.isInstanceOf[Referential])
     val fusedOpt =

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.functions.GraftFunctions._
 
@@ -34,6 +34,27 @@ object Ann {
 
   private def dotCol(a: Column, b: Column): Column =
     graft.functions.LongVecMath.dotL(a, b)
+
+  /** DECIMAL(38,0) norm² / dot for GROUP-SUMMED vectors. A cell centroid
+    * is the exact integer SUM of its members' svecs; correlated KMeans
+    * cells at the 100× tier reach per-component sums ~2×10⁹·µ so the
+    * 64-term long sum of squares passes int64 max (~9.2×10¹⁸ — observed
+    * cnorm2 up to 3.4×10¹⁹) and the codegen'd long kernel wraps
+    * SILENTLY, corrupting cell routing. Rule: per-row svec math
+    * (components ≤ ±10⁶·µ, norm² ≤ 6.4×10¹³) stays on the codegen'd
+    * long kernels; anything summed over a GROUP routes through these
+    * exact DECIMAL(38) folds. The centroid table is ≤ cells rows and
+    * the query side ≤ nQueries rows, so the non-codegen lambda cost is
+    * irrelevant; the hot member-scan cosine is untouched.
+    */
+  private val Dec38 = DecimalType(38, 0)
+  private val Dec19 = DecimalType(19, 0)
+  private def decNorm2(v: Column): Column =
+    aggregate(v, lit(0L).cast(Dec38),
+      (acc, x) => acc + (x.cast(Dec19) * x.cast(Dec19)).cast(Dec38))
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast(Dec19) * y.cast(Dec19)).cast(Dec38)),
+      lit(0L).cast(Dec38), (acc, x) => acc + x)
 
   /** Cosine from exact integer dot and norms (double ops on exact ints). */
   private def cosCol(dot: Column, n1: Column, n2: Column): Column =
@@ -74,7 +95,7 @@ object Ann {
       .groupBy(col(keyCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("cvec"))
-      .withColumn("cnorm2", graft.functions.LongVecMath.norm2L(col("cvec")))
+      .withColumn("cnorm2", decNorm2(col("cvec")))
 
   def labelCentroids(emb: DataFrame): DataFrame =
     centroidsFor(withScaledVec(emb), "label")
@@ -95,7 +116,7 @@ object Ann {
       .partitionBy(col("q_id")).orderBy(col("ccos").desc, col(cellCol))
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        cosCol(dotCol(col("q_svec"), col("cvec")), col("q_norm2"), col("cnorm2")))
+        cosCol(decDot(col("q_svec"), col("cvec")), col("q_norm2"), col("cnorm2")))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= nprobe)
       .select(col("q_id"), col("q_svec"), col("q_norm2"), col(cellCol))

@@ -370,7 +370,12 @@ object CorpusStats {
   def finishOovMass(counts: DataFrame): DataFrame =
     counts.withColumn("oov_ppm",
       when(col("n_tokens") === 0L, lit(0L))
-        .otherwise(expr("1000000 * oov_tokens div n_tokens")))
+        // ×10⁶ widened through DECIMAL(38): a raw long multiply wraps
+        // past ~9.2e12 OOV tokens per source while the DuckDB twin's
+        // SUM auto-promotes to HUGEINT — the chars_per_tok_ppm /
+        // mean_df_bits_e6 / Gini-share wrap class
+        .otherwise(expr(
+          "CAST(1000000 * CAST(oov_tokens AS DECIMAL(38,0)) div n_tokens AS BIGINT)")))
 
   /** E64 — per-document NOVELTY profile against the whole corpus: how
     * much of each document's shingle set exists nowhere else

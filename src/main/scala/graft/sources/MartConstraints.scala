@@ -30,7 +30,11 @@ import graft.etl.Checks
   *
   * Cost: one extra aggregate scan of the staged frame per publish when
   * constraints exist — the industry-standard price (Deequ/Delta), and
-  * it fuses N checks into that one scan (B29).
+  * it fuses N checks into that one scan (B29). A Unique constraint
+  * additionally costs one key-pruned semi-join against the live
+  * snapshot per publish (see [[enforce]]) — uniqueness is a TABLE
+  * property, so enforcing it only within each batch would advertise a
+  * guarantee the table does not hold.
   */
 object MartConstraints {
 
@@ -65,24 +69,51 @@ object MartConstraints {
           "pipeline-side with Checks.run, or restate it declaratively")
   }
 
-  /** Declare (replace) the table's constraint suite. Validation of the
-    * names/shapes is eager; the write is temp-file + rename so a
-    * concurrently-staging writer reads old-or-new, never a torn file. */
+  /** Declare (replace) the table's constraint suite. Validation is
+    * EAGER on all three axes an unenforceable declaration could hide
+    * behind: (a) names pass the same SafeName gate Checks.run applies,
+    * so a name that would brick every later publish is refused here;
+    * (b) shapes must serialize declaratively (renderCheck); (c) the
+    * EXISTING table data (if any) is scanned through the suite — the
+    * Delta `ALTER TABLE ADD CONSTRAINT` semantic — so a constraint the
+    * current rows already violate is refused instead of permanently
+    * failing every rewrite path that restages old rows (merge,
+    * erasure). The install is temp-file + atomic-overwrite rename
+    * (FileContext OVERWRITE — no delete-then-rename window), so a
+    * concurrently-staging writer reads old-or-new, never a torn file
+    * and never an ABSENT one. */
   def set(spark: SparkSession, path: String, checks: Seq[Checks.Check]): Unit = {
     require(checks.nonEmpty, "empty constraint suite — use clear() to drop")
     require(checks.map(_.name).distinct.length == checks.length,
       "constraint names must be unique")
+    Checks.requireSafeNames(checks)
     val body = "[" + checks.map(renderCheck).mkString(",") + "]"
+    AtomicMart.readRetained(spark, path, Set.empty).foreach { current =>
+      val failed = Checks.run(current, checks)
+        .filter(org.apache.spark.sql.functions.col("pass") === 0L)
+        .collect()
+      if (failed.nonEmpty) {
+        val detail = failed.map(r =>
+          s"${r.getString(0)}: ${r.getLong(1)} violations (allowed ${r.getLong(2)})")
+          .mkString("; ")
+        throw new ConstraintViolationException(
+          s"constraint declaration refused at $path — existing table data " +
+            s"violates the suite ($detail); clean the data first or widen the budget")
+      }
+    }
     val f = fsOf(spark, path)
     f.mkdirs(new Path(path))
     val tmp = new Path(path, s".tmp-constraints-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dest = new Path(path, FileName)
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(s"could not install $dest")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(s"could not install $dest", e)
     }
   }
 
@@ -132,18 +163,45 @@ object MartConstraints {
   /** Run the table's suite (if any) against a frame about to stage;
     * throws [[ConstraintViolationException]] naming every failing
     * check with its count vs budget. Called by [[AtomicMart.stage]] —
-    * the one funnel every commit path shares. */
+    * the one funnel every commit path shares.
+    *
+    * Row-local checks (NotNull/Bounds/Accepted) and within-batch Unique
+    * run on the staged frame alone. Unique is additionally enforced
+    * TABLE-WIDE: the staged keys are semi-joined against the keys of
+    * every row that stays live after this commit (`retracts` excludes
+    * the partitions the commit replaces, so a merge/erasure restaging
+    * its own rows never collides with itself). Set() already proved
+    * the existing data unique, so staged-vs-live is the only new
+    * collision surface per batch — one key-pruned scan of the live
+    * table per publish, the price of a uniqueness guarantee that
+    * actually holds across batches. */
   private[sources] def enforce(spark: SparkSession, path: String,
-                               mart: DataFrame): Unit = {
+                               mart: DataFrame,
+                               retracts: Set[Seq[String]] = Set.empty): Unit = {
     val checks = get(spark, path)
     if (checks.isEmpty) return
     val failed = Checks.run(mart, checks)
       .filter(org.apache.spark.sql.functions.col("pass") === 0L)
       .collect()
-    if (failed.nonEmpty) {
-      val detail = failed.map(r =>
+    val uniques = checks.collect { case u: Checks.Unique => u }
+    val crossBatch =
+      if (uniques.isEmpty) Nil
+      else AtomicMart.readRetained(spark, path, retracts).toSeq.flatMap { live =>
+        import org.apache.spark.sql.functions.col
+        uniques.flatMap { u =>
+          val cols = u.columns.map(col)
+          val n = mart.select(cols: _*)
+            .join(live.select(cols: _*), u.columns, "left_semi").count()
+          if (n > u.allowed)
+            Some(s"${u.name}: $n staged rows duplicate keys already live " +
+              s"in the table (allowed ${u.allowed})")
+          else None
+        }
+      }
+    if (failed.nonEmpty || crossBatch.nonEmpty) {
+      val detail = (failed.map(r =>
         s"${r.getString(0)}: ${r.getLong(1)} violations (allowed ${r.getLong(2)})")
-        .mkString("; ")
+        ++ crossBatch).mkString("; ")
       throw new ConstraintViolationException(
         s"commit refused by table constraints at $path — $detail")
     }

@@ -262,4 +262,48 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.publishDay(bad, path)
     assert(AtomicMart.read(spark, path).count() == 4)
   }
+
+  test("B38 declaration scans existing data and Unique holds TABLE-wide, not per-batch") {
+    import graft.etl.Checks
+    import graft.sources.MartConstraints
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(
+      mart("2021-03-01", ("passport", 1L, 100L), ("passport", 2L, 5000L)), path)
+    // (a) ADD CONSTRAINT semantics: existing data violates the bound →
+    // declaration refused, nothing installed, later publishes unchecked
+    val exSet = intercept[MartConstraints.ConstraintViolationException] {
+      MartConstraints.set(spark, path, Seq(
+        Checks.Bounds("c_amount", col("amount"), 0L, 1000L)))
+    }
+    assert(exSet.getMessage.contains("c_amount"), exSet.getMessage)
+    assert(MartConstraints.get(spark, path).isEmpty)
+    // (b) a name Checks.run would refuse is refused at DECLARATION
+    intercept[IllegalArgumentException] {
+      MartConstraints.set(spark, path,
+        Seq(Checks.NotNull("bad`name\"", "rule")))
+    }
+    // (c) a suite the current data satisfies installs fine
+    MartConstraints.set(spark, path, Seq(Checks.Unique("c_pk", Seq("tx_id"))))
+    // (d) CROSS-batch duplicate: tx_id 1 is already live in an earlier
+    // batch; a new APPENDING publish carrying it again must refuse —
+    // uniqueness is a property of the table, not of one batch
+    val exDup = intercept[MartConstraints.ConstraintViolationException] {
+      AtomicMart.publishDay(mart("2021-03-02", ("passport", 1L, 50L)), path)
+    }
+    assert(exDup.getMessage.contains("c_pk")
+      && exDup.getMessage.contains("already live"), exDup.getMessage)
+    assert(AtomicMart.read(spark, path).count() == 2)
+    // (e) genuinely new keys append through the same gate
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 3L, 50L)), path)
+    assert(AtomicMart.read(spark, path).count() == 3)
+    // (f) a REPLACE of a live partition restages its own keys without
+    // self-colliding (the merge/erasure path): day 1 rewritten minus
+    // tx 2, keeping tx 1 — allowed, because day 1's partitions are
+    // retracted by the same commit
+    val rewritten = mart("2021-03-01", ("passport", 1L, 100L))
+    AtomicMart.publishReplacing(rewritten, path, Seq("rule", "batch_date"),
+      Seq(Seq("passport", "2021-03-01")))
+    val left = AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet
+    assert(left == Set(1L, 3L))
+  }
 }
