@@ -1164,6 +1164,59 @@ object SparkEntry {
           col("part").cast("string").as("part"))
         .orderBy(col("k"))
     }),
+    // ---- B39: predicate UPDATE then DELETE on a live AtomicMart —
+    // copy-on-write rewrites of only the touched partitions, each one
+    // OCC commit; the readback is the post-DML table, so the oracle
+    // checks the full statement semantics end-to-end.
+    "q_mart_delete" -> ((s, d) => {
+      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_delete"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+      sources.AtomicMart.publish(base, out, Seq("part"), statCols = Seq("k"))
+      sources.MartDml.update(s, out,
+        col("status") === "F" && col("k") % 7 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(100L))))
+      sources.MartDml.delete(s, out, col("status") === "O" && col("k") % 3 === 0)
+      val back = sources.AtomicMart.read(s, out)
+      // zero-row warehouse: an all-empty publish commits zero entries
+      // and reads back column-less — shape it with the input type
+      (if (back.columns.isEmpty) base.limit(0) else back)
+        .select(col("k"), col("price_cents"), col("status"),
+          col("part").cast("string").as("part"))
+        .orderBy(col("k"))
+    }),
+    // ---- B40: change data feed — the row-level I/U/D delta DERIVED
+    // between two retained versions (v0 → post-DML head), keyed so
+    // rewrites classify as update pre/postimage pairs.
+    "q_mart_cdf" -> ((s, d) => {
+      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_cdf"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+      sources.AtomicMart.publish(base, out, Seq("part"), statCols = Seq("k"))
+      sources.MartDml.update(s, out,
+        col("status") === "F" && col("k") % 7 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(100L))))
+      sources.MartDml.delete(s, out, col("status") === "O" && col("k") % 3 === 0)
+      // zero-row warehouse: the no-match DMLs commit nothing, so read
+      // to the actual head (v2 on real data, v0 on an empty one)
+      val head = sources.AtomicMart.currentVersion(s, out).getOrElse(0L)
+      val feed = sources.MartCdf.readChanges(s, out, 0L, head, keyCols = Seq("k"))
+      (if (feed.columns.contains("k")) feed
+       else base.limit(0).withColumn("_change_type", lit("")))
+        .select(col("k"), col("price_cents"), col("status"),
+          col("part").cast("string").as("part"), col("_change_type"))
+        .orderBy(col("k"), col("_change_type"))
+    }),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
     "q_km" -> ((s, d) =>
       ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -1922,14 +1975,14 @@ object SparkEntry {
     * star-contraction `q_dedup_cc`). */
   private lazy val sqlClusterAssignCtes: String =
     s"""$sqlLshCtes,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id1 AS a, id2 AS b FROM cand
        |  UNION SELECT id2, id1 FROM cand),
        |walk(node, reach) AS (
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT node AS doc_id, min(reach) AS cluster_id
        |  FROM walk GROUP BY node)""".stripMargin
 
@@ -1980,27 +2033,27 @@ object SparkEntry {
     val bandDefs = (0 until 4).map(b =>
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(CAST(sig_${2*b} AS VARCHAR)||'_'||CAST(sig_${2*b+1} AS VARCHAR)) AS bucket FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 250 = 0),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT doc_id, string_split(text,' ') AS toks FROM base
        |  WHERE len(string_split(text,' ')) >= 3),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range(1, len(toks)-1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
        |  FROM t),
-       |hx AS (
+       |hx AS MATERIALIZED (
        |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS x
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigDefs
        |  FROM hx GROUP BY doc_id),
        |bands AS (
        |  $bandDefs),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    count(DISTINCT a.band) AS n_shared_bands
        |  FROM bands a JOIN bands b
@@ -6671,6 +6724,54 @@ object SparkEntry {
         |SELECT k, price_cents, status, part
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
 
+    // B39 twin: the same UPDATE-then-DELETE statement pair in plain SQL
+    "q_mart_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k,
+        |    CASE WHEN status = 'F' AND k % 7 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents,
+        |    status, part
+        |  FROM base)
+        |SELECT k, price_cents, status, part FROM upd
+        |WHERE NOT (status = 'O' AND k % 3 = 0)
+        |ORDER BY k""".stripMargin,
+
+    // B40 twin: the multiset diff base → post-DML, keys on both sides
+    // of the diff reclassified as update pre/postimages
+    "q_mart_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part
+        |  FROM orders),
+        |final AS (
+        |  SELECT k,
+        |    CASE WHEN status = 'F' AND k % 7 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents,
+        |    status, part
+        |  FROM base
+        |  WHERE NOT (status = 'O' AND k % 3 = 0)),
+        |d AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final),
+        |i AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+        |uk AS (SELECT k FROM d INTERSECT SELECT k FROM i)
+        |SELECT k, price_cents, status, part,
+        |  CASE WHEN k IN (SELECT k FROM uk) THEN 'update_preimage'
+        |       ELSE 'delete' END AS _change_type
+        |FROM d
+        |UNION ALL
+        |SELECT k, price_cents, status, part,
+        |  CASE WHEN k IN (SELECT k FROM uk) THEN 'update_postimage'
+        |       ELSE 'insert' END AS _change_type
+        |FROM i
+        |ORDER BY k, _change_type""".stripMargin,
+
     "q_km" ->
       """WITH j AS (
         |  SELECT o.o_orderpriority AS grp,
@@ -7029,17 +7130,22 @@ object SparkEntry {
         |    list_transform(w.embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS svec
         |  FROM wd w JOIN cells c USING (vec_id)),
-        |n AS (
-        |  SELECT vec_id, cell, svec,
+        |n AS MATERIALIZED (
+        |  -- per-row svec math is EXACT in double (every term and
+        |  -- partial sum an integer < 2^53), so the native vectorized
+        |  -- list_dot_product replaces the interpreted list_reduce
+        |  -- lambda (~40x on the O(cell^2) pair scan) while producing
+        |  -- bit-identical cosines; group-summed centroid math
+        |  -- elsewhere stays HUGEINT, where double would NOT be exact
+        |  SELECT vec_id, cell,
+        |    list_transform(svec, x -> CAST(x AS DOUBLE)) AS dvec,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(svec, x -> x*x)), (a,b) -> a+b) AS norm2
         |  FROM nn),
         |rm AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1,65), i -> a.svec[i]*b.svec[i])),
-        |      (x,y) -> x+y) AS DOUBLE)
+        |  WHERE list_dot_product(a.dvec, b.dvec)
         |    / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
         |    >= 0.999)
         |SELECT n.vec_id, n.cell,

@@ -41,9 +41,23 @@ object RankTests {
     * the cumulative window runs per slice over distinct values only.
     * Decimal(38) moments — N³ overflows BIGINT past ~2·10⁶ rows per
     * slice, long before any real slice does. */
-  def mannWhitney(df: DataFrame): DataFrame = {
-    val byVal = df.groupBy(col("slice"), col("v"))
+  def mannWhitney(df: DataFrame): DataFrame =
+    finishMannWhitney(mannWhitneyContract(df))
+
+  /** The distinct-value contraction D92 ranks over: per (slice, v) the
+    * total count and the group-1 count. Counters merge associatively,
+    * so this frame doubles as the F38 streaming monitor's complete-
+    * mode state — bounded by slice·value cardinality, never stream
+    * length. */
+  def mannWhitneyContract(df: DataFrame): DataFrame =
+    df.groupBy(col("slice"), col("v"))
       .agg(count(lit(1)).as("n"), sum(col("grp")).as("n1v"))
+
+  /** The non-associative back half (rank prefix-sums + the pinned IEEE
+    * z sequence) over an already-contracted frame — shared VERBATIM by
+    * the batch op and the F38 streaming finisher so live and batch can
+    * never disagree on what "the distribution moved" means. */
+  def finishMannWhitney(byVal: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("slice")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byVal

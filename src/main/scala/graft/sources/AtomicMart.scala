@@ -54,8 +54,14 @@ object AtomicMart {
     * DATA-SKIPPING index (Delta/Iceberg file-stats semantics, held at
     * dir granularity). `typ` picks the comparison domain: "n" compares
     * as numbers (BigDecimal over the rendered string), "s" compares
-    * lexicographically (strings, ISO dates/timestamps). */
-  final case class ColStat(typ: String, min: String, max: String)
+    * lexicographically (strings, ISO dates/timestamps). `nulls`/`rows`
+    * (-1 = not captured; old manifests parse that way) extend the skip
+    * surface to NULL predicates: `IS NOT NULL` skips all-null
+    * partitions, `IS NULL` skips null-free ones, and an all-null
+    * partition (min/max empty, nulls == rows) is skippable by ANY
+    * value comparison — SQL comparisons against NULL never match. */
+  final case class ColStat(typ: String, min: String, max: String,
+                           nulls: Long = -1L, rows: Long = -1L)
 
   /** One live logical partition: values aligned with partCols, the
     * absolute directory that serves it, and optional column bounds
@@ -86,7 +92,8 @@ object AtomicMart {
       val stats =
         if (e.stats.isEmpty) ""
         else e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-          s"${jq(c)}:{\"t\":${jq(s.typ)},\"min\":${jq(s.min)},\"max\":${jq(s.max)}}"
+          val nullStats = if (s.rows >= 0) s""","nl":${s.nulls},"rw":${s.rows}""" else ""
+          s"${jq(c)}:{\"t\":${jq(s.typ)},\"min\":${jq(s.min)},\"max\":${jq(s.max)}$nullStats}"
         }.mkString(""","stats":{""", ",", "}")
       s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}$stats}"""
     }.mkString("[", ",", "]")
@@ -174,8 +181,10 @@ object AtomicMart {
       val o = v.asInstanceOf[JObj].fields
       val stats = o.get("stats").map(_.asInstanceOf[JObj].fields.map { case (c, sv) =>
         val so = sv.asInstanceOf[JObj].fields
+        def optNum(k: String) = so.get(k).map(_.asInstanceOf[JNum].n).getOrElse(-1L)
         c -> ColStat(so("t").asInstanceOf[JStr].s,
-          so("min").asInstanceOf[JStr].s, so("max").asInstanceOf[JStr].s)
+          so("min").asInstanceOf[JStr].s, so("max").asInstanceOf[JStr].s,
+          optNum("nl"), optNum("rw"))
       }).getOrElse(Map.empty[String, ColStat])
       Entry(
         o("values").asInstanceOf[JArr].vs.map(_.asInstanceOf[JStr].s),
@@ -272,20 +281,28 @@ object AtomicMart {
     val indexed = statCols.flatMap { c =>
       statDomain(schema(c).dataType).map(c -> _)
     }
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
     val aggs = indexed.flatMap { case (c, _) =>
       Seq(fmin(col(c)).cast("string").as(s"__min_$c"),
-        fmax(col(c)).cast("string").as(s"__max_$c"))
-    }
+        fmax(col(c)).cast("string").as(s"__max_$c"),
+        fcount(col(c)).as(s"__cnt_$c"))
+    } :+ fcount(flit(1)).as("__rows")
     val statRows = mart
       .groupBy(partCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byValues: Map[Seq[String], Map[String, ColStat]] = statRows.map { r =>
       val values = partCols.indices.map(i => Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
-      val stats = indexed.flatMap { case (c, t) =>
+      val rows = r.getAs[Long]("__rows")
+      val stats = indexed.map { case (c, t) =>
         val lo = r.getAs[String](s"__min_$c")
         val hi = r.getAs[String](s"__max_$c")
-        if (lo == null || hi == null) None else Some(c -> ColStat(t, lo, hi))
+        val nulls = rows - r.getAs[Long](s"__cnt_$c")
+        // all-null partitions used to get NO stat (conservative); with
+        // null counts they get an empty-bounds stat that value windows
+        // AND null windows can both skip on
+        if (lo == null || hi == null) c -> ColStat(t, "", "", nulls, rows)
+        else c -> ColStat(t, lo, hi, nulls, rows)
       }.toMap
       (values: Seq[String]) -> stats
     }.toMap
@@ -524,9 +541,14 @@ object AtomicMart {
   // predicate always runs as the exact residual filter, so correctness
   // never depends on extraction coverage).
 
-  /** A conjunct's stat window: column name, optional lower and upper
-    * bound, each carrying its comparison domain ("n"/"s"). */
-  private type Window = (String, Option[(String, String)], Option[(String, String)])
+  /** A conjunct's prune condition: a value window (optional bounds,
+    * each carrying its comparison domain "n"/"s"), or a null test. */
+  private sealed trait PruneCond { def c: String }
+  private final case class RangeCond(c: String,
+                                     lo: Option[(String, String)],
+                                     hi: Option[(String, String)]) extends PruneCond
+  private final case class NotNullCond(c: String) extends PruneCond
+  private final case class NullCond(c: String) extends PruneCond
 
   private def splitConjuncts(e: catalyst.expressions.Expression)
       : Seq[catalyst.expressions.Expression] = e match {
@@ -534,19 +556,26 @@ object AtomicMart {
     case other => Seq(other)
   }
 
-  /** Render a literal into the stat domain it compares in, or None for
-    * domains the skipper does not index (then the conjunct just does
-    * not prune). Mirrors [[statDomain]]'s numeric/lexicographic split;
-    * dates/timestamps usually arrive as ISO strings here, which land
-    * in "s" exactly like their stats do. */
-  private def litRender(l: catalyst.expressions.Literal): Option[(String, String)] = {
-    import org.apache.spark.sql.types._
-    Option(l.value).flatMap { v =>
-      l.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => Some(("n", v.toString))
-        case _: DecimalType => Some(("n", v.toString))
-        case StringType => Some(("s", v.toString))
-        case _ => None
+  /** Render a constant side into the stat domain it compares in, or
+    * None for domains the skipper does not index (then the conjunct
+    * just does not prune). Mirrors [[statDomain]]'s numeric/
+    * lexicographic split. Accepts any FOLDABLE expression, not only a
+    * bare Literal — analysis leaves coercion casts unfolded
+    * (`dt = '7'` over an int partition column arrives as
+    * `EqualTo(dt, Cast('7' AS INT))`), and folding them here is what
+    * lets partition-value windows prune. */
+  private object FoldedLit {
+    def unapply(e: catalyst.expressions.Expression): Option[(String, String)] = {
+      import org.apache.spark.sql.types._
+      if (!e.foldable) return None
+      val v = try e.eval(null) catch { case _: Exception => null }
+      Option(v).flatMap { value =>
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => Some(("n", value.toString))
+          case _: DecimalType => Some(("n", value.toString))
+          case StringType => Some(("s", value.toString))
+          case _ => None
+        }
       }
     }
   }
@@ -554,6 +583,10 @@ object AtomicMart {
   private def attrName(e: catalyst.expressions.Expression): Option[String] = e match {
     case a: catalyst.analysis.UnresolvedAttribute => Some(a.name)
     case a: catalyst.expressions.AttributeReference => Some(a.name)
+    // analysis inserts widening casts on type-mismatched comparisons;
+    // unwrapping is safe because entryMayMatch already refuses to prune
+    // across comparison-domain changes (t != typ keeps the entry)
+    case c: catalyst.expressions.Cast => attrName(c.child)
     case _ => None
   }
 
@@ -561,56 +594,89 @@ object AtomicMart {
     * column-vs-literal comparison. Strict bounds are widened to closed
     * ones — conservative: a boundary partition is kept, never wrongly
     * skipped. */
-  private def conjunctWindow(e: catalyst.expressions.Expression): Option[Window] = {
+  private def conjunctWindow(e: catalyst.expressions.Expression): Option[PruneCond] = {
     import catalyst.expressions._
     e match {
-      case EqualTo(a, l: Literal) => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), Some(v))
-      case EqualTo(l: Literal, a) => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), Some(v))
-      case GreaterThanOrEqual(a, l: Literal) => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), None)
-      case GreaterThan(a, l: Literal)        => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), None)
-      case LessThanOrEqual(a, l: Literal)    => for (n <- attrName(a); v <- litRender(l)) yield (n, None, Some(v))
-      case LessThan(a, l: Literal)           => for (n <- attrName(a); v <- litRender(l)) yield (n, None, Some(v))
-      case GreaterThanOrEqual(l: Literal, a) => for (n <- attrName(a); v <- litRender(l)) yield (n, None, Some(v))
-      case GreaterThan(l: Literal, a)        => for (n <- attrName(a); v <- litRender(l)) yield (n, None, Some(v))
-      case LessThanOrEqual(l: Literal, a)    => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), None)
-      case LessThan(l: Literal, a)           => for (n <- attrName(a); v <- litRender(l)) yield (n, Some(v), None)
+      case EqualTo(a, FoldedLit(v)) => attrName(a).map(n => RangeCond(n, Some(v), Some(v)))
+      case EqualTo(FoldedLit(v), a) => attrName(a).map(n => RangeCond(n, Some(v), Some(v)))
+      case GreaterThanOrEqual(a, FoldedLit(v)) => attrName(a).map(n => RangeCond(n, Some(v), None))
+      case GreaterThan(a, FoldedLit(v))        => attrName(a).map(n => RangeCond(n, Some(v), None))
+      case LessThanOrEqual(a, FoldedLit(v))    => attrName(a).map(n => RangeCond(n, None, Some(v)))
+      case LessThan(a, FoldedLit(v))           => attrName(a).map(n => RangeCond(n, None, Some(v)))
+      case GreaterThanOrEqual(FoldedLit(v), a) => attrName(a).map(n => RangeCond(n, None, Some(v)))
+      case GreaterThan(FoldedLit(v), a)        => attrName(a).map(n => RangeCond(n, None, Some(v)))
+      case LessThanOrEqual(FoldedLit(v), a)    => attrName(a).map(n => RangeCond(n, Some(v), None))
+      case LessThan(FoldedLit(v), a)           => attrName(a).map(n => RangeCond(n, Some(v), None))
+      case IsNotNull(a) => attrName(a).map(NotNullCond)
+      case IsNull(a)    => attrName(a).map(NullCond)
       case _ => None
     }
   }
 
-  /** Can this entry hold a row satisfying every window? Checks BOTH
-    * prune surfaces: manifest column stats (data columns) and the
-    * partition VALUES themselves (partition columns — the manifest IS
-    * the partition index, no stats needed). A column with neither
-    * surface, a domain mismatch, or a null-ish partition value keeps
-    * the entry — conservative in every unknown. */
-  private def entryMayMatch(e: Entry, partCols: Seq[String], windows: Seq[Window]): Boolean =
-    windows.forall { case (c, lo, hi) =>
-      def within(typ: String, mn: String, mx: String): Boolean = {
-        def ok(bound: Option[(String, String)], f: String => Boolean) =
-          bound.forall { case (t, v) => t != typ || f(v) }
-        ok(lo, v => statGe(typ, mx, v)) && ok(hi, v => statGe(typ, v, mn))
-      }
-      val pi = partCols.indexOf(c)
-      if (pi >= 0) {
-        val v = e.values(pi)
-        v == "__HIVE_DEFAULT_PARTITION__" ||
-          lo.map(_._1).orElse(hi.map(_._1)).forall(t => within(t, v, v))
-      } else e.stats.get(c) match {
-        case Some(s) => within(s.typ, s.min, s.max)
-        case None => true
+  /** Can this entry hold a row satisfying every condition? Checks BOTH
+    * prune surfaces: manifest column stats (data columns — bounds for
+    * value windows, null counts for null tests) and the partition
+    * VALUES themselves (partition columns — the manifest IS the
+    * partition index; the hive default token is the null partition).
+    * A column with neither surface, a domain mismatch, or missing
+    * null counts keeps the entry — conservative in every unknown. */
+  private def entryMayMatch(e: Entry, partCols: Seq[String], conds: Seq[PruneCond]): Boolean =
+    conds.forall { cond =>
+      val pi = partCols.indexOf(cond.c)
+      val isNullPart = pi >= 0 && e.values(pi) == "__HIVE_DEFAULT_PARTITION__"
+      cond match {
+        case RangeCond(_, lo, hi) =>
+          def within(typ: String, mn: String, mx: String): Boolean = {
+            def ok(bound: Option[(String, String)], f: String => Boolean) =
+              bound.forall { case (t, v) => t != typ || f(v) }
+            ok(lo, v => statGe(typ, mx, v)) && ok(hi, v => statGe(typ, v, mn))
+          }
+          if (pi >= 0)
+            isNullPart || lo.map(_._1).orElse(hi.map(_._1))
+              .forall(t => within(t, e.values(pi), e.values(pi)))
+          else e.stats.get(cond.c) match {
+            // all-null partition: no value can satisfy ANY comparison
+            case Some(s) if s.min.isEmpty && s.rows >= 0 && s.nulls == s.rows => false
+            case Some(s) if s.min.nonEmpty => within(s.typ, s.min, s.max)
+            case _ => true
+          }
+        case NotNullCond(_) =>
+          if (pi >= 0) !isNullPart
+          else e.stats.get(cond.c) match {
+            case Some(s) if s.rows >= 0 => s.nulls < s.rows
+            case _ => true
+          }
+        case NullCond(_) =>
+          if (pi >= 0) isNullPart
+          else e.stats.get(cond.c) match {
+            case Some(s) if s.rows >= 0 => s.nulls > 0
+            case _ => true
+          }
       }
     }
 
   /** Driver-side entry pruning for an arbitrary predicate: keeps every
     * entry at least one extracted conjunct window cannot rule out.
-    * Shared by [[readFiltered]] and the B39 DML rewrites. */
-  private[sources] def pruneEntries(m: Manifest,
+    * Shared by [[readFiltered]] and the B39 DML rewrites.
+    *
+    * The predicate arrives as an UNRESOLVED Column (Spark 4's DSL
+    * builds opaque ColumnNodes), so it is resolved by analyzing a
+    * filter over a ONE-partition probe frame — a driver-only listing
+    * of a single directory, no job — and the windows are read off the
+    * resolved condition. Any failure to extract (exotic shapes,
+    * unresolvable pieces) degrades to "no pruning", never to a wrong
+    * skip: the exact predicate always runs as the residual filter. */
+  private[sources] def pruneEntries(spark: SparkSession, m: Manifest,
                                     predicate: org.apache.spark.sql.Column)
       : (Seq[Entry], Seq[Entry]) = {
-    val windows = splitConjuncts(
-      org.apache.spark.sql.graftbridge.Bridge.expression(predicate))
-      .flatMap(conjunctWindow(_))
+    if (m.entries.isEmpty) return (Nil, Nil)
+    val windows =
+      try {
+        val probe = readEntries(spark, m.entries.take(1))
+        probe.filter(predicate).queryExecution.analyzed
+          .collectFirst { case f: catalyst.plans.logical.Filter => f.condition }
+          .toSeq.flatMap(splitConjuncts).flatMap(conjunctWindow(_))
+      } catch { case _: Exception => Nil }
     m.entries.partition(entryMayMatch(_, m.partCols, windows))
   }
 
@@ -623,7 +689,7 @@ object AtomicMart {
                    predicate: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    val (keep, skip) = pruneEntries(m, predicate)
+    val (keep, skip) = pruneEntries(spark, m, predicate)
     if (keep.isEmpty) (spark.emptyDataFrame, 0, skip.size)
     else (readEntries(spark, keep).filter(predicate), keep.size, skip.size)
   }
@@ -645,8 +711,9 @@ object AtomicMart {
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (keep, skip) = m.entries.partition { e =>
       e.stats.get(column) match {
-        case Some(s) =>
+        case Some(s) if s.min.nonEmpty =>
           statGe(s.typ, s.max, lo.toString) && statGe(s.typ, hi.toString, s.min)
+        case Some(_) => false // all-null partition: no value can match
         case None => true // no stats: must scan
       }
     }

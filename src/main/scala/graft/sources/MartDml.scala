@@ -84,7 +84,7 @@ object MartDml {
                      (transform: DataFrame => DataFrame): DmlResult = {
     val m = AtomicMart.readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    val (candidates, _) = AtomicMart.pruneEntries(m, predicate)
+    val (candidates, _) = AtomicMart.pruneEntries(spark, m, predicate)
     if (candidates.isEmpty)
       return DmlResult(m.version, 0, m.entries.size)
     // phase 2: exact match → touched partition tuples (driver list is

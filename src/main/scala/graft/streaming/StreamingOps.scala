@@ -767,6 +767,22 @@ object StreamingOps {
     * types need per-source word state (unbounded — the F33
     * reject-don't-degrade rule); a corpus audit uses E72, and a live
     * approximate-types sidecar is one F16 HLL register file away. */
+  /** F38 — streaming DRIFT-BY-RANKS monitor (D92 run live): the
+    * (slice, v) distinct-value contraction with per-value (n, n1v)
+    * counters as complete-mode state — counts merge associatively, so
+    * micro-batch folding provably lands on the same contraction as one
+    * batch pass, and state is bounded by slice·value cardinality
+    * forever (the F17/F31 minimal-state split: rank prefix-sums are
+    * non-associative, never state). grp=0 marks the pinned reference
+    * sample, grp=1 the live window; each emitted snapshot finishes
+    * through the batch [[graft.ops.RankTests]] `finishMannWhitney`, so
+    * the live tie-corrected rank-sum z IS the nightly D92's — a
+    * distribution-free drift alarm a single fat-finger outlier cannot
+    * swamp, which is exactly why a rank monitor earns its place next
+    * to the F29 KS and F17 χ² ones. */
+  def rankDriftState(rows: DataFrame): DataFrame =
+    graft.ops.RankTests.mannWhitneyContract(rows)
+
   def oovMassState(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))

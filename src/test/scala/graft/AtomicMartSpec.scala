@@ -306,4 +306,207 @@ class AtomicMartSpec extends SparkSpec {
     val left = AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet
     assert(left == Set(1L, 3L))
   }
+
+  /** values→dir pointer map parsed from a version file's raw JSON (the
+    * spec lives outside graft.sources, so it reads the artifact the
+    * way an external auditor would). */
+  private def pointerMap(path: String, v: Long): Map[String, String] = {
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$path/_versions/v$v%09d.json")))
+    """"values":\[([^\]]*)\],"dir":"([^"]*)"""".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  test("B39 predicate DELETE: partition-pruned rewrite, untouched pointers byte-identical") {
+    import graft.sources.MartDml
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01",
+      ("passport", 1L, 100L), ("passport", 2L, 200L), ("city", 3L, 300L)), path)
+    AtomicMart.publishDay(mart("2021-03-02",
+      ("passport", 4L, 400L), ("city", 5L, 5000L), ("city", 6L, 10L)), path)
+    val vBefore = AtomicMart.currentVersion(spark, path).get
+    val before = pointerMap(path, vBefore)
+    // predicate prunes on the PARTITION VALUE (batch_date) before any
+    // scan; only (city, 03-02) contains matches → 1 partition rewritten
+    val r = MartDml.delete(spark, path,
+      col("amount") >= 1000L && col("batch_date") === "2021-03-02")
+    assert(r.rewritten == 1 && r.untouched == 3, r)
+    assert(r.version == vBefore + 1)
+    val after = pointerMap(path, r.version)
+    // untouched partitions keep their manifest pointers BYTE-identically
+    before.foreach { case (values, dir) =>
+      if (!values.contains("city") || !values.contains("2021-03-02"))
+        assert(after(values) == dir, s"pointer moved for $values")
+    }
+    val touchedKey = before.keys.find(v => v.contains("city") && v.contains("2021-03-02")).get
+    assert(after(touchedKey) != before(touchedKey), "touched pointer must move to a new snap dir")
+    val rows = AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet
+    assert(rows == Set(1L, 2L, 3L, 4L, 6L))
+    // snapshot isolation: the pre-delete version still reads tx 5
+    assert(AtomicMart.readVersion(spark, path, vBefore)
+      .filter(col("tx_id") === 5L).count() == 1)
+    // no-match DELETE commits NOTHING — the head does not move
+    val r2 = MartDml.delete(spark, path, col("amount") > 1000000L)
+    assert(r2.version == r.version && r2.rewritten == 0)
+    // deleting every row of a partition RETRACTS it
+    val r3 = MartDml.delete(spark, path, col("rule") === "city" && col("batch_date") === "2021-03-02")
+    assert(!pointerMap(path, r3.version).keys.exists(v =>
+      v.contains("city") && v.contains("2021-03-02")))
+  }
+
+  test("B39 predicate UPDATE: assignments under when(), partition columns refused") {
+    import graft.sources.MartDml
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01",
+      ("passport", 1L, 100L), ("city", 2L, 200L)), path)
+    AtomicMart.publishDay(mart("2021-03-02", ("passport", 3L, 300L)), path)
+    val r = MartDml.update(spark, path,
+      col("rule") === "passport" && col("batch_date") === "2021-03-01",
+      Map("amount" -> (col("amount") + 1L)))
+    assert(r.rewritten == 1 && r.untouched == 2, r)
+    val got = AtomicMart.read(spark, path)
+      .select("tx_id", "amount").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 101L, 2L -> 200L, 3L -> 300L))
+    intercept[IllegalArgumentException] {
+      MartDml.update(spark, path, col("amount") > 0L,
+        Map("batch_date" -> lit("2021-04-01")))
+    }
+  }
+
+  test("I31 multi-column data skipping: a conjunction prunes multiplicatively") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_amart").toString
+    // 9 partitions; amount windows repeat every 3 dts, u repeats per
+    // dt/3 — so each single-column window keeps 3 partitions but the
+    // conjunction keeps exactly their 1-partition intersection
+    val df = (0 until 9).flatMap { dt =>
+      (0 until 50).map(i => (dt.toString, (dt % 3) * 1000L + i, s"u${dt / 3}", dt * 100L + i))
+    }.toDF("dt", "amount", "u", "id")
+    AtomicMart.publish(df, path, Seq("dt"), statCols = Seq("amount", "u"))
+    val (one, kept1, skip1) = AtomicMart.readBetween(spark, path, "amount", 1000L, 1999L)
+    assert(kept1 == 3 && skip1 == 6 && one.count() == 150)
+    val (both, kept2, skip2) = AtomicMart.readFiltered(spark, path,
+      col("amount") >= 1000L && col("amount") <= 1999L && col("u") === "u1")
+    assert(kept2 == 1 && skip2 == 8, s"kept=$kept2 skipped=$skip2")
+    assert(both.select("dt").distinct().as[String].collect().toSeq == Seq("4"))
+    assert(both.count() == 50)
+    // partition-VALUE windows prune too, and compose with stat windows
+    val (pv, kept3, skip3) = AtomicMart.readFiltered(spark, path,
+      col("dt") === "7" && col("amount") >= 1000L)
+    assert(kept3 == 1 && skip3 == 8 && pv.count() == 50)
+    // an unextractable predicate stays exact: nothing pruned, answer right
+    val (res, kept4, _) = AtomicMart.readFiltered(spark, path,
+      (col("amount") % 7L) === 0L)
+    assert(kept4 == 9 && res.count() ==
+      AtomicMart.read(spark, path).filter((col("amount") % 7L) === 0L).count())
+  }
+
+  test("B40 change data feed: derived I/U/D, fold reproduces target, unchanged partitions unread") {
+    import graft.sources.MartCdf
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01",
+      ("passport", 1L, 100L), ("passport", 2L, 200L), ("city", 3L, 300L)), path)
+    // v1 replaces ONLY the passport partition: tx1 updated, tx2
+    // deleted, tx4 inserted; the city partition keeps its pointer
+    AtomicMart.publishReplacing(
+      mart("2021-03-01", ("passport", 1L, 150L), ("passport", 4L, 400L)),
+      path, Seq("rule", "batch_date"), Seq(Seq("passport", "2021-03-01")))
+    val feed = MartCdf.readChanges(spark, path, 0L, 1L, keyCols = Seq("tx_id"))
+    val got = feed.select("tx_id", "amount", MartCdf.ChangeType)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, "update_preimage"), (1L, 150L, "update_postimage"),
+      (2L, 200L, "delete"), (4L, 400L, "insert")), got)
+    // the unchanged city partition is never scanned
+    assert(feed.inputFiles.forall(!_.contains("rule=city")), feed.inputFiles.toSeq)
+    // fold contract: v0 ∖ (deletes ∪ preimages) ⊎ (inserts ∪ postimages) = v1
+    val v0 = AtomicMart.readVersion(spark, path, 0L)
+    val v1 = AtomicMart.readVersion(spark, path, 1L)
+    val cols = v0.columns.map(col).toSeq
+    val minus = feed.filter(col(MartCdf.ChangeType).isin("delete", "update_preimage")).select(cols: _*)
+    val plus = feed.filter(col(MartCdf.ChangeType).isin("insert", "update_postimage")).select(cols: _*)
+    val folded = v0.exceptAll(minus).unionByName(plus)
+    assert(folded.exceptAll(v1).isEmpty && v1.exceptAll(folded).isEmpty)
+    // empty range, keyless I/D-only form, and vacuumed horizon
+    assert(MartCdf.readChanges(spark, path, 1L, 1L).count() == 0)
+    val keyless = MartCdf.readChanges(spark, path, 0L, 1L)
+      .groupBy(MartCdf.ChangeType).count().as[(String, Long)].collect().toMap
+    assert(keyless == Map("delete" -> 2L, "insert" -> 2L))
+    AtomicMart.publishDay(mart("2021-03-02", ("city", 9L, 900L)), path)
+    AtomicMart.vacuum(spark, path, retainLast = 1)
+    intercept[Exception] {
+      MartCdf.readChanges(spark, path, 0L, 2L, Seq("tx_id")).count()
+    }
+  }
+
+  test("B41 exactly-once tail: initial snapshot, replay-until-committed, no gaps or dupes") {
+    import graft.sources.MartCdf
+    val path = Files.createTempDirectory("graft_amart").toString
+    val bk = Files.createTempDirectory("graft_bk").toString
+    AtomicMart.publishDay(mart("2021-03-01",
+      ("passport", 1L, 100L), ("city", 2L, 200L)), path)
+    // first tail: the current snapshot as inserts
+    val t0 = MartCdf.tailStart(spark, path, bk, Seq("tx_id"))
+    assert(t0.fromVersion == -1L && t0.toVersion == 0L)
+    assert(t0.changes.filter(col(MartCdf.ChangeType) =!= "insert").count() == 0
+      && t0.changes.count() == 2)
+    MartCdf.tailCommit(spark, bk, t0.toVersion)
+    // nothing new: empty range
+    val t1 = MartCdf.tailStart(spark, path, bk, Seq("tx_id"))
+    assert(t1.fromVersion == 0L && t1.toVersion == 0L && t1.changes.count() == 0)
+    // a commit lands; consumer CRASHES after start, before commit —
+    // the next start must replay the SAME range with the SAME rows
+    AtomicMart.publishReplacing(
+      mart("2021-03-01", ("passport", 1L, 150L)),
+      path, Seq("rule", "batch_date"), Seq(Seq("passport", "2021-03-01")))
+    val t2 = MartCdf.tailStart(spark, path, bk, Seq("tx_id"))
+    val t3 = MartCdf.tailStart(spark, path, bk, Seq("tx_id"))
+    assert(t2.fromVersion == t3.fromVersion && t2.toVersion == t3.toVersion)
+    assert(t2.changes.exceptAll(t3.changes).isEmpty
+      && t3.changes.exceptAll(t2.changes).isEmpty)
+    MartCdf.tailCommit(spark, bk, t3.toVersion)
+    // double-commit of the same range is a no-op, not an error
+    MartCdf.tailCommit(spark, bk, t3.toVersion)
+    // fold of everything DELIVERED-AND-COMMITTED equals the head
+    val cols = Seq(col("rule"), col("tx_id"), col("amount"), col("batch_date"))
+    val delivered0 = t0.changes.select(cols: _*)
+    val minus = t3.changes.filter(
+      col(MartCdf.ChangeType).isin("delete", "update_preimage")).select(cols: _*)
+    val plus = t3.changes.filter(
+      col(MartCdf.ChangeType).isin("insert", "update_postimage")).select(cols: _*)
+    val folded = delivered0.exceptAll(minus).unionByName(plus)
+    val head = AtomicMart.read(spark, path).select(cols: _*)
+    assert(folded.exceptAll(head).isEmpty && head.exceptAll(folded).isEmpty)
+    val t4 = MartCdf.tailStart(spark, path, bk, Seq("tx_id"))
+    assert(t4.changes.count() == 0 && t4.fromVersion == 1L)
+  }
+
+  test("I31 null-count stats: IS [NOT] NULL prunes; all-null partitions skip value windows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_amart").toString
+    // dt=2 all-null v; dt=5 mixed; the rest null-free
+    val df = (0 until 9).flatMap { dt =>
+      (0 until 20).map { i =>
+        val v: Option[Long] =
+          if (dt == 2) None
+          else if (dt == 5 && i % 2 == 0) None
+          else Some(dt * 100L + i)
+        (dt.toString, v, i.toLong)
+      }
+    }.toDF("dt", "v", "id")
+    AtomicMart.publish(df, path, Seq("dt"), statCols = Seq("v"))
+    val (nn, keptNN, skipNN) = AtomicMart.readFiltered(spark, path, col("v").isNotNull)
+    assert(keptNN == 8 && skipNN == 1, s"kept=$keptNN")
+    assert(nn.count() == 7 * 20 + 10)
+    val (nl, keptNL, skipNL) = AtomicMart.readFiltered(spark, path, col("v").isNull)
+    assert(keptNL == 2 && skipNL == 7, s"kept=$keptNL")
+    assert(nl.count() == 20 + 10)
+    // a value window alone skips the all-null partition: comparisons
+    // against NULL never match, and the stats prove there is nothing else
+    val (vw, keptVW, _) = AtomicMart.readFiltered(spark, path, col("v") >= 0L)
+    assert(keptVW == 8 && vw.count() == 7 * 20 + 10)
+    // old readBetween path stays consistent with the empty-bounds stat
+    val (rb, keptRB, _) = AtomicMart.readBetween(spark, path, "v", 0L, 10000L)
+    assert(keptRB == 8 && rb.count() == 7 * 20 + 10)
+  }
 }

@@ -1441,6 +1441,31 @@ class ParitySpec extends SparkSpec {
     assert(sKs.toSeq == bKs.toSeq, s"ks: $sKs vs $bKs")
   }
 
+  test("F38 streaming rank drift: (slice,v) counters finish to batch D92 " +
+      "across a restart; ties and one-sided slices agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val ck = ckDir("rankdrift")
+    def plan = StreamingOps.rankDriftState(in.toDS().toDF("slice", "grp", "v"))
+    // s1 drifts (live sample sits above the reference, with a cross-
+    // restart tie at v=20); s2 stays one-sided → the finisher must pin
+    // z=0 there, live exactly like batch
+    val b1 = Seq(("s1", 0L, 10L), ("s1", 0L, 20L), ("s1", 1L, 20L),
+      ("s2", 0L, 5L), ("s2", 0L, 7L))
+    val b2 = Seq(("s1", 1L, 30L), ("s1", 1L, 40L), ("s1", 0L, 10L),
+      ("s2", 0L, 5L))
+    completeRun(in, plan, "rank_rs1", ck, b1)
+    completeRun(in, plan, "rank_rs2", ck, b2)
+    val snapshot = spark.table("rank_rs2")
+    // state is the distinct (slice, v) frame — 4 s1 values + 2 s2 values
+    assert(snapshot.count() == 6, "state must stay value-domain-sized")
+    val s = graft.ops.RankTests.finishMannWhitney(snapshot).collect()
+      .map(_.toSeq)
+    val b = graft.ops.RankTests.mannWhitney(
+      (b1 ++ b2).toDF("slice", "grp", "v")).collect().map(_.toSeq)
+    assert(s.toSeq == b.toSeq, s"stream=${s.toSeq} batch=${b.toSeq}")
+  }
+
   test("F26 streaming velocity features ≡ batch D77 row for row across " +
       "a restart (train/serve agreement); straggler tombstoned") {
     implicit val sqlCtx = spark.sqlContext
