@@ -1972,18 +1972,30 @@ object SparkEntry {
 
   /** Transitive closure over the LSH candidate pairs — the shared truth
     * for both cluster operators (min-label `q_dedup_clusters` and
-    * star-contraction `q_dedup_cc`). */
+    * star-contraction `q_dedup_cc`).
+    *
+    * The closure iterates MIN-LABEL PROPAGATION (one-hop min per
+    * recursive step, GROUP BY in the recursive term), NOT reach-set
+    * enumeration: the 100× tier's candidate graph has a 326k-node
+    * component, so `(node, reach)` pairs would materialize Σ|comp|² ≈
+    * 10¹¹ rows (the r9 q_split_safe 55-min-and-counting oracle), while
+    * label improvements total O(V·diameter) — 55 s measured on the
+    * identical data with the identical 386,944-row result. Spark's
+    * side is the E26 large-star/small-star contraction; both converge
+    * to min-id-per-component, which is what makes them comparable. */
   private lazy val sqlClusterAssignCtes: String =
     s"""$sqlLshCtes,
        |edges AS MATERIALIZED (
        |  SELECT id1 AS a, id2 AS b FROM cand
        |  UNION SELECT id2, id1 FROM cand),
-       |walk(node, reach) AS (
-       |  SELECT a, a FROM edges
+       |walk(node, lbl) AS (
+       |  SELECT a, MIN(LEAST(a, b)) FROM edges GROUP BY a
        |  UNION
-       |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+       |  SELECT e.b, MIN(LEAST(w.lbl, e.b))
+       |  FROM walk w JOIN edges e ON w.node = e.a
+       |  GROUP BY e.b),
        |assign AS MATERIALIZED (
-       |  SELECT node AS doc_id, min(reach) AS cluster_id
+       |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
        |  FROM walk GROUP BY node)""".stripMargin
 
   private lazy val sqlClustersOracle: String =
@@ -4891,15 +4903,17 @@ object SparkEntry {
 
     "q_curate_full" ->
       s"""WITH RECURSIVE $sqlLshCtes,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id1 AS a, id2 AS b FROM cand
          |  UNION SELECT id2, id1 FROM cand),
-         |walk(node, reach) AS (
-         |  SELECT a, a FROM edges
+         |walk(node, lbl) AS (
+         |  SELECT a, MIN(LEAST(a, b)) FROM edges GROUP BY a
          |  UNION
-         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-         |assign AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  SELECT e.b, MIN(LEAST(w.lbl, e.b))
+         |  FROM walk w JOIN edges e ON w.node = e.a
+         |  GROUP BY e.b),
+         |assign AS MATERIALIZED (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |  FROM walk GROUP BY node),
          |g AS (
          |  SELECT doc_id, lang, text,
@@ -4928,15 +4942,17 @@ object SparkEntry {
     // near-dup canonical = full-corpus cluster min id (E19 semantics)
     "q_curation_funnel" ->
       s"""WITH RECURSIVE $sqlLshCtes,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id1 AS a, id2 AS b FROM cand
          |  UNION SELECT id2, id1 FROM cand),
-         |walk(node, reach) AS (
-         |  SELECT a, a FROM edges
+         |walk(node, lbl) AS (
+         |  SELECT a, MIN(LEAST(a, b)) FROM edges GROUP BY a
          |  UNION
-         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-         |assign AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  SELECT e.b, MIN(LEAST(w.lbl, e.b))
+         |  FROM walk w JOIN edges e ON w.node = e.a
+         |  GROUP BY e.b),
+         |assign AS MATERIALIZED (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |  FROM walk GROUP BY node),
          |g AS (
          |  SELECT doc_id, lang, source,
@@ -6156,15 +6172,17 @@ object SparkEntry {
 
     "q_canon" ->
       s"""WITH RECURSIVE $sqlLshCtes,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id1 AS a, id2 AS b FROM cand
          |  UNION SELECT id2, id1 FROM cand),
-         |walk(node, reach) AS (
-         |  SELECT a, a FROM edges
+         |walk(node, lbl) AS (
+         |  SELECT a, MIN(LEAST(a, b)) FROM edges GROUP BY a
          |  UNION
-         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-         |assign AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  SELECT e.b, MIN(LEAST(w.lbl, e.b))
+         |  FROM walk w JOIN edges e ON w.node = e.a
+         |  GROUP BY e.b),
+         |assign AS MATERIALIZED (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |  FROM walk GROUP BY node),
          |cl AS (
          |  SELECT doc_id, cluster_id,
@@ -6553,15 +6571,17 @@ object SparkEntry {
 
     "q_dedup_impact" ->
       s"""WITH RECURSIVE $sqlLshCtes,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id1 AS a, id2 AS b FROM cand
          |  UNION SELECT id2, id1 FROM cand),
-         |walk(node, reach) AS (
-         |  SELECT a, a FROM edges
+         |walk(node, lbl) AS (
+         |  SELECT a, MIN(LEAST(a, b)) FROM edges GROUP BY a
          |  UNION
-         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-         |assign AS (
-         |  SELECT node AS doc_id, min(reach) AS cluster_id
+         |  SELECT e.b, MIN(LEAST(w.lbl, e.b))
+         |  FROM walk w JOIN edges e ON w.node = e.a
+         |  GROUP BY e.b),
+         |assign AS MATERIALIZED (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |  FROM walk GROUP BY node),
          |j AS (
          |  SELECT a2.doc_id, a2.cluster_id,

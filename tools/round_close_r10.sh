@@ -56,4 +56,9 @@ SPARK_GRAFT_SF_DIR=/root/scaled/sfx100z SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g
   SPARK_GRAFT_BENCH_TIMEOUT=900 \
   sbt -batch "runMain graft.Bench" > $R/bench_100z.log 2>&1
 
+# --- extract the one-line bench JSONs into repo-root artifacts
+grep -o '{"metric".*}' $R/bench_sf01.log | tail -1 > /root/repo/BENCH_SF01_r10.json
+grep -o '{"metric".*}' $R/bench_10z.log  | tail -1 > /root/repo/BENCH_SFX10Z_r10.json
+grep -o '{"metric".*}' $R/bench_100z.log | tail -1 > /root/repo/BENCH_SFX100Z_r10.json
+
 echo DONE > $R/close.done
