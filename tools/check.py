@@ -37,15 +37,19 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # spark-output check FIRST: when the engine declined a query by
+        # design (q_prefix_join's loud budget abort) there is nothing to
+        # compare, and running its oracle anyway burns hours in DuckDB
+        # on the same superlinear join the engine refused
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
         try:
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
-            n_bad += 1
-            continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
