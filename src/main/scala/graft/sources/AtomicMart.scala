@@ -413,11 +413,36 @@ object AtomicMart {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Publish one batch atomically: stage, then manifest-commit. */
+  /** Publish one batch atomically: stage, then manifest-commit.
+    *
+    * commit() implicitly REPLACES live partitions whose values match
+    * the staged ones, so on a Unique-constrained table the staged keys
+    * must NOT be compared against rows this very commit retracts — a
+    * legal re-publish of an existing partition (the B15 corrected-day
+    * rerun) would be falsely refused as a cross-batch duplicate of
+    * itself. The retract set (live ∩ staged partition values) costs
+    * one extra distinct pass over the batch, paid only when the table
+    * actually declares constraints and already has live entries. */
   def publish(mart: DataFrame, path: String, partCols: Seq[String],
               statCols: Seq[String] = Nil): Long = {
-    val (_, entries) = stage(mart, path, partCols, statCols)
-    commit(mart.sparkSession, path, entries, partCols)
+    val spark = mart.sparkSession
+    val live = readManifest(spark, path).map(_.entries.map(_.values).toSet)
+      .getOrElse(Set.empty[Seq[String]])
+    val retracts =
+      if (live.isEmpty || MartConstraints.get(spark, path).isEmpty)
+        Set.empty[Seq[String]]
+      else {
+        import org.apache.spark.sql.functions.col
+        val staged = mart
+          .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct().collect()
+          .map(r => partCols.indices
+            .map(i => Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")): Seq[String])
+          .toSet
+        live.intersect(staged)
+      }
+    val (_, entries) = stage(mart, path, partCols, statCols, retracts)
+    commit(spark, path, entries, partCols)
   }
 
   /** B15-shaped convenience: the daily fraud-mart publish. */
@@ -621,7 +646,7 @@ object AtomicMart {
     * A column with neither surface, a domain mismatch, or missing
     * null counts keeps the entry — conservative in every unknown. */
   private def entryMayMatch(e: Entry, partCols: Seq[String], conds: Seq[PruneCond]): Boolean =
-    conds.forall { cond =>
+    conds.forall { cond => try {
       val pi = partCols.indexOf(cond.c)
       val isNullPart = pi >= 0 && e.values(pi) == "__HIVE_DEFAULT_PARTITION__"
       cond match {
@@ -653,6 +678,13 @@ object AtomicMart {
             case _ => true
           }
       }
+      // Domain guard: partition VALUES carry no stored type, so a
+      // numeric-domain window against a non-numeric partition value
+      // (analysis coerced the column and attrName unwrapped the Cast)
+      // reaches statGe("n", ...) and BigDecimal("p3") throws. Any such
+      // failure KEEPS the entry — pruning degrades, never crashes:
+      // the documented "never worse than no pruning" contract.
+      } catch { case scala.util.control.NonFatal(_) => true }
     }
 
   /** Driver-side entry pruning for an arbitrary predicate: keeps every

@@ -63,8 +63,14 @@ object MartCdf {
       throw new IllegalArgumentException(s"no committed version at $path"))
     bookmark(spark, bookmarkPath) match {
       case None =>
-        Tail(AtomicMart.read(spark, path).withColumn(ChangeType, lit("insert")),
-          -1L, head)
+        // Read the PINNED head version, not read(...)'s latest-at-call:
+        // a commit landing between currentVersion and the read would
+        // otherwise deliver its rows inside the initial snapshot while
+        // the bookmark lands at the stale head — the next tail would
+        // re-deliver them as changes (duplicates a toVersion-keyed
+        // idempotent sink cannot dedupe).
+        Tail(AtomicMart.readVersion(spark, path, head)
+          .withColumn(ChangeType, lit("insert")), -1L, head)
       case Some(v) =>
         Tail(readChanges(spark, path, v, head, keyCols), v, head)
     }

@@ -180,30 +180,35 @@ object MartConstraints {
                                retracts: Set[Seq[String]] = Set.empty): Unit = {
     val checks = get(spark, path)
     if (checks.isEmpty) return
-    val failed = Checks.run(mart, checks)
-      .filter(org.apache.spark.sql.functions.col("pass") === 0L)
-      .collect()
+    // All verdict rows, NOT pre-filtered on pass: a Unique check's
+    // budget is ONE budget across both collision surfaces, so its
+    // within-batch count must be summed with the cross-batch count
+    // before comparing — otherwise a batch with `allowed` in-batch
+    // duplicates plus `allowed` staged-vs-live collisions passes both
+    // gates and lands 2×allowed violations.
+    val verdicts = Checks.run(mart, checks).collect()
     val uniques = checks.collect { case u: Checks.Unique => u }
-    val crossBatch =
-      if (uniques.isEmpty) Nil
+    val crossCounts: Map[String, Long] =
+      if (uniques.isEmpty) Map.empty
       else AtomicMart.readRetained(spark, path, retracts).toSeq.flatMap { live =>
         import org.apache.spark.sql.functions.col
-        uniques.flatMap { u =>
+        uniques.map { u =>
           val cols = u.columns.map(col)
-          val n = mart.select(cols: _*)
+          u.name -> mart.select(cols: _*)
             .join(live.select(cols: _*), u.columns, "left_semi").count()
-          if (n > u.allowed)
-            Some(s"${u.name}: $n staged rows duplicate keys already live " +
-              s"in the table (allowed ${u.allowed})")
-          else None
         }
-      }
-    if (failed.nonEmpty || crossBatch.nonEmpty) {
-      val detail = (failed.map(r =>
-        s"${r.getString(0)}: ${r.getLong(1)} violations (allowed ${r.getLong(2)})")
-        ++ crossBatch).mkString("; ")
-      throw new ConstraintViolationException(
-        s"commit refused by table constraints at $path — $detail")
+      }.toMap
+    val detailRows = verdicts.flatMap { r =>
+      val (name, within, allowed) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val cross = crossCounts.getOrElse(name, 0L)
+      if (within + cross > allowed) {
+        val note =
+          if (cross > 0) s" ($within in-batch + $cross already live in the table)" else ""
+        Some(s"$name: ${within + cross} violations$note (allowed $allowed)")
+      } else None
     }
+    if (detailRows.nonEmpty)
+      throw new ConstraintViolationException(
+        s"commit refused by table constraints at $path — ${detailRows.mkString("; ")}")
   }
 }

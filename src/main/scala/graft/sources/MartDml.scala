@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
 
 /** B39 — predicate DELETE / UPDATE on an AtomicMart: the Delta
   * `DELETE FROM t WHERE p` / `UPDATE t SET c = v WHERE p` public
@@ -51,10 +51,16 @@ object MartDml {
     * nothing matched); rewritten/untouched count PARTITIONS. */
   final case class DmlResult(version: Long, rewritten: Int, untouched: Int)
 
-  /** `DELETE FROM path WHERE predicate`. */
+  /** `DELETE FROM path WHERE predicate`. SQL DELETE removes only rows
+    * where the predicate is TRUE; a NULL predicate (e.g. a comparison
+    * over a NULL column) KEEPS the row — hence `not(coalesce(p,
+    * false))`, because a bare `not(NULL)` is NULL and `filter` would
+    * silently drop the row. This also matches phase 2, which finds
+    * touched partitions with `filter(p)` (TRUE only). */
   def delete(spark: SparkSession, path: String, predicate: Column,
              statCols: Seq[String] = Nil): DmlResult =
-    rewrite(spark, path, predicate, statCols)(df => df.filter(not(predicate)))
+    rewrite(spark, path, predicate, statCols)(
+      df => df.filter(not(coalesce(predicate, lit(false)))))
 
   /** `UPDATE path SET assignments WHERE predicate`. Assignments may
     * not target partition columns (that is a move between partitions —

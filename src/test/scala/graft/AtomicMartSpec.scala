@@ -509,4 +509,81 @@ class AtomicMartSpec extends SparkSpec {
     val (rb, keptRB, _) = AtomicMart.readBetween(spark, path, "v", 0L, 10000L)
     assert(keptRB == 8 && rb.count() == 7 * 20 + 10)
   }
+
+  test("B39 DELETE keeps NULL-predicate rows: SQL deletes TRUE matches only") {
+    import graft.sources.MartDml
+    val path = Files.createTempDirectory("graft_amart").toString
+    val df = Seq((1L, Some(100L)), (2L, Option.empty[Long]), (3L, Some(5000L)))
+      .toDF("tx_id", "amount")
+      .withColumn("rule", lit("passport")).withColumn("batch_date", lit("2021-03-01"))
+    AtomicMart.publishDay(df, path)
+    // tx 2's amount is NULL → predicate is NULL → the row must SURVIVE
+    // (a bare not(NULL) is NULL and filter would silently drop it)
+    val r = MartDml.delete(spark, path, col("amount") >= 1000L)
+    assert(r.rewritten == 1, r)
+    val left = AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet
+    assert(left == Set(1L, 2L), s"NULL-predicate row dropped: $left")
+  }
+
+  test("prune domain guard: numeric window vs string partition value degrades, never crashes") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L), ("city", 2L, 200L)), path)
+    // rule is a STRING partition column; a numeric comparison coerces it
+    // and the unwrapped Cast hands entryMayMatch a numeric-domain window
+    // over the value "passport" — must degrade to no-prune, not throw a
+    // driver-side NumberFormatException out of readFiltered. Run with
+    // ANSI off: there the residual cast legitimately NULLs out and the
+    // query SUCCEEDS with 0 rows (never worse than no pruning); under
+    // ANSI the residual filter raises Spark's own CAST_INVALID_INPUT at
+    // scan time — the user's predicate bug, same as an unpruned scan.
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val (df, kept, _) = AtomicMart.readFiltered(spark, path, col("rule") === 3)
+      assert(kept >= 0) // no crash is the contract; residual filter is exact
+      assert(df.count() == 0)
+      // same guard on the DML path
+      import graft.sources.MartDml
+      val r = MartDml.delete(spark, path, col("rule") === 3)
+      assert(r.rewritten == 0 && AtomicMart.read(spark, path).count() == 2)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  test("plain publish() re-publishing a live partition on a Unique table is not a self-duplicate") {
+    import graft.etl.Checks
+    import graft.sources.MartConstraints
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L), ("passport", 2L, 200L)), path)
+    MartConstraints.set(spark, path, Seq(Checks.Unique("c_pk", Seq("tx_id"))))
+    // B15 corrected-day rerun through PLAIN publish(): same partition,
+    // same keys, corrected amounts — commit() replaces the partition, so
+    // the staged keys collide only with rows this commit retracts
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 101L), ("passport", 2L, 201L)), path)
+    val got = AtomicMart.read(spark, path)
+      .select("tx_id", "amount").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 101L, 2L -> 201L))
+    // a genuine cross-partition duplicate still refuses
+    intercept[MartConstraints.ConstraintViolationException] {
+      AtomicMart.publishDay(mart("2021-03-02", ("passport", 1L, 50L)), path)
+    }
+  }
+
+  test("Unique budget is ONE budget across in-batch and vs-live surfaces") {
+    import graft.etl.Checks
+    import graft.sources.MartConstraints
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    MartConstraints.set(spark, path, Seq(Checks.Unique("c_pk", Seq("tx_id"), allowed = 1L)))
+    // 1 in-batch surplus (9,9) + 1 vs-live collision (1): each surface
+    // alone is within the budget of 1, combined they exceed it → refuse
+    val ex = intercept[MartConstraints.ConstraintViolationException] {
+      AtomicMart.publishDay(mart("2021-03-02",
+        ("passport", 9L, 10L), ("passport", 9L, 20L), ("passport", 1L, 30L)), path)
+    }
+    assert(ex.getMessage.contains("c_pk") && ex.getMessage.contains("in-batch"), ex.getMessage)
+    assert(AtomicMart.read(spark, path).count() == 1)
+    // either surface ALONE within budget still lands
+    AtomicMart.publishDay(mart("2021-03-03", ("passport", 8L, 10L), ("passport", 8L, 20L)), path)
+    assert(AtomicMart.read(spark, path).count() == 3)
+  }
 }
