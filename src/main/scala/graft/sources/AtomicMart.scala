@@ -69,7 +69,15 @@ object AtomicMart {
   final case class Entry(values: Seq[String], dir: String,
                          stats: Map[String, ColStat] = Map.empty)
 
-  final case class Manifest(version: Long, partCols: Seq[String], entries: Seq[Entry])
+  /** `schemaDdl` is B42's SCHEMA VERSIONING surface: the table schema
+    * THIS version declares, as a Spark DDL string (`a BIGINT, b
+    * STRING`). Each manifest pins the schema its readers conform to —
+    * old versions keep reading with their own (narrower) schema, the
+    * Delta time-travel-across-evolution contract. None = a manifest
+    * written before schema tracking (reads stay raw, full
+    * back-compat). */
+  final case class Manifest(version: Long, partCols: Seq[String], entries: Seq[Entry],
+                            schemaDdl: Option[String] = None)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,7 +105,8 @@ object AtomicMart {
         }.mkString(""","stats":{""", ",", "}")
       s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}$stats}"""
     }.mkString("[", ",", "]")
-    s"""{"version":${m.version},"partCols":$cols,"entries":$entries}"""
+    val schema = m.schemaDdl.map(d => s""","schema":${jq(d)}""").getOrElse("")
+    s"""{"version":${m.version},"partCols":$cols,"entries":$entries$schema}"""
   }
 
   // Escape-aware recursive-descent reader for the JSON subset `render`
@@ -191,7 +200,8 @@ object AtomicMart {
         o("dir").asInstanceOf[JStr].s,
         stats)
     }
-    Manifest(version, partCols, entries)
+    val schemaDdl = root.get("schema").map(_.asInstanceOf[JStr].s)
+    Manifest(version, partCols, entries, schemaDdl)
   }
 
   /** Highest committed manifest version, if any. */
@@ -248,9 +258,13 @@ object AtomicMart {
     * turns the skip from "sometimes" into "almost always". */
   def stage(mart: DataFrame, path: String, partCols: Seq[String],
             statCols: Seq[String] = Nil,
-            retracts: Set[Seq[String]] = Set.empty): (String, Seq[Entry]) = {
+            retracts: Set[Seq[String]] = Set.empty,
+            mergeSchema: Boolean = false): (String, Seq[Entry]) = {
     require(partCols.nonEmpty, "AtomicMart is a partitioned sink; give >=1 partition column")
     val spark = mart.sparkSession
+    // B42: the schema gate shares stage's funnel position — an
+    // unapproved evolution refuses BEFORE any file is written.
+    mergedSchemaDdl(spark, path, mart.schema, mergeSchema)
     // B38: the table's declared constraint suite gates EVERY commit
     // path here — stage is the one funnel publish / publishReplacing /
     // merge / epoch sink / erasure all share — and it refuses BEFORE
@@ -308,6 +322,91 @@ object AtomicMart {
     }.toMap
     (snapDir, plain.map(e => e.copy(stats = byValues.getOrElse(e.values, Map.empty))))
   }
+
+  /** B42 — SCHEMA EVOLUTION gate + merge (Delta's `mergeSchema` /
+    * ADD COLUMN public semantics). Returns the schema DDL the pending
+    * commit should declare:
+    *
+    *  - no declared table schema yet (first publish, or a legacy
+    *    table): the batch's own schema — every commit from now on
+    *    pins one;
+    *  - batch ⊆ table: the table schema unchanged (a batch may OMIT
+    *    columns — its snapshot simply lacks them and reads conform
+    *    with NULLs, the nullable-write case);
+    *  - batch adds columns: refused unless `mergeSchema` — then the
+    *    table schema plus the new fields, appended in batch order;
+    *  - same name, different type: always refused. Implicit type
+    *    widening is a silent rewrite of history; an intentional type
+    *    change is a new column + backfill, stated in the plan.
+    *
+    * Driver-only string/metadata work — nothing here touches data. */
+  private[sources] def mergedSchemaDdl(spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.types.StructType, mergeSchema: Boolean): String = {
+    import org.apache.spark.sql.types.StructType
+    readManifest(spark, path).flatMap(_.schemaDdl) match {
+      case None => batch.toDDL
+      case Some(ddl) =>
+        val table = StructType.fromDDL(ddl)
+        val tTypes = table.map(f => f.name -> f.dataType).toMap
+        val conflicts = batch.filter(f => tTypes.get(f.name).exists(_ != f.dataType))
+        require(conflicts.isEmpty,
+          s"schema evolution cannot change column type(s): " +
+            conflicts.map(f => s"${f.name} ${tTypes(f.name).sql} -> ${f.dataType.sql}")
+              .mkString(", ") + " — add a new column and backfill instead")
+        val added = batch.filterNot(f => tTypes.contains(f.name))
+        if (added.isEmpty) ddl
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"batch adds column(s) ${added.map(_.name).mkString(", ")} not in the " +
+              s"table schema at $path — publish with mergeSchema=true to evolve")
+        else StructType(table.fields ++ added).toDDL
+    }
+  }
+
+  /** B42 — ALTER TABLE ADD COLUMN: a METADATA-ONLY commit. The new
+    * manifest keeps every partition pointer byte-identically (zero
+    * data I/O at any scale) and declares the widened schema; reads of
+    * the new version conform existing rows with NULLs, older versions
+    * keep their own schema. Plain `commit` with nothing staged gives
+    * the OCC loop for free. */
+  def addColumn(spark: SparkSession, path: String, name: String, ddlType: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val table = StructType.fromDDL(m.schemaDdl.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path predates schema tracking — republish once to pin a schema")))
+    require(!table.fieldNames.contains(name), s"column $name already exists")
+    val widened = StructType.fromDDL(s"$name $ddlType") // validates the type eagerly
+    commit(spark, path, Nil, m.partCols,
+      schemaDdl = Some(StructType(table.fields ++ widened.fields).toDDL))
+  }
+
+  /** Conform a raw entry read to the manifest's declared schema:
+    * missing columns materialize as typed NULLs (rows written before
+    * an ADD COLUMN / mergeSchema evolution), and column order follows
+    * the declaration. Schema-less manifests read raw (back-compat).
+    * A zero-entry table with a schema reads as an EMPTY frame OF that
+    * schema rather than column-less. */
+  private[sources] def conform(spark: SparkSession, df: DataFrame, m: Manifest): DataFrame =
+    m.schemaDdl.fold(df) { ddl =>
+      import org.apache.spark.sql.types.StructType
+      val schema = StructType.fromDDL(ddl)
+      if (df.columns.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        import org.apache.spark.sql.functions.col
+        val have = df.columns.toSet
+        // Cast every column to its DECLARED type (schema-on-read): the
+        // raw read restores partition columns from directory names via
+        // partition-type INFERENCE ("2021-03-01" comes back DATE even
+        // when written STRING), and the declared write-side schema is
+        // the round-trip truth. Columns beyond the declaration are
+        // dropped — the declared schema IS the read contract.
+        df.select(schema.fields.map(f =>
+          (if (have(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
+      }
+    }
 
   /** Atomically claim manifest version `v` with `body`: write a temp
     * file, then create-if-absent the version file. Returns false if
@@ -373,7 +472,7 @@ object AtomicMart {
     * staged data derives from nothing in the table). */
   def commit(spark: SparkSession, path: String, staged: Seq[Entry], partCols: Seq[String],
              drops: Set[Seq[String]] = Set.empty, baseVersion: Option[Long] = None,
-             maxRetries: Int = 50): Long = {
+             schemaDdl: Option[String] = None, maxRetries: Int = 50): Long = {
     val f = fs(spark, path)
     val replaced = staged.map(_.values).toSet ++ drops
     def mine(m: Option[Manifest]): Map[Seq[String], String] =
@@ -398,7 +497,10 @@ object AtomicMart {
       }
       val kept = base.map(_.entries).getOrElse(Nil).filterNot(e => replaced.contains(e.values))
       val next = base.map(_.version + 1).getOrElse(0L)
-      if (claimVersion(f, path, render(Manifest(next, partCols, kept ++ staged)), next))
+      // B42: a commit declaring no schema carries the base's forward —
+      // re-resolved each rebase so a concurrent evolution is kept
+      val nextSchema = schemaDdl.orElse(base.flatMap(_.schemaDdl))
+      if (claimVersion(f, path, render(Manifest(next, partCols, kept ++ staged, nextSchema)), next))
         return next
       attempt += 1
       if (attempt > maxRetries)
@@ -408,6 +510,13 @@ object AtomicMart {
       // Rebase guard: OUR partitions must be untouched between the
       // manifest we merged against and the one that beat us.
       conflict(base, latest)
+      // B42 metadata guard (Delta's MetadataChangedException): a commit
+      // DECLARING a schema lost the race to a commit that changed the
+      // schema — re-declaring ours would silently revert theirs.
+      if (schemaDdl.isDefined
+          && latest.flatMap(_.schemaDdl) != base.flatMap(_.schemaDdl))
+        throw new PartitionConflictException(
+          s"concurrent schema change at $path — re-derive and retry the publish")
       base = latest
     }
     throw new IllegalStateException("unreachable")
@@ -424,8 +533,9 @@ object AtomicMart {
     * one extra distinct pass over the batch, paid only when the table
     * actually declares constraints and already has live entries. */
   def publish(mart: DataFrame, path: String, partCols: Seq[String],
-              statCols: Seq[String] = Nil): Long = {
+              statCols: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val spark = mart.sparkSession
+    val ddl = mergedSchemaDdl(spark, path, mart.schema, mergeSchema)
     val live = readManifest(spark, path).map(_.entries.map(_.values).toSet)
       .getOrElse(Set.empty[Seq[String]])
     val retracts =
@@ -441,8 +551,8 @@ object AtomicMart {
           .toSet
         live.intersect(staged)
       }
-    val (_, entries) = stage(mart, path, partCols, statCols, retracts)
-    commit(spark, path, entries, partCols)
+    val (_, entries) = stage(mart, path, partCols, statCols, retracts, mergeSchema)
+    commit(spark, path, entries, partCols, schemaDdl = Some(ddl))
   }
 
   /** B15-shaped convenience: the daily fraud-mart publish. */
@@ -469,8 +579,9 @@ object AtomicMart {
     val withEpoch = batch.withColumn("epoch", lit(epochId.toString))
     val stale = readManifest(spark, path).map(_.entries).getOrElse(Nil)
       .filter(_.values.last == epochId.toString).map(_.values)
+    val ddl = mergedSchemaDdl(spark, path, withEpoch.schema, mergeSchema = false)
     val (_, entries) = stage(withEpoch, path, all, retracts = stale.toSet)
-    commit(spark, path, entries, all, drops = stale.toSet)
+    commit(spark, path, entries, all, drops = stale.toSet, schemaDdl = Some(ddl))
   }
 
   /** Publish that REPLACES an explicit partition set: every partition
@@ -481,12 +592,15 @@ object AtomicMart {
   def publishReplacing(mart: DataFrame, path: String, partCols: Seq[String],
                        replaced: Seq[Seq[String]],
                        baseVersion: Option[Long] = None,
-                       statCols: Seq[String] = Nil): Long = {
-    val (_, entries) = stage(mart, path, partCols, statCols, replaced.toSet)
+                       statCols: Seq[String] = Nil,
+                       mergeSchema: Boolean = false): Long = {
+    val ddl = mergedSchemaDdl(mart.sparkSession, path, mart.schema, mergeSchema)
+    val (_, entries) = stage(mart, path, partCols, statCols, replaced.toSet, mergeSchema)
     val extra = entries.map(_.values).filterNot(replaced.contains)
     require(extra.isEmpty,
       s"staged data carries partitions outside the replaced set: $extra")
-    commit(mart.sparkSession, path, entries, partCols, replaced.toSet, baseVersion)
+    commit(mart.sparkSession, path, entries, partCols, replaced.toSet, baseVersion,
+      schemaDdl = Some(ddl))
   }
 
   /** Snapshot-isolated read: binds to the highest committed version at
@@ -496,7 +610,7 @@ object AtomicMart {
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    readEntries(spark, m.entries)
+    conform(spark, readEntries(spark, m.entries), m)
   }
 
   /** B31 — TIME TRAVEL: read the table exactly as version `v` committed
@@ -507,8 +621,10 @@ object AtomicMart {
     * snapshots the LATEST manifest no longer references, after which
     * older versions pointing into them stop being readable — time
     * travel reaches as far back as the vacuum horizon. */
-  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
-    readEntries(spark, manifestAt(spark, path, v).entries)
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val m = manifestAt(spark, path, v)
+    conform(spark, readEntries(spark, m.entries), m)
+  }
 
   /** The CURRENT snapshot minus an excluded partition set — what stays
     * live after a commit retracting `excluded` lands. None when the
@@ -518,10 +634,11 @@ object AtomicMart {
     * against exactly the rows a pending commit will coexist with. */
   private[sources] def readRetained(spark: SparkSession, path: String,
                                     excluded: Set[Seq[String]]): Option[DataFrame] =
-    readManifest(spark, path)
-      .map(_.entries.filterNot(e => excluded.contains(e.values)))
-      .filter(_.nonEmpty)
-      .map(readEntries(spark, _))
+    readManifest(spark, path).flatMap { m =>
+      val kept = m.entries.filterNot(e => excluded.contains(e.values))
+      if (kept.isEmpty) None
+      else Some(conform(spark, readEntries(spark, kept), m))
+    }
 
   /** Read a live entry set: group leaves by snapshot root so each
     * group reads with one basePath (restoring partition columns from
@@ -532,7 +649,10 @@ object AtomicMart {
     val bySnap = entries.groupBy(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
     bySnap.map { case (snapRoot, es) =>
       spark.read.option("basePath", snapRoot).parquet(es.map(_.dir): _*)
-    }.reduce(_.unionByName(_))
+    // snapshots written before/after a schema evolution differ in
+    // column sets; missing columns union in as NULLs (then conform
+    // orders and types them per the manifest's declared schema)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read one manifest-pruned partition subset: entries are filtered
@@ -543,7 +663,7 @@ object AtomicMart {
       throw new IllegalArgumentException(s"no committed version at $path"))
     val i = m.partCols.indexOf(col)
     require(i >= 0, s"$col is not a partition column (${m.partCols})")
-    readEntries(spark, m.entries.filter(_.values(i) == value))
+    conform(spark, readEntries(spark, m.entries.filter(_.values(i) == value)), m)
   }
 
   /** Read selected whole partitions (values tuples), optionally at a
@@ -553,7 +673,7 @@ object AtomicMart {
     val m = version.map(manifestAt(spark, path, _)).orElse(readManifest(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     val want = values.toSet
-    readEntries(spark, m.entries.filter(e => want.contains(e.values)))
+    conform(spark, readEntries(spark, m.entries.filter(e => want.contains(e.values))), m)
   }
 
   private def statGe(typ: String, a: String, b: String): Boolean =
@@ -704,7 +824,8 @@ object AtomicMart {
     if (m.entries.isEmpty) return (Nil, Nil)
     val windows =
       try {
-        val probe = readEntries(spark, m.entries.take(1))
+        // conform the probe so predicates on EVOLVED columns resolve
+        val probe = conform(spark, readEntries(spark, m.entries.take(1)), m)
         probe.filter(predicate).queryExecution.analyzed
           .collectFirst { case f: catalyst.plans.logical.Filter => f.condition }
           .toSeq.flatMap(splitConjuncts).flatMap(conjunctWindow(_))
@@ -722,8 +843,8 @@ object AtomicMart {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (keep, skip) = pruneEntries(spark, m, predicate)
-    if (keep.isEmpty) (spark.emptyDataFrame, 0, skip.size)
-    else (readEntries(spark, keep).filter(predicate), keep.size, skip.size)
+    if (keep.isEmpty) (conform(spark, spark.emptyDataFrame, m), 0, skip.size)
+    else (conform(spark, readEntries(spark, keep), m).filter(predicate), keep.size, skip.size)
   }
 
   /** DATA SKIPPING on a NON-partition column: prune every partition
@@ -749,7 +870,7 @@ object AtomicMart {
         case None => true // no stats: must scan
       }
     }
-    val df = readEntries(spark, keep)
+    val df = conform(spark, readEntries(spark, keep), m)
     val exact =
       if (df.columns.contains(column))
         df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
@@ -815,7 +936,11 @@ object AtomicMart {
       }
     val frag = m.entries.filter(e => nDataFiles(e.dir) > maxFiles)
     if (frag.isEmpty) return readV
-    val df = readEntries(spark, frag)
+    // conform so the re-staged rows keep the DECLARED column types —
+    // a raw read restores partition columns via type inference (a
+    // "bucket" dir value of "3" comes back INT even when written
+    // STRING), which the B42 schema gate would rightly refuse
+    val df = conform(spark, readEntries(spark, frag), m)
     val packed = layout match {
       case Some(l) => l(df)
       case None => df.repartition(m.partCols.map(col): _*)

@@ -104,15 +104,20 @@ object MartCdf {
     // identical pointer ⇒ identical (immutable) data ⇒ no changes
     val changed = (fromDirs.keySet ++ toDirs.keySet)
       .filter(v => fromDirs.get(v) != toDirs.get(v))
-    val oldDf = AtomicMart.readEntries(spark,
-      mf.entries.filter(e => changed.contains(e.values)))
-    val newDf = AtomicMart.readEntries(spark,
-      mt.entries.filter(e => changed.contains(e.values)))
+    // Both sides conform to vTo's schema (B42): across an ADD COLUMN /
+    // mergeSchema evolution the feed WIDENS — old rows read with NULL
+    // in the added columns, so the diff still folds from→to exactly.
+    // A narrower fold target than "the to-version's schema" cannot
+    // exist: that schema is what applying the feed must reproduce.
+    val oldDf = AtomicMart.conform(spark, AtomicMart.readEntries(spark,
+      mf.entries.filter(e => changed.contains(e.values))), mt)
+    val newDf = AtomicMart.conform(spark, AtomicMart.readEntries(spark,
+      mt.entries.filter(e => changed.contains(e.values))), mt)
     // a version range with no replaced partitions: empty feed, shaped
     // like the table (vTo's full snapshot supplies the schema)
     if (changed.isEmpty || (oldDf.columns.isEmpty && newDf.columns.isEmpty))
-      return AtomicMart.readEntries(spark, mt.entries).limit(0)
-        .withColumn(ChangeType, lit(""))
+      return AtomicMart.conform(spark, AtomicMart.readEntries(spark, mt.entries), mt)
+        .limit(0).withColumn(ChangeType, lit(""))
     val (o, n) =
       if (oldDf.columns.isEmpty) (newDf.limit(0), newDf)
       else if (newDf.columns.isEmpty) (oldDf, oldDf.limit(0))

@@ -95,7 +95,9 @@ object MartDml {
       return DmlResult(m.version, 0, m.entries.size)
     // phase 2: exact match → touched partition tuples (driver list is
     // partition-bounded; the scan pushes the predicate into parquet)
-    val candDf = AtomicMart.readEntries(spark, candidates)
+    // conform so the predicate (and assignments) may reference columns
+    // added by a B42 evolution that old snapshots don't carry yet
+    val candDf = AtomicMart.conform(spark, AtomicMart.readEntries(spark, candidates), m)
     val touched: Seq[Seq[String]] = candDf.filter(predicate)
       .select(m.partCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().collect()
@@ -106,7 +108,7 @@ object MartDml {
       return DmlResult(m.version, 0, m.entries.size)
     val touchedSet = touched.toSet
     val tEntries = m.entries.filter(e => touchedSet.contains(e.values))
-    val out = transform(AtomicMart.readEntries(spark, tEntries))
+    val out = transform(AtomicMart.conform(spark, AtomicMart.readEntries(spark, tEntries), m))
     val v = AtomicMart.publishReplacing(out, path, m.partCols, touched,
       baseVersion = Some(m.version), statCols = statCols)
     DmlResult(v, touched.size, m.entries.size - touched.size)

@@ -510,6 +510,53 @@ class AtomicMartSpec extends SparkSpec {
     assert(keptRB == 8 && rb.count() == 7 * 20 + 10)
   }
 
+  test("B42 schema evolution: ADD COLUMN metadata-only; versions keep their own schema") {
+    import graft.sources.{MartCdf, MartDml}
+    val path = Files.createTempDirectory("graft_amart").toString
+    val v0 = AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L), ("city", 2L, 200L)), path)
+    // an unapproved new column refuses BEFORE anything stages
+    intercept[IllegalArgumentException] {
+      AtomicMart.publishDay(mart("2021-03-02", ("passport", 3L, 300L))
+        .withColumn("region", lit("EU")), path)
+    }
+    assert(AtomicMart.currentVersion(spark, path).contains(v0))
+    // ALTER TABLE ADD COLUMN: metadata-only — every pointer byte-identical
+    val v1 = AtomicMart.addColumn(spark, path, "region", "STRING")
+    assert(v1 == v0 + 1)
+    assert(pointerMap(path, v0) == pointerMap(path, v1))
+    // the new version conforms old rows with NULLs; v0 keeps its schema
+    val now = AtomicMart.read(spark, path)
+    assert(now.columns.contains("region") && now.filter(col("region").isNull).count() == 2)
+    assert(!AtomicMart.readVersion(spark, path, v0).columns.contains("region"))
+    // mergeSchema publish carrying the evolved column lands
+    AtomicMart.publish(mart("2021-03-02", ("passport", 3L, 300L))
+      .withColumn("region", lit("EU")), path, Seq("rule", "batch_date"), mergeSchema = true)
+    val got = AtomicMart.read(spark, path)
+      .select("tx_id", "region").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some("EU")))
+    // a type conflict always refuses, mergeSchema or not
+    intercept[IllegalArgumentException] {
+      AtomicMart.publish(mart("2021-03-03", ("city", 9L, 1L))
+        .withColumn("region", lit(7L)), path, Seq("rule", "batch_date"), mergeSchema = true)
+    }
+    intercept[IllegalArgumentException] { AtomicMart.addColumn(spark, path, "region", "STRING") }
+    // a DML predicate on the EVOLVED column runs over pre-evolution
+    // snapshots (conform supplies the NULLs; NULL-predicate rows survive)
+    val r = MartDml.delete(spark, path, col("region") === "EU")
+    assert(AtomicMart.read(spark, path).select("tx_id").as[Long].collect().toSet == Set(1L, 2L))
+    // CDF across the evolution WIDENS to the to-version's schema and
+    // still folds exactly: tx 3 inserted-then-deleted nets out, and the
+    // surviving rows' preimages carry NULL region
+    val feed = MartCdf.readChanges(spark, path, v0, r.version, keyCols = Seq("tx_id"))
+    assert(feed.columns.contains("region"))
+    val byType = feed.groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(byType.getOrElse("insert", 0L) == byType.getOrElse("delete", 0L))
+    // a batch OMITTING a declared column still publishes (nullable write)
+    AtomicMart.publish(mart("2021-03-04", ("city", 12L, 50L)), path, Seq("rule", "batch_date"))
+    val last = AtomicMart.read(spark, path).filter(col("tx_id") === 12L)
+    assert(last.columns.contains("region") && last.filter(col("region").isNull).count() == 1)
+  }
+
   test("B39 DELETE keeps NULL-predicate rows: SQL deletes TRUE matches only") {
     import graft.sources.MartDml
     val path = Files.createTempDirectory("graft_amart").toString

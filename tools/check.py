@@ -8,7 +8,7 @@ Loads each testdata table as a DuckDB view, runs every oracle SQL from
 dumps: schema (column names), row count, and an order-insensitive value
 hash with columns sorted by name.
 """
-import sys, json, glob, hashlib
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
@@ -30,6 +30,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Pin the oracle's resource budget (VERDICT r10 #1/#3): an unpinned
+    # DuckDB spills to the cwd-relative .tmp and dies of ENOSPC on big
+    # tiers (r10's q_pagerank FAIL), and unbounded memory co-tenants
+    # badly. Env-tunable so tier runs can size explicitly.
+    tmp = os.environ.get("CHECK_TMP", "/root/scaled/ducktmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{tmp}'")
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('CHECK_MEM', '40GB')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
