@@ -58,8 +58,9 @@ object MartDml {
     * silently drop the row. This also matches phase 2, which finds
     * touched partitions with `filter(p)` (TRUE only). */
   def delete(spark: SparkSession, path: String, predicate: Column,
-             statCols: Seq[String] = Nil): DmlResult =
-    rewrite(spark, path, predicate, statCols)(
+             statCols: Seq[String] = Nil,
+             layout: Option[DataFrame => DataFrame] = None): DmlResult =
+    rewrite(spark, path, predicate, statCols, layout)(
       df => df.filter(not(coalesce(predicate, lit(false)))))
 
   /** `UPDATE path SET assignments WHERE predicate`. Assignments may
@@ -70,7 +71,8 @@ object MartDml {
     * expression would silently widen the whole column. */
   def update(spark: SparkSession, path: String, predicate: Column,
              assignments: Map[String, Column],
-             statCols: Seq[String] = Nil): DmlResult = {
+             statCols: Seq[String] = Nil,
+             layout: Option[DataFrame => DataFrame] = None): DmlResult = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val partCols = AtomicMart.readManifest(spark, path)
       .map(_.partCols).getOrElse(Nil)
@@ -78,15 +80,22 @@ object MartDml {
     require(hit.isEmpty,
       s"UPDATE may not assign partition column(s) ${hit.mkString(", ")} — " +
         "a partition move is DELETE + publish, which keeps the replaced set explicit")
-    rewrite(spark, path, predicate, statCols) { df =>
+    rewrite(spark, path, predicate, statCols, layout) { df =>
       assignments.foldLeft(df) { case (d, (c, v)) =>
         d.withColumn(c, when(predicate, v).otherwise(col(c)))
       }
     }
   }
 
+  /** I32 — `layout` re-clusters the REWRITTEN partitions before they
+    * stage (the same hook [[AtomicMart.compact]] exposes): a DML
+    * rewrite otherwise inherits whatever row order the read produced,
+    * so a DELETE-heavy table slowly loses the row-group skipping power
+    * its original I11 z-order / I22 range layout paid for. Cost is
+    * one range exchange over ONLY the touched partitions' rows. */
   private def rewrite(spark: SparkSession, path: String, predicate: Column,
-                      statCols: Seq[String])
+                      statCols: Seq[String],
+                      layout: Option[DataFrame => DataFrame] = None)
                      (transform: DataFrame => DataFrame): DmlResult = {
     val m = AtomicMart.readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
@@ -108,7 +117,8 @@ object MartDml {
       return DmlResult(m.version, 0, m.entries.size)
     val touchedSet = touched.toSet
     val tEntries = m.entries.filter(e => touchedSet.contains(e.values))
-    val out = transform(AtomicMart.conform(spark, AtomicMart.readEntries(spark, tEntries), m))
+    val out0 = transform(AtomicMart.conform(spark, AtomicMart.readEntries(spark, tEntries), m))
+    val out = layout.fold(out0)(l => l(out0))
     val v = AtomicMart.publishReplacing(out, path, m.partCols, touched,
       baseVersion = Some(m.version), statCols = statCols)
     DmlResult(v, touched.size, m.entries.size - touched.size)

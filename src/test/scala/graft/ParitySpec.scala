@@ -1556,4 +1556,51 @@ class ParitySpec extends SparkSpec {
     assert(streamed == Set(("s1", 5L, 3L, 600000L),
       ("s2", 2L, 1L, 500000L)), streamed.toString)
   }
+
+  test("F39 triggered CDF stream: kill between delivery and bookmark replays; mirror ≡ head") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.sources.{AtomicMart, MartDml}
+    import graft.streaming.CdfStream
+    val table = Files.createTempDirectory("graft_cdfsrc").toString
+    val replica = Files.createTempDirectory("graft_cdfrep").toString
+    val bk = Files.createTempDirectory("graft_cdfbk").toString
+    def rows(xs: (Long, Long, String)*) =
+      xs.toSeq.toDF("k", "amount", "status")
+        .withColumn("part", concat(lit("p"), col("k") % 2))
+    // v0: initial snapshot
+    AtomicMart.publish(rows((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a")), table, Seq("part"))
+    val d0 = CdfStream.mirrorTick(spark, table, bk, replica, Seq("part"))
+    assert(d0.contains(CdfStream.Delivery(-1L, 0L)))
+    assert(AtomicMart.read(spark, replica).count() == 3)
+    // caught up: next tick delivers nothing
+    assert(CdfStream.mirrorTick(spark, table, bk, replica, Seq("part")).isEmpty)
+    // v1: update + v2: delete land on the source
+    MartDml.update(spark, table, col("k") === 2L, Map("amount" -> lit(25L)))
+    MartDml.delete(spark, table, col("k") === 3L)
+    // KILL between delivery and bookmark advance: a sink that throws
+    // leaves the bookmark untouched, so the SAME range replays next tick
+    var killed = false
+    intercept[RuntimeException] {
+      CdfStream.tick(spark, table, bk, Seq("k")) { (chg, from, to) =>
+        assert(from == 0L && to == 2L)
+        chg.count() // deliver (execute the plan), then die pre-commit
+        killed = true
+        throw new RuntimeException("crash before bookmark advance")
+      }
+    }
+    assert(killed)
+    // replayed tick folds the range into the replica and commits
+    val d1 = CdfStream.mirrorAvailableNow(spark, table, bk, replica, Seq("part"))
+    assert(d1 == Seq(CdfStream.Delivery(0L, 2L)))
+    // fold across restarts ≡ source head (values AND multiset size)
+    val got = AtomicMart.read(spark, replica)
+      .select("k", "amount", "status").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "a"), (2L, 25L, "a")), got.toString)
+    assert(AtomicMart.read(spark, replica).count() == 2)
+    // a replay of an ALREADY-COMMITTED range converges (idempotent):
+    // force it by re-running the merge fold with the same ops
+    val d2 = CdfStream.mirrorAvailableNow(spark, table, bk, replica, Seq("part"))
+    assert(d2.isEmpty) // bookmark at head: nothing re-delivered
+  }
 }

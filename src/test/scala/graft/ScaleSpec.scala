@@ -629,4 +629,51 @@ class ScaleSpec extends SparkSpec {
     }
     assert(got.map(_._3).toSeq == Seq(10L, 11L, 12L))
   }
+
+  test("I32 z-ordered DML rewrite restores row-group skipping on the touched partition") {
+    import spark.implicits._
+    import graft.sources.{AtomicMart, MartDml}
+    val n = 256
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("d1", "d2").withColumn("part", lit("p0"))
+    val path = java.nio.file.Files.createTempDirectory("graft_dmlz").toString
+    // initial layout: range-sorted on d1 — every file spans all of d2,
+    // so a thin d2 filter must read the whole partition
+    AtomicMart.publish(
+      grid.repartitionByRange(32, col("d1")).sortWithinPartitions(col("d1")),
+      path, Seq("part"))
+
+    def recordsRead(thin: => org.apache.spark.sql.DataFrame): Long = {
+      @volatile var total = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            total += e.taskMetrics.inputMetrics.recordsRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        thin.count()
+        var last = -1L; var spins = 0
+        while (total != last && spins < 100) { last = total; Thread.sleep(100); spins += 1 }
+        total
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def d2slice = AtomicMart.read(spark, path)
+      .filter(col("d2") >= 100L && col("d2") <= 107L)
+    val before = recordsRead(d2slice)
+    assert(before >= n.toLong * n - n, s"d1-sorted layout should read ~everything, read $before")
+
+    // DELETE one d1 stripe WITH the I11 z-layout hook: the rewrite
+    // re-clusters the touched partition, so the same thin d2 filter now
+    // prunes most row groups — the table keeps its skipping power
+    val r = MartDml.delete(spark, path, col("d1") === 255L,
+      layout = Some(df => graft.ops.ZOrder.layout(df, "d1", "d2", bits = 8, numPartitions = 32)))
+    assert(r.rewritten == 1)
+    assert(AtomicMart.read(spark, path).count() == n.toLong * n - n)
+    val after = recordsRead(d2slice)
+    assert(d2slice.count() == 8L * (n - 1)) // the slice stays exact
+    assert(after <= before / 2 && after > 0,
+      s"z-ordered rewrite should prune most row groups: read $after of $before")
+  }
 }
