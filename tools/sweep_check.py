@@ -43,9 +43,89 @@ def git(*args):
                           capture_output=True, text=True).stdout.strip()
 
 
+def tally(argv):
+    """--tally <dumpDir> <allowCsv|-> <check_log...>  (VERDICT r10 #3)
+
+    Merge the OK/FAIL lines of every given check.py log (slices,
+    retries — an OK for a query anywhere wins over an earlier FAIL,
+    because retries append new logs) and emit the FULL partition of the
+    dump dir's oracle queries into OK / FAIL / missing, machine-counted.
+    rc != 0 unless every FAIL and every missing query is named in the
+    allowlist — "189+" style undercounts and silently-undrained tails
+    both become loud here. The allowlist is the SCALE-notes contract:
+    anything on it must be a DISCLOSED, triaged exception.
+    """
+    import json
+    if len(argv) < 3:
+        sys.exit(tally.__doc__)
+    dump_dir, allow_csv, logs = argv[0], argv[1], argv[2:]
+    oracle = json.load(open(os.path.join(dump_dir, "oracle_sql.json")))
+    allowed = set() if allow_csv == "-" else set(allow_csv.split(","))
+    status = {}
+    line_re = re.compile(r"^(OK|FAIL)\s+(\S+?):?\s")
+    for log in logs:
+        for line in open(log, encoding="utf-8", errors="replace"):
+            m = line_re.match(line)
+            if not m:
+                continue
+            verdict, q = m.group(1), m.group(2).rstrip(":")
+            if q in oracle and status.get(q) != "OK":
+                status[q] = verdict
+    ok = sorted(q for q, v in status.items() if v == "OK")
+    fail = sorted(q for q, v in status.items() if v == "FAIL")
+    missing = sorted(q for q in oracle if q not in status)
+    print(f"== tally {dump_dir}: {len(ok)} OK, {len(fail)} FAIL, "
+          f"{len(missing)} missing of {len(oracle)} ==")
+    bad = 0
+    for q in fail:
+        tag = "allowed" if q in allowed else "UNTRIAGED"
+        print(f"FAIL {q} [{tag}]")
+        bad += 0 if q in allowed else 1
+    for q in missing:
+        tag = "allowed" if q in allowed else "UNTRIAGED"
+        print(f"MISSING {q} [{tag}]")
+        bad += 0 if q in allowed else 1
+    sys.exit(1 if bad else 0)
+
+
+def bench_gate(argv):
+    """--bench <bench.json...>: rc != 0 if any bench JSON carries errors."""
+    import json
+    bad = 0
+    for p in argv:
+        d = json.load(open(p))
+        errs = d.get("errors", {})
+        if errs:
+            for q, msg in errs.items():
+                print(f"FAIL {p}: bench error {q}: {msg[:120]}")
+            bad += len(errs)
+        else:
+            print(f"== {p}: 0 bench errors, total {d.get('value')}s ==")
+    sys.exit(1 if bad else 0)
+
+
+def disk_gate(argv):
+    """--disk-gate <path> <minGB>: rc != 0 if free space under minGB.
+
+    Both r10 failure classes (oracle spill ENOSPC, co-tenant bench
+    disk-full) start by launching a tier run into insufficient
+    headroom; the close script calls this BEFORE each tier phase."""
+    path, min_gb = argv[0], float(argv[1])
+    st = os.statvfs(path)
+    free_gb = st.f_bavail * st.f_frsize / 1e9
+    print(f"== disk {path}: {free_gb:.1f} GB free (need {min_gb}) ==")
+    sys.exit(0 if free_gb >= min_gb else 1)
+
+
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
+    if sys.argv[1] == "--tally":
+        return tally(sys.argv[2:])
+    if sys.argv[1] == "--bench":
+        return bench_gate(sys.argv[2:])
+    if sys.argv[1] == "--disk-gate":
+        return disk_gate(sys.argv[2:])
     queries = head_queries()
     head = git("rev-parse", "HEAD")
     src_commit_ts = int(git("log", "-1", "--format=%ct", "--", "src/main") or 0)
