@@ -377,9 +377,52 @@ object AtomicMart {
       throw new IllegalArgumentException(
         s"table at $path predates schema tracking — republish once to pin a schema")))
     require(!table.fieldNames.contains(name), s"column $name already exists")
+    // RESURRECTION guard: snapshot files written before a DROP COLUMN
+    // still physically carry the dropped column, so re-adding the same
+    // name would read those stale values back as live data — the exact
+    // hazard Delta's column-mapping ids exist to prevent. Without ids,
+    // a name any retained manifest ever declared is permanently burned.
+    require(!everDeclared(spark, path).contains(name),
+      s"column name $name was previously declared and dropped — old snapshot " +
+        "files still carry its values, so re-adding it would resurrect them; " +
+        "pick a fresh name")
     val widened = StructType.fromDDL(s"$name $ddlType") // validates the type eagerly
     commit(spark, path, Nil, m.partCols,
       schemaDdl = Some(StructType(table.fields ++ widened.fields).toDDL))
+  }
+
+  /** B42 — ALTER TABLE DROP COLUMN: the symmetric metadata-only
+    * commit. The physical column stays in the immutable snapshot files
+    * (old versions still read it — their manifests still declare it);
+    * the new version's conform simply stops projecting it. Partition
+    * columns cannot drop (they ARE the layout). */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    require(!m.partCols.contains(name), s"$name is a partition column — cannot drop")
+    val table = StructType.fromDDL(m.schemaDdl.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path predates schema tracking — republish once to pin a schema")))
+    require(table.fieldNames.contains(name), s"no column $name to drop")
+    val kept = StructType(table.fields.filterNot(_.name == name))
+    require(kept.fields.nonEmpty, "cannot drop the last data column")
+    commit(spark, path, Nil, m.partCols, schemaDdl = Some(kept.toDDL))
+  }
+
+  /** Every column name any RETAINED manifest ever declared. Bounded by
+    * the retained-version count (vacuum's horizon), driver-only. */
+  private def everDeclared(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.spark.sql.types.StructType
+    val f = fs(spark, path)
+    val dir = new Path(path, VersionsDir)
+    if (!f.exists(dir)) return Set.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .flatMap(v => manifestAt(spark, path, v).schemaDdl)
+      .flatMap(d => StructType.fromDDL(d).fieldNames)
+      .toSet
   }
 
   /** Conform a raw entry read to the manifest's declared schema:

@@ -555,6 +555,27 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.publish(mart("2021-03-04", ("city", 12L, 50L)), path, Seq("rule", "batch_date"))
     val last = AtomicMart.read(spark, path).filter(col("tx_id") === 12L)
     assert(last.columns.contains("region") && last.filter(col("region").isNull).count() == 1)
+
+    // DROP COLUMN: metadata-only; the new head stops projecting it,
+    // the pre-drop version still reads it (its manifest still declares it)
+    val preDrop = AtomicMart.currentVersion(spark, path).get
+    val vd = AtomicMart.dropColumn(spark, path, "region")
+    assert(vd == preDrop + 1)
+    assert(pointerMap(path, preDrop) == pointerMap(path, vd))
+    assert(!AtomicMart.read(spark, path).columns.contains("region"))
+    assert(AtomicMart.readVersion(spark, path, preDrop).columns.contains("region"))
+    // partition columns cannot drop; absent columns cannot drop
+    intercept[IllegalArgumentException] { AtomicMart.dropColumn(spark, path, "rule") }
+    intercept[IllegalArgumentException] { AtomicMart.dropColumn(spark, path, "region") }
+    // RESURRECTION guard: re-adding a burned name is refused — old
+    // snapshot files still physically carry its values
+    val exRes = intercept[IllegalArgumentException] {
+      AtomicMart.addColumn(spark, path, "region", "STRING")
+    }
+    assert(exRes.getMessage.contains("resurrect"), exRes.getMessage)
+    // a FRESH name is fine
+    AtomicMart.addColumn(spark, path, "region_v2", "STRING")
+    assert(AtomicMart.read(spark, path).columns.contains("region_v2"))
   }
 
   test("B39 DELETE keeps NULL-predicate rows: SQL deletes TRUE matches only") {
