@@ -108,7 +108,22 @@ object SparkEntry {
     "q3_join" -> ((s, d) => RelationalQueries.q3Join(s, d)),
     "q5_join5" -> ((s, d) => RelationalQueries.q5Join5(s, d)),
     "q_window_topn" -> ((s, d) => RelationalQueries.windowTopN(s, d)),
-    "q_window_running" -> ((s, d) => RelationalQueries.windowRunning(s, d)),
+    // The ORACLE view contracts the 60M-row (at 100×) prefix-sum
+    // output to per-suppkey fingerprints: count, sum, max (= the group
+    // total), and a dot product of each running value with its row
+    // identity — any wrong prefix sum, swapped frame order, or
+    // misassigned row perturbs the dot. Row-level window semantics
+    // stay proven by the row-level window oracles that remain small
+    // (q_window_topn / q_window_rank / q_window_firstlast).
+    "q_window_running" -> ((s, d) =>
+      RelationalQueries.windowRunning(s, d)
+        .groupBy("l_suppkey").agg(
+          count(lit(1)).as("n"),
+          sum("running_qty").as("run_sum"),
+          max("running_qty").as("run_max"),
+          sum(col("running_qty") *
+            ((col("l_orderkey") * 37L + col("l_linenumber")) % 997L)).as("run_dot"))
+        .orderBy("l_suppkey")),
     "q_semi_anti" -> ((s, d) => RelationalQueries.semiAnti(s, d)),
     // D39/I15: Bloom-prefiltered semi-join — hash-equal to the plain
     // IN-subquery semi-join (Bloom has no false negatives); the filter
@@ -760,12 +775,19 @@ object SparkEntry {
         .partitionBy(col("l_suppkey"))
         .orderBy(col("qty"))
         .rangeBetween(-5, 0)
+      // per-suppkey fingerprint contraction (see q_window_running) —
+      // the raw RANGE-frame output is 60M rows at the 100× tier
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast(LongType).as("qty"))
         .withColumn("n_within5", count(lit(1)).over(w))
-        .drop("qty")
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .groupBy("l_suppkey").agg(
+          count(lit(1)).as("n"),
+          sum("n_within5").as("w_sum"),
+          max("n_within5").as("w_max"),
+          sum(col("n_within5") *
+            ((col("l_orderkey") * 37L + col("l_linenumber")) % 997L)).as("w_dot"))
+        .orderBy(col("l_suppkey"))
     }),
 
     // ---- D22: first/last/nth value window functions
@@ -914,10 +936,20 @@ object SparkEntry {
           Array(col("price_cents"), col("discount_cents"), col("tax_cents"),
             col("qty")),
           "metric", "v")
-      // no trailing orderBy: a melt has no ordering contract, the
-      // correctness compare is order-insensitive, and at scale the
-      // global range sort of the (4x) exploded output would be the
-      // single most expensive node in an otherwise map-only plan
+        // per-metric fingerprint contraction: the raw melt is 240M
+        // rows at the 100× tier (4× lineitem) — count/sum/min/max per
+        // metric plus a value⋅row-identity dot (mod-reduced so every
+        // partial sum stays exact in int64 at any tier) pin both the
+        // values and their row assignment; the melt itself stays the
+        // operator under test, the aggregate is only the oracle view
+        .groupBy("metric").agg(
+          count(lit(1)).as("n"),
+          sum("v").as("v_sum"),
+          min("v").as("v_min"),
+          max("v").as("v_max"),
+          sum((col("v") % 1000003L) *
+            ((col("l_orderkey") * 37L + col("l_linenumber")) % 997L)).as("v_dot"))
+        .orderBy(col("metric"))
     }),
 
     // ---- E20–E25: training-data prep (chunking, repetition gate, PII
@@ -3451,13 +3483,20 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "q_window_running" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
-        |      CAST(l_quantity AS BIGINT)
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty
-        |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |        CAST(l_quantity AS BIGINT)
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty
+        |  FROM lineitem)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(running_qty) AS BIGINT) AS run_sum,
+        |  CAST(max(running_qty) AS BIGINT) AS run_max,
+        |  CAST(sum(running_qty * ((l_orderkey * 37 + l_linenumber) % 997))
+        |    AS BIGINT) AS run_dot
+        |FROM r GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer c
@@ -3596,11 +3635,18 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_window_range" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  count(*) OVER (PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
-        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within5
-        |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    count(*) OVER (PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within5
+        |  FROM lineitem)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_within5) AS BIGINT) AS w_sum,
+        |  CAST(max(n_within5) AS BIGINT) AS w_max,
+        |  CAST(sum(n_within5 * ((l_orderkey * 37 + l_linenumber) % 997))
+        |    AS BIGINT) AS w_dot
+        |FROM r GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
@@ -3652,10 +3698,18 @@ object SparkEntry {
         |    CAST(round(l_discount*100) AS BIGINT) AS discount_cents,
         |    CAST(round(l_tax*100) AS BIGINT) AS tax_cents,
         |    CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem)
-        |SELECT l_orderkey, l_linenumber, metric, v FROM base
-        |UNPIVOT (v FOR metric IN (price_cents, discount_cents, tax_cents, qty))
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |  FROM lineitem),
+        |tall AS (
+        |  SELECT l_orderkey, l_linenumber, metric, v FROM base
+        |  UNPIVOT (v FOR metric IN (price_cents, discount_cents, tax_cents, qty)))
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS v_sum,
+        |  CAST(min(v) AS BIGINT) AS v_min,
+        |  CAST(max(v) AS BIGINT) AS v_max,
+        |  CAST(sum((v % 1000003) * ((l_orderkey * 37 + l_linenumber) % 997))
+        |    AS BIGINT) AS v_dot
+        |FROM tall GROUP BY metric
+        |ORDER BY metric""".stripMargin,
 
     "q_corr" ->
       """WITH b AS (SELECT l_returnflag,
