@@ -47,9 +47,13 @@ def tally(argv):
     """--tally <dumpDir> <allowCsv|-> <check_log...>  (VERDICT r10 #3)
 
     Merge the OK/FAIL lines of every given check.py log (slices,
-    retries — an OK for a query anywhere wins over an earlier FAIL,
-    because retries append new logs) and emit the FULL partition of the
-    dump dir's oracle queries into OK / FAIL / missing, machine-counted.
+    retries) and emit the FULL partition of the dump dir's oracle
+    queries into OK / FAIL / missing, machine-counted. Logs are
+    processed in mtime order and the NEWEST verdict per query wins
+    (ADVICE r11: the old "an OK anywhere wins" merge let a stale OK
+    from an earlier attempt permanently mask a genuine FAIL from a
+    later re-run of the same query). A retry log is newer than the
+    slice log it repairs, so retried-to-OK still lands OK.
     rc != 0 unless every FAIL and every missing query is named in the
     allowlist — "189+" style undercounts and silently-undrained tails
     both become loud here. The allowlist is the SCALE-notes contract:
@@ -63,14 +67,14 @@ def tally(argv):
     allowed = set() if allow_csv == "-" else set(allow_csv.split(","))
     status = {}
     line_re = re.compile(r"^(OK|FAIL)\s+(\S+?):?\s")
-    for log in logs:
+    for log in sorted(logs, key=os.path.getmtime):
         for line in open(log, encoding="utf-8", errors="replace"):
             m = line_re.match(line)
             if not m:
                 continue
             verdict, q = m.group(1), m.group(2).rstrip(":")
-            if q in oracle and status.get(q) != "OK":
-                status[q] = verdict
+            if q in oracle:
+                status[q] = verdict  # newest log (and line) wins
     ok = sorted(q for q, v in status.items() if v == "OK")
     fail = sorted(q for q, v in status.items() if v == "FAIL")
     missing = sorted(q for q in oracle if q not in status)
