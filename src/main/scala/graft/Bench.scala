@@ -24,6 +24,9 @@ object Bench {
     if (sys.props.get("graft.cells.dir").isEmpty)
       System.setProperty("graft.cells.dir",
         s"/tmp/graft_bench_cells_${ProcessHandle.current().pid()}")
+    if (sys.props.get("graft.scratch.dir").isEmpty)
+      System.setProperty("graft.scratch.dir",
+        s"/tmp/graft_bench_scratch_${ProcessHandle.current().pid()}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")

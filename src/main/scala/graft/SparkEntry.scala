@@ -46,6 +46,18 @@ object SparkEntry {
     sys.props.getOrElse("graft.cells.dir",
       sys.env.getOrElse("SPARK_GRAFT_CELLS_DIR", "/tmp"))
 
+  /** Scratch root for queries that build a live mart/table as part of
+    * their run (q_mart_* / q_src_orc). Overridable via the
+    * `graft.scratch.dir` system property — [[Verify]] pins it to its
+    * own out dir and [[Bench]] to a pid-private dir, so PARALLEL
+    * verify sweeps can never delete/recreate each other's tables
+    * mid-query (ADVICE r11: the fixed java.io.tmpdir paths made the
+    * r11 close's parallel determinism sweeps clobber one another and
+    * forced a serial repair pass). */
+  private def scratchDir(name: String): String =
+    sys.props.getOrElse("graft.scratch.dir",
+      System.getProperty("java.io.tmpdir")) + "/" + name
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- D1: grouped aggregation, exact-integer money (TPC-H Q1 shape)
@@ -338,7 +350,7 @@ object SparkEntry {
     // the same aggregate on the parquet originals, so the hash check
     // proves the ORC encode/decode preserves values exactly.
     "q_src_orc" -> ((s, d) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_orc_roundtrip"
+      val out = scratchDir("graft_orc_roundtrip")
       Tables.events(s, d)
         .select(col("user_id"), col("event_type"), cents(col("value")).as("v"))
         .write.mode("overwrite").orc(out)
@@ -1173,7 +1185,7 @@ object SparkEntry {
     // touched partitions), read the table back. Delta lsns exceed base
     // lsns per key, so merged ≡ the oracle's full fold of the whole log
     "q_mart_merge" -> ((s, d) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_merge"
+      val out = scratchDir("graft_mart_merge")
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val log = Tables.orders(s, d).select(
@@ -1201,7 +1213,7 @@ object SparkEntry {
     // OCC commit; the readback is the post-DML table, so the oracle
     // checks the full statement semantics end-to-end.
     "q_mart_delete" -> ((s, d) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_delete"
+      val out = scratchDir("graft_mart_delete")
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = Tables.orders(s, d).select(
@@ -1226,7 +1238,7 @@ object SparkEntry {
     // between two retained versions (v0 → post-DML head), keyed so
     // rewrites classify as update pre/postimage pairs.
     "q_mart_cdf" -> ((s, d) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_cdf"
+      val out = scratchDir("graft_mart_cdf")
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = Tables.orders(s, d).select(
@@ -1256,7 +1268,7 @@ object SparkEntry {
     // evolved table, so the oracle checks end-to-end: old rows NULL in
     // the added column except where the backfill touched them.
     "q_mart_evolve" -> ((s, d) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_mart_evolve"
+      val out = scratchDir("graft_mart_evolve")
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = Tables.orders(s, d).select(
@@ -1275,6 +1287,79 @@ object SparkEntry {
       val back = sources.AtomicMart.read(s, out)
       back.select(col("k"), col("price_cents"), col("status"),
           col("part").cast("string").as("part"), col("discount_ppm"))
+        .orderBy(col("k"))
+    }),
+    // ---- B43: RENAME COLUMN via column-mapping ids — publish half
+    // the rows, rename a data column AND the partition column
+    // (metadata-only commits; the first rename auto-enables mapping),
+    // publish the other half under the NEW names, DML-update under the
+    // new names, read back. Three engine-side invariants ride along as
+    // pinned flag columns: the CDF across the two rename commits is
+    // EMPTY (no partition pointer moved), version 0 still reads under
+    // its OWN (old) names, and the head reads under the new ones.
+    "q_mart_rename" -> ((s, d) => {
+      val out = scratchDir("graft_mart_rename")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+      val v0 = sources.AtomicMart.publish(base.filter(col("k") % 2 === 0), out, Seq("part"))
+      sources.AtomicMart.renameColumn(s, out, "price_cents", "amount_cents")
+      val vRenamed = sources.AtomicMart.renameColumn(s, out, "part", "bucket")
+      val renamedBatch = base.filter(col("k") % 2 === 1)
+        .select(col("k"), col("price_cents").as("amount_cents"),
+          col("status"), col("part").as("bucket"))
+      sources.AtomicMart.publish(renamedBatch, out, Seq("bucket"))
+      sources.MartDml.update(s, out,
+        col("status") === "F" && col("k") % 5 === 0,
+        Map("amount_cents" -> (col("amount_cents") + lit(7L))))
+      val renameCdfRows =
+        sources.MartCdf.readChanges(s, out, v0, vRenamed).count()
+      val v0OldNames =
+        sources.AtomicMart.readVersion(s, out, v0).columns.sameElements(
+          Array("k", "price_cents", "status", "part"))
+      val back = sources.AtomicMart.read(s, out)
+      (if (back.columns.isEmpty) renamedBatch.limit(0) else back)
+        .select(col("k"), col("amount_cents"), col("status"),
+          col("bucket").cast("string").as("bucket"))
+        .withColumn("rename_cdf_rows", lit(renameCdfRows))
+        .withColumn("v0_old_names", lit(v0OldNames))
+        .orderBy(col("k"))
+    }),
+    // ---- B44: multi-table transaction — a fact slice and the
+    // dimension summary it joins against publish as TWO independent
+    // AtomicMart tables under ONE intent-logged transaction (the
+    // rep_fraud.py daily pair); the readback joins the committed pair,
+    // so the oracle checks both legs landed and agree.
+    "q_mart_txn" -> ((s, d) => {
+      val root = scratchDir("graft_mart_txn")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val fact = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+      val dim = fact.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+        .withColumn("dpart", lit("all"))
+      sources.MartTxn.publishAll(s, root, Seq(
+        sources.MartTxn.TxnBatch(s"$root/fact", fact, Seq("part")),
+        sources.MartTxn.TxnBatch(s"$root/dim", dim, Seq("dpart"))))
+      val factBack = sources.AtomicMart.read(s, s"$root/fact")
+      val dimBack = sources.AtomicMart.read(s, s"$root/dim")
+      (if (factBack.columns.isEmpty) fact.limit(0) else factBack)
+        .join(
+          (if (dimBack.columns.isEmpty)
+             dim.limit(0).select(col("status"), col("n_orders"), col("sum_cents"))
+           else dimBack.select(col("status"), col("n_orders"), col("sum_cents"))),
+          Seq("status"))
+        .select(col("k"), col("price_cents"), col("status"),
+          col("part").cast("string").as("part"),
+          col("n_orders"), col("sum_cents"))
         .orderBy(col("k"))
     }),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
@@ -2321,6 +2406,42 @@ object SparkEntry {
   }
 
   /** DuckDB twins, same column names/aliases as the Spark plans. */
+  /** Scaled-tier twin OVERRIDES (ADVICE r11 on q_spatial_join): a few
+    * oracles keep a fully independent (but super-linear) form for the
+    * small graded tiers, and switch to a resource-feasible rewrite only
+    * at 10x/100x. [[Verify]] swaps these in when the close exports a
+    * scaled-tier dump (`SPARK_GRAFT_SCALED_TWINS=1`); the driver's own
+    * sf0.01 correctness gate always sees the independent default. */
+  def scaledOracleOverrides: Map[String, String] = Map(
+    // grid-cell blocked neighbor join — same 3x3-cell candidate scheme
+    // as the engine, which is why it is NOT the default twin: a shared
+    // conceptual blocking error would pass both sides. At 100x the
+    // quadratic default enumerates ~2.8e10 pairs and never finishes;
+    // this form is linear in occupied cells.
+    "q_spatial_join" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT event_id AS id,
+        |    ((event_id % 1000003) * 2654435761) % 1000000 AS x,
+        |    ((event_id % 1000033) * 2246822519) % 1000000 AS y
+        |  FROM events WHERE event_id % 17 = 0),
+        |g AS MATERIALIZED (
+        |  SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy FROM pts),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS cheb
+        |  FROM g a
+        |  JOIN (SELECT unnest(range(-1, 2)) AS dx) ox ON true
+        |  JOIN (SELECT unnest(range(-1, 2)) AS dy) oy ON true
+        |  JOIN g b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+        |  WHERE a.id < b.id
+        |    AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000)
+        |SELECT id1, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(cheb) AS BIGINT) AS cheb_sum,
+        |  CAST(min(cheb) AS BIGINT) AS cheb_min,
+        |  CAST(max(id2) AS BIGINT) AS id2_max
+        |FROM pairs GROUP BY id1 ORDER BY id1""".stripMargin,
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> sqlPageRank,
     "q_kcore" -> sqlKCore,
@@ -6890,6 +7011,44 @@ object SparkEntry {
         |FROM i
         |ORDER BY k, _change_type""".stripMargin,
 
+    // B43 twin: the final table under the RENAMED names, with the two
+    // engine-pinned invariants as constants — the CDF across the two
+    // metadata-only rename commits is empty (0 rows), and version 0
+    // still reads under its own pre-rename column names (TRUE)
+    "q_mart_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS bucket
+        |  FROM orders)
+        |SELECT k,
+        |  CASE WHEN status = 'F' AND k % 5 = 0 THEN amount_cents + 7
+        |       ELSE amount_cents END AS amount_cents,
+        |  status, bucket,
+        |  CAST(0 AS BIGINT) AS rename_cdf_rows,
+        |  TRUE AS v0_old_names
+        |FROM base
+        |ORDER BY k""".stripMargin,
+
+    // B44 twin: both transaction legs recomputed independently and
+    // joined — if either leg's commit were missing or stale the row
+    // count / aggregates could not match
+    "q_mart_txn" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part
+        |  FROM orders),
+        |dim AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |  FROM fact GROUP BY status)
+        |SELECT f.k, f.price_cents, f.status, f.part, d.n_orders, d.sum_cents
+        |FROM fact f JOIN dim d USING (status)
+        |ORDER BY f.k""".stripMargin,
+
     "q_km" ->
       """WITH j AS (
         |  SELECT o.o_orderpriority AS grp,
@@ -7662,22 +7821,24 @@ object SparkEntry {
     // Grid-blocked twin (the engine's own 3×3-cell blocking, so the
     // DuckDB side is an EQUALITY hash join instead of the quadratic
     // inequality join that ran >1 h at 100×), contracted per id1.
+    // DEFAULT twin = the DIRECT quadratic join (ADVICE r11: the grid-
+    // blocked rewrite shared the engine's own blocking scheme at every
+    // tier, so a conceptual blocking error would have passed both
+    // sides unnoticed; at sf0.01 the quadratic form is cheap and fully
+    // independent). The grid-blocked form lives in
+    // [[scaledOracleOverrides]] for the 10x/100x close checks, where
+    // the quadratic join's ~2.8e10 candidate pairs never finish.
     "q_spatial_join" ->
-      """WITH pts AS MATERIALIZED (
+      """WITH pts AS (
         |  SELECT event_id AS id,
         |    ((event_id % 1000003) * 2654435761) % 1000000 AS x,
         |    ((event_id % 1000033) * 2246822519) % 1000000 AS y
         |  FROM events WHERE event_id % 17 = 0),
-        |g AS MATERIALIZED (
-        |  SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy FROM pts),
         |pairs AS (
         |  SELECT a.id AS id1, b.id AS id2,
         |    GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS cheb
-        |  FROM g a
-        |  JOIN (SELECT unnest(range(-1, 2)) AS dx) ox ON true
-        |  JOIN (SELECT unnest(range(-1, 2)) AS dy) oy ON true
-        |  JOIN g b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
-        |  WHERE a.id < b.id
+        |  FROM pts a JOIN pts b
+        |    ON a.id < b.id
         |    AND ABS(a.x - b.x) <= 20000 AND ABS(a.y - b.y) <= 20000)
         |SELECT id1, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(cheb) AS BIGINT) AS cheb_sum,

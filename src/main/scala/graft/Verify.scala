@@ -12,6 +12,12 @@ object Verify {
     // immutable artifact — no interleaved run can clobber it.
     if (sys.props.get("graft.cells.dir").isEmpty)
       System.setProperty("graft.cells.dir", new java.io.File(outDir).getAbsolutePath)
+    // Same hermeticity for the q_mart_*/q_src_orc scratch tables: each
+    // Verify run builds them under ITS OWN out dir, so parallel sweeps
+    // can't clobber each other (ADVICE r11).
+    if (sys.props.get("graft.scratch.dir").isEmpty)
+      System.setProperty("graft.scratch.dir",
+        new java.io.File(outDir, "_scratch").getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Decoupled shuffle-partition override for the layout-determinism
     // sweep: results must not depend on the physical partitioning, and
@@ -64,7 +70,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Tier-switched twins (ADVICE r11): scaled close dumps swap in the
+    // resource-feasible rewrites; the graded small tiers keep the
+    // fully independent defaults.
+    val oracles =
+      if (sys.env.get("SPARK_GRAFT_SCALED_TWINS").contains("1"))
+        SparkEntry.oracleSql ++ SparkEntry.scaledOracleOverrides
+      else SparkEntry.oracleSql
+    val json = oracles
       // the learned-IVF twin reads the cell table the Spark query
       // exported; the path depends on the sf dir, so patch it in here
       .map { case (k, v) =>

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
@@ -76,8 +76,50 @@ object AtomicMart {
     * Delta time-travel-across-evolution contract. None = a manifest
     * written before schema tracking (reads stay raw, full
     * back-compat). */
+  /** B43 — COLUMN MAPPING (Delta's public columnMapping design, name
+    * mode): one column's stable numeric `id` plus its immutable
+    * PHYSICAL name (what parquet files and partition directories
+    * carry). The LOGICAL name — what users query and `schemaDdl`
+    * declares — is pure manifest metadata, so RENAME COLUMN is a
+    * metadata-only commit and never touches a data file. Physical
+    * names are never reused (a dropped column's physical name is
+    * tombstoned into `burned`), which is what makes re-adding a
+    * dropped logical name safe: the new column gets a FRESH generated
+    * physical name (`_gc<id>`) that no retained or vacuumed file can
+    * carry, so old values can never resurrect. */
+  final case class ColMap(id: Long, logical: String, physical: String)
+
+  /** `schemaDdl` is B42's SCHEMA VERSIONING surface (LOGICAL names).
+    * `colMap` = None means an unmapped table (logical ≡ physical, the
+    * pre-B43 layout — full back-compat); Some(_) maps every declared
+    * column. `maxColId` is monotone across commits so ids are never
+    * reissued. `burned` is the PERSISTENT tombstone list (ADVICE r11):
+    * column names that may still exist physically inside retained or
+    * already-vacuumed snapshot files and must never be (re)assigned as
+    * a physical name — carried forward by every commit, so unlike the
+    * retained-manifest scan it survives vacuum. `txn` marks the commit
+    * as part of a B44 multi-table transaction (idempotent replay). */
   final case class Manifest(version: Long, partCols: Seq[String], entries: Seq[Entry],
-                            schemaDdl: Option[String] = None)
+                            schemaDdl: Option[String] = None,
+                            colMap: Option[Seq[ColMap]] = None,
+                            maxColId: Long = 0L,
+                            burned: Seq[String] = Nil,
+                            txn: Option[String] = None)
+
+  /** Logical → physical column name under `m`'s mapping (identity for
+    * unmapped tables and for names the mapping does not know — which
+    * makes an already-physical name a fixpoint; rename/add refuse
+    * logical↔physical collisions so the fixpoint is unambiguous). */
+  private[sources] def physOf(m: Manifest, name: String): String =
+    m.colMap.fold(name)(_.find(_.logical == name).map(_.physical).getOrElse(name))
+
+  private[sources] def logicalOf(m: Manifest, name: String): String =
+    m.colMap.fold(name)(_.find(_.physical == name).map(_.logical).getOrElse(name))
+
+  /** Manifest partCols are PHYSICAL (they are the directory layout);
+    * this is the user-facing view. */
+  private[sources] def logicalPartCols(m: Manifest): Seq[String] =
+    m.partCols.map(logicalOf(m, _))
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,7 +148,15 @@ object AtomicMart {
       s"""{"values":${e.values.map(jq).mkString("[", ",", "]")},"dir":${jq(e.dir)}$stats}"""
     }.mkString("[", ",", "]")
     val schema = m.schemaDdl.map(d => s""","schema":${jq(d)}""").getOrElse("")
-    s"""{"version":${m.version},"partCols":$cols,"entries":$entries$schema}"""
+    val colmap = m.colMap.map { cm =>
+      cm.map(e => s"""{"i":${e.id},"n":${jq(e.logical)},"p":${jq(e.physical)}}""")
+        .mkString(""","colmap":[""", ",", s"""],"maxcid":${m.maxColId}""")
+    }.getOrElse(if (m.maxColId > 0) s""","maxcid":${m.maxColId}""" else "")
+    val burned =
+      if (m.burned.isEmpty) ""
+      else m.burned.map(jq).mkString(""","burned":[""", ",", "]")
+    val txn = m.txn.map(t => s""","txn":${jq(t)}""").getOrElse("")
+    s"""{"version":${m.version},"partCols":$cols,"entries":$entries$schema$colmap$burned$txn}"""
   }
 
   // Escape-aware recursive-descent reader for the JSON subset `render`
@@ -201,7 +251,16 @@ object AtomicMart {
         stats)
     }
     val schemaDdl = root.get("schema").map(_.asInstanceOf[JStr].s)
-    Manifest(version, partCols, entries, schemaDdl)
+    val colMap = root.get("colmap").map(_.asInstanceOf[JArr].vs.map { v =>
+      val o = v.asInstanceOf[JObj].fields
+      ColMap(o("i").asInstanceOf[JNum].n,
+        o("n").asInstanceOf[JStr].s, o("p").asInstanceOf[JStr].s)
+    }.toSeq)
+    val maxColId = root.get("maxcid").map(_.asInstanceOf[JNum].n).getOrElse(0L)
+    val burned = root.get("burned")
+      .map(_.asInstanceOf[JArr].vs.map(_.asInstanceOf[JStr].s).toSeq).getOrElse(Nil)
+    val txn = root.get("txn").map(_.asInstanceOf[JStr].s)
+    Manifest(version, partCols, entries, schemaDdl, colMap, maxColId, burned, txn)
   }
 
   /** Highest committed manifest version, if any. */
@@ -262,9 +321,10 @@ object AtomicMart {
             mergeSchema: Boolean = false): (String, Seq[Entry]) = {
     require(partCols.nonEmpty, "AtomicMart is a partitioned sink; give >=1 partition column")
     val spark = mart.sparkSession
+    val existing = readManifest(spark, path)
     // B42: the schema gate shares stage's funnel position — an
     // unapproved evolution refuses BEFORE any file is written.
-    mergedSchemaDdl(spark, path, mart.schema, mergeSchema)
+    mergedSchemaDdlFrom(existing, mart.schema, mergeSchema)
     // B38: the table's declared constraint suite gates EVERY commit
     // path here — stage is the one funnel publish / publishReplacing /
     // merge / epoch sink / erasure all share — and it refuses BEFORE
@@ -275,7 +335,17 @@ object AtomicMart {
     // not a duplicate of itself.
     MartConstraints.enforce(spark, path, mart, retracts)
     val snapDir = s"$path/$DataDir/snap-${UUID.randomUUID()}"
-    mart.write.partitionBy(partCols: _*).parquet(snapDir)
+    // B43: files and partition directories carry PHYSICAL names. For an
+    // unmapped table (colMap=None) both renames are identity and this
+    // is byte-for-byte the pre-B43 write. A batch column the mapping
+    // does not know yet (a mergeSchema add) keeps its logical name —
+    // commit() registers it with physical = logical, so the on-disk
+    // name and the mapping agree by construction.
+    val physMart = existing.filter(_.colMap.isDefined).fold(mart) { m =>
+      mart.select(mart.columns.map(c => col(c).as(physOf(m, c))).toIndexedSeq: _*)
+    }
+    val physPartCols = existing.fold(partCols)(m => partCols.map(physOf(m, _)))
+    physMart.write.partitionBy(physPartCols: _*).parquet(snapDir)
     val f = fs(spark, path)
     // Walk the partition tree the write produced: each leaf dir is one
     // logical partition, its values parsed from the col=value segments.
@@ -290,10 +360,15 @@ object AtomicMart {
     val plain = leaves(new Path(snapDir), 0, Nil)
     if (statCols.isEmpty) return (snapDir, plain)
 
-    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val schema = mart.schema
+    // stats are keyed by PHYSICAL name — they describe the files, and
+    // physical names are rename-stable, so skipping keeps working
+    // across a B43 RENAME COLUMN (readers translate logical→physical
+    // before matching)
     val indexed = statCols.flatMap { c =>
-      statDomain(schema(c).dataType).map(c -> _)
+      statDomain(schema(c).dataType)
+        .map(existing.fold(c)(physOf(_, c)) -> _)
     }
     import org.apache.spark.sql.functions.{count => fcount, lit => flit}
     val aggs = indexed.flatMap { case (c, _) =>
@@ -301,8 +376,8 @@ object AtomicMart {
         fmax(col(c)).cast("string").as(s"__max_$c"),
         fcount(col(c)).as(s"__cnt_$c"))
     } :+ fcount(flit(1)).as("__rows")
-    val statRows = mart
-      .groupBy(partCols.map(c => col(c).cast("string").as(c)): _*)
+    val statRows = physMart
+      .groupBy(physPartCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byValues: Map[Seq[String], Map[String, ColStat]] = statRows.map { r =>
@@ -341,9 +416,13 @@ object AtomicMart {
     *
     * Driver-only string/metadata work — nothing here touches data. */
   private[sources] def mergedSchemaDdl(spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.types.StructType, mergeSchema: Boolean): String =
+    mergedSchemaDdlFrom(readManifest(spark, path), batch, mergeSchema)
+
+  private[sources] def mergedSchemaDdlFrom(base: Option[Manifest],
       batch: org.apache.spark.sql.types.StructType, mergeSchema: Boolean): String = {
     import org.apache.spark.sql.types.StructType
-    readManifest(spark, path).flatMap(_.schemaDdl) match {
+    base.flatMap(_.schemaDdl) match {
       case None => batch.toDDL
       case Some(ddl) =>
         val table = StructType.fromDDL(ddl)
@@ -358,8 +437,27 @@ object AtomicMart {
         else if (!mergeSchema)
           throw new IllegalArgumentException(
             s"batch adds column(s) ${added.map(_.name).mkString(", ")} not in the " +
-              s"table schema at $path — publish with mergeSchema=true to evolve")
-        else StructType(table.fields ++ added).toDDL
+              s"table schema — publish with mergeSchema=true to evolve")
+        else {
+          // RESURRECTION gate for batch-carried adds (a mergeSchema add
+          // writes the new column into files under its own name, so
+          // unlike the metadata-only addColumn it cannot take a fresh
+          // generated physical name): refuse tombstoned names — old
+          // snapshot files may still carry their values (the persistent
+          // `burned` list, which unlike a retained-manifest scan
+          // survives vacuum) — plus live-physical collisions and the
+          // reserved generated pattern.
+          val m = base.get
+          val livePhys = m.colMap.map(_.map(_.physical).toSet).getOrElse(Set.empty[String])
+          val bad = added.map(_.name).filter(n =>
+            m.burned.contains(n) || livePhys.contains(n) || n.matches("_gc\\d+"))
+          require(bad.isEmpty,
+            s"column name(s) ${bad.mkString(", ")} were previously dropped (or " +
+              "collide with a physical/reserved name) — old snapshot files may " +
+              "still carry their values; use addColumn (metadata-only, takes a " +
+              "fresh physical name) or pick fresh names")
+          StructType(table.fields ++ added).toDDL
+        }
     }
   }
 
@@ -377,18 +475,86 @@ object AtomicMart {
       throw new IllegalArgumentException(
         s"table at $path predates schema tracking — republish once to pin a schema")))
     require(!table.fieldNames.contains(name), s"column $name already exists")
-    // RESURRECTION guard: snapshot files written before a DROP COLUMN
-    // still physically carry the dropped column, so re-adding the same
-    // name would read those stale values back as live data — the exact
-    // hazard Delta's column-mapping ids exist to prevent. Without ids,
-    // a name any retained manifest ever declared is permanently burned.
-    require(!everDeclared(spark, path).contains(name),
-      s"column name $name was previously declared and dropped — old snapshot " +
-        "files still carry its values, so re-adding it would resurrect them; " +
-        "pick a fresh name")
     val widened = StructType.fromDDL(s"$name $ddlType") // validates the type eagerly
-    commit(spark, path, Nil, m.partCols,
-      schemaDdl = Some(StructType(table.fields ++ widened.fields).toDDL))
+    val widenedDdl = StructType(table.fields ++ widened.fields).toDDL
+    m.colMap match {
+      case Some(cm) =>
+        // B43 mapped table: a fresh id + generated physical name makes
+        // ANY logical name safe to (re)use — even a previously dropped
+        // one. The column's values can only come from writes that
+        // happen AFTER this commit, which write under `_gc<id>`; no
+        // retained or vacuumed file anywhere carries that physical
+        // name (ids are monotone and burned physicals are skipped), so
+        // resurrection is impossible by construction.
+        require(!cm.exists(_.physical == name),
+          s"column name $name collides with a live physical column name")
+        var nid = math.max(m.maxColId, cm.map(_.id).max) + 1
+        var phys = s"_gc$nid"
+        while (m.burned.contains(phys) || cm.exists(_.physical == phys)) {
+          nid += 1; phys = s"_gc$nid"
+        }
+        commit(spark, path, Nil, m.partCols, schemaDdl = Some(widenedDdl),
+          schemaBasis = Some(m.schemaDdl), colMap = Some(cm :+ ColMap(nid, name, phys)))
+      case None =>
+        // RESURRECTION guard, unmapped table: snapshot files written
+        // before a DROP COLUMN still physically carry the dropped
+        // column, so re-adding the same name would read those stale
+        // values back as live data. The persistent `burned` tombstone
+        // list is the durable form (survives manifest vacuum — ADVICE
+        // r11); the retained-manifest scan still backstops drops made
+        // before tombstones existed.
+        require(!m.burned.contains(name),
+          s"column name $name was previously declared and dropped (tombstoned) — " +
+            "old snapshot files may still carry its values and re-adding it would " +
+            "resurrect them; rename the table to column mapping (renameColumn " +
+            "enables it) or pick a fresh name")
+        require(!everDeclared(spark, path).contains(name),
+          s"column name $name was previously declared and dropped — old snapshot " +
+            "files still carry its values, so re-adding it would resurrect them; " +
+            "pick a fresh name")
+        commit(spark, path, Nil, m.partCols, schemaDdl = Some(widenedDdl),
+          schemaBasis = Some(m.schemaDdl))
+    }
+  }
+
+  /** B43 — ALTER TABLE RENAME COLUMN: a METADATA-ONLY commit via
+    * column-mapping ids (Delta's public columnMapping design). The
+    * first rename on a table AUTO-ENABLES mapping with identity ids
+    * over the declared schema (existing physical names stay exactly
+    * what the files carry — Delta's upgrade path); the rename itself
+    * only swaps the LOGICAL name in `schemaDdl` + `colMap`. Every
+    * read path honors it through [[conform]]'s logical←physical
+    * projection; data skipping keeps working because stats and
+    * partition layout are keyed by the (immutable) physical name;
+    * time travel reads each version under ITS OWN manifest's names,
+    * so old versions keep the old name; the CDF across a rename is
+    * EMPTY (no partition pointer moved — the diff sees no change).
+    * Partition columns rename like any other column: the directory
+    * layout carries the physical name, which never changes. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val table = StructType.fromDDL(m.schemaDdl.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path predates schema tracking — republish once to pin a schema")))
+    require(table.fieldNames.contains(from), s"no column $from to rename")
+    require(!table.fieldNames.contains(to), s"column $to already exists")
+    require(!to.matches("_gc\\d+"),
+      s"$to matches the reserved generated-physical-name pattern")
+    val cm = m.colMap.getOrElse(
+      table.fields.zipWithIndex.map { case (f2, i) => ColMap(i + 1L, f2.name, f2.name) }.toSeq)
+    // a logical name equal to ANOTHER column's physical name would make
+    // the logical↔physical fixpoint ambiguous (renaming onto a burned
+    // name is safe, though: reads select by OUR physical, never by the
+    // new logical, so tombstoned file columns stay untouched)
+    require(!cm.exists(e => e.physical == to && e.logical != from),
+      s"$to collides with a live physical column name")
+    val cm2 = cm.map(e => if (e.logical == from) e.copy(logical = to) else e)
+    val renamed = StructType(table.fields.map(f =>
+      if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata) else f))
+    commit(spark, path, Nil, m.partCols, schemaDdl = Some(renamed.toDDL),
+      schemaBasis = Some(m.schemaDdl), colMap = Some(cm2))
   }
 
   /** B42 — ALTER TABLE DROP COLUMN: the symmetric metadata-only
@@ -407,7 +573,22 @@ object AtomicMart {
     require(table.fieldNames.contains(name), s"no column $name to drop")
     val kept = StructType(table.fields.filterNot(_.name == name))
     require(kept.fields.nonEmpty, "cannot drop the last data column")
-    commit(spark, path, Nil, m.partCols, schemaDdl = Some(kept.toDDL))
+    // Tombstone the column's PHYSICAL name into the manifest-carried
+    // `burned` list (ADVICE r11): live snapshot files keep carrying the
+    // dropped column physically while the drop is metadata-only, and
+    // the old retained-manifest scan decayed at the vacuum horizon —
+    // burned is carried forward by every commit, so the guard is
+    // actually permanent.
+    m.colMap match {
+      case Some(cm) =>
+        val dropped = cm.find(_.logical == name).map(_.physical).getOrElse(name)
+        commit(spark, path, Nil, m.partCols, schemaDdl = Some(kept.toDDL),
+          schemaBasis = Some(m.schemaDdl),
+          colMap = Some(cm.filterNot(_.logical == name)), burnedAdd = Set(dropped))
+      case None =>
+        commit(spark, path, Nil, m.partCols, schemaDdl = Some(kept.toDDL),
+          schemaBasis = Some(m.schemaDdl), burnedAdd = Set(name))
+    }
   }
 
   /** Every column name any RETAINED manifest ever declared. Bounded by
@@ -438,16 +619,22 @@ object AtomicMart {
       if (df.columns.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        import org.apache.spark.sql.functions.col
         val have = df.columns.toSet
         // Cast every column to its DECLARED type (schema-on-read): the
         // raw read restores partition columns from directory names via
         // partition-type INFERENCE ("2021-03-01" comes back DATE even
         // when written STRING), and the declared write-side schema is
         // the round-trip truth. Columns beyond the declaration are
-        // dropped — the declared schema IS the read contract.
-        df.select(schema.fields.map(f =>
-          (if (have(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)).toSeq: _*)
+        // dropped — the declared schema IS the read contract. Under
+        // B43 column mapping the files carry PHYSICAL names; the
+        // declared (logical) name is restored here, which is the one
+        // place every read path funnels through — so RENAME COLUMN is
+        // honored by read/readVersion/readWhere/readFiltered/CDF/DML
+        // alike.
+        df.select(schema.fields.map { f =>
+          val phys = physOf(m, f.name)
+          (if (have(phys)) col(phys) else lit(null)).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
       }
     }
 
@@ -513,9 +700,29 @@ object AtomicMart {
     * read, exactly like Delta's read-snapshot tracking; leaving it
     * None checks only from commit-entry onward (blind appends, where
     * staged data derives from nothing in the table). */
+  /** `schemaBasis` (ADVICE r11 TOCTOU fix) declares the table schema
+    * the caller READ when it derived `schemaDdl` (Some(None) = "table
+    * had no schema yet"). The check runs on EVERY attempt — the first
+    * claim-win included, closing the window where a commit that wins
+    * outright silently re-declares a schema derived before a
+    * concurrent ADD/DROP/RENAME landed (which would revert it). None
+    * skips the check (callers that declare no schema).
+    *
+    * `colMap` replaces the mapping outright (B43 DDL commits); None
+    * carries the base's forward, auto-extended with physical=logical
+    * entries for any declared column it does not know (the mergeSchema
+    * batch-add case — gated for tombstone collisions in
+    * [[mergedSchemaDdlFrom]] before any file staged). `burnedAdd`
+    * appends to the persistent tombstone list. `txn` stamps the commit
+    * as one leg of a B44 multi-table transaction. */
   def commit(spark: SparkSession, path: String, staged: Seq[Entry], partCols: Seq[String],
              drops: Set[Seq[String]] = Set.empty, baseVersion: Option[Long] = None,
-             schemaDdl: Option[String] = None, maxRetries: Int = 50): Long = {
+             schemaDdl: Option[String] = None,
+             schemaBasis: Option[Option[String]] = None,
+             colMap: Option[Seq[ColMap]] = None,
+             burnedAdd: Set[String] = Set.empty,
+             txn: Option[String] = None,
+             maxRetries: Int = 50): Long = {
     val f = fs(spark, path)
     val replaced = staged.map(_.values).toSet ++ drops
     def mine(m: Option[Manifest]): Map[Seq[String], String] =
@@ -534,8 +741,23 @@ object AtomicMart {
     }
     var attempt = 0
     while (true) {
+      // ADVICE r11 TOCTOU: validate the schema basis BEFORE the claim,
+      // first attempt included — a commit that wins the version race
+      // outright must still refuse when the schema it derived from has
+      // moved under it (the lost-CAS-only guard below fires too late
+      // for that case).
+      schemaBasis.foreach { b =>
+        if (base.flatMap(_.schemaDdl) != b)
+          throw new PartitionConflictException(
+            s"concurrent schema change at $path — the declared schema was " +
+              "derived from a stale base; re-derive and retry")
+      }
+      // partCols arrive in either logical or physical form; normalize
+      // to physical (the manifest's form — physOf is identity on
+      // physical names and on unmapped tables)
+      val physPC = base.fold(partCols)(m => partCols.map(physOf(m, _)))
       base.foreach { m =>
-        require(m.partCols == partCols,
+        require(m.partCols == physPC,
           s"partition columns changed: table has ${m.partCols}, publish has $partCols")
       }
       val kept = base.map(_.entries).getOrElse(Nil).filterNot(e => replaced.contains(e.values))
@@ -543,7 +765,30 @@ object AtomicMart {
       // B42: a commit declaring no schema carries the base's forward —
       // re-resolved each rebase so a concurrent evolution is kept
       val nextSchema = schemaDdl.orElse(base.flatMap(_.schemaDdl))
-      if (claimVersion(f, path, render(Manifest(next, partCols, kept ++ staged, nextSchema)), next))
+      // B43: carry (or replace) the column mapping; auto-register any
+      // declared column the mapping does not know with physical =
+      // logical — exactly what stage() wrote into the files
+      val cm0 = colMap.orElse(base.flatMap(_.colMap))
+      val baseBurned = base.map(_.burned).getOrElse(Nil)
+      val nextBurned = baseBurned ++ (burnedAdd -- baseBurned.toSet).toSeq.sorted
+      val baseMax = math.max(base.map(_.maxColId).getOrElse(0L),
+        cm0.map(_.foldLeft(0L)((a, e) => math.max(a, e.id))).getOrElse(0L))
+      val (nextCm, nextMax) = cm0 match {
+        case None => (None, baseMax)
+        case Some(cm) =>
+          val known = cm.map(_.logical).toSet
+          val declared = nextSchema.map(d =>
+            org.apache.spark.sql.types.StructType.fromDDL(d).fieldNames.toSeq).getOrElse(Nil)
+          var nid = baseMax
+          val auto = declared.filterNot(known).map { n => nid += 1; ColMap(nid, n, n) }
+          require(auto.forall(e => !nextBurned.contains(e.physical)),
+            s"auto-mapped column(s) ${auto.map(_.logical).mkString(", ")} collide " +
+              "with tombstoned physical names — use addColumn or pick fresh names")
+          (Some(cm ++ auto), nid)
+      }
+      if (claimVersion(f, path,
+          render(Manifest(next, physPC, kept ++ staged, nextSchema,
+            nextCm, nextMax, nextBurned, txn)), next))
         return next
       attempt += 1
       if (attempt > maxRetries)
@@ -578,14 +823,14 @@ object AtomicMart {
   def publish(mart: DataFrame, path: String, partCols: Seq[String],
               statCols: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val spark = mart.sparkSession
-    val ddl = mergedSchemaDdl(spark, path, mart.schema, mergeSchema)
-    val live = readManifest(spark, path).map(_.entries.map(_.values).toSet)
+    val base = readManifest(spark, path)
+    val ddl = mergedSchemaDdlFrom(base, mart.schema, mergeSchema)
+    val live = base.map(_.entries.map(_.values).toSet)
       .getOrElse(Set.empty[Seq[String]])
     val retracts =
       if (live.isEmpty || MartConstraints.get(spark, path).isEmpty)
         Set.empty[Seq[String]]
       else {
-        import org.apache.spark.sql.functions.col
         val staged = mart
           .select(partCols.map(c => col(c).cast("string").as(c)): _*)
           .distinct().collect()
@@ -595,7 +840,8 @@ object AtomicMart {
         live.intersect(staged)
       }
     val (_, entries) = stage(mart, path, partCols, statCols, retracts, mergeSchema)
-    commit(spark, path, entries, partCols, schemaDdl = Some(ddl))
+    commit(spark, path, entries, partCols, schemaDdl = Some(ddl),
+      schemaBasis = Some(base.flatMap(_.schemaDdl)))
   }
 
   /** B15-shaped convenience: the daily fraud-mart publish. */
@@ -620,11 +866,13 @@ object AtomicMart {
     require(!partCols.contains("epoch"), "'epoch' is the sink's own partition column")
     val all = partCols :+ "epoch"
     val withEpoch = batch.withColumn("epoch", lit(epochId.toString))
-    val stale = readManifest(spark, path).map(_.entries).getOrElse(Nil)
+    val base = readManifest(spark, path)
+    val stale = base.map(_.entries).getOrElse(Nil)
       .filter(_.values.last == epochId.toString).map(_.values)
-    val ddl = mergedSchemaDdl(spark, path, withEpoch.schema, mergeSchema = false)
+    val ddl = mergedSchemaDdlFrom(base, withEpoch.schema, mergeSchema = false)
     val (_, entries) = stage(withEpoch, path, all, retracts = stale.toSet)
-    commit(spark, path, entries, all, drops = stale.toSet, schemaDdl = Some(ddl))
+    commit(spark, path, entries, all, drops = stale.toSet, schemaDdl = Some(ddl),
+      schemaBasis = Some(base.flatMap(_.schemaDdl)))
   }
 
   /** Publish that REPLACES an explicit partition set: every partition
@@ -637,13 +885,14 @@ object AtomicMart {
                        baseVersion: Option[Long] = None,
                        statCols: Seq[String] = Nil,
                        mergeSchema: Boolean = false): Long = {
-    val ddl = mergedSchemaDdl(mart.sparkSession, path, mart.schema, mergeSchema)
+    val base = readManifest(mart.sparkSession, path)
+    val ddl = mergedSchemaDdlFrom(base, mart.schema, mergeSchema)
     val (_, entries) = stage(mart, path, partCols, statCols, replaced.toSet, mergeSchema)
     val extra = entries.map(_.values).filterNot(replaced.contains)
     require(extra.isEmpty,
       s"staged data carries partitions outside the replaced set: $extra")
     commit(mart.sparkSession, path, entries, partCols, replaced.toSet, baseVersion,
-      schemaDdl = Some(ddl))
+      schemaDdl = Some(ddl), schemaBasis = Some(base.flatMap(_.schemaDdl)))
   }
 
   /** Snapshot-isolated read: binds to the highest committed version at
@@ -704,8 +953,8 @@ object AtomicMart {
   def readWhere(spark: SparkSession, path: String, col: String, value: String): DataFrame = {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    val i = m.partCols.indexOf(col)
-    require(i >= 0, s"$col is not a partition column (${m.partCols})")
+    val i = m.partCols.indexOf(physOf(m, col))
+    require(i >= 0, s"$col is not a partition column (${logicalPartCols(m)})")
     conform(spark, readEntries(spark, m.entries.filter(_.values(i) == value)), m)
   }
 
@@ -873,7 +1122,14 @@ object AtomicMart {
           .collectFirst { case f: catalyst.plans.logical.Filter => f.condition }
           .toSeq.flatMap(splitConjuncts).flatMap(conjunctWindow(_))
       } catch { case _: Exception => Nil }
-    m.entries.partition(entryMayMatch(_, m.partCols, windows))
+    // predicates name LOGICAL columns; stats and partition values are
+    // keyed by rename-stable PHYSICAL names (B43) — translate windows
+    val physWindows = windows.map {
+      case r: RangeCond => r.copy(c = physOf(m, r.c))
+      case n: NotNullCond => n.copy(c = physOf(m, n.c))
+      case n: NullCond => n.copy(c = physOf(m, n.c))
+    }
+    m.entries.partition(entryMayMatch(_, m.partCols, physWindows))
   }
 
   /** MULTI-COLUMN data skipping: [[readBetween]]'s generalization to a
@@ -905,8 +1161,9 @@ object AtomicMart {
     import org.apache.spark.sql.functions.{col, lit}
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
+    val statKey = physOf(m, column) // stats are keyed physical (B43)
     val (keep, skip) = m.entries.partition { e =>
-      e.stats.get(column) match {
+      e.stats.get(statKey) match {
         case Some(s) if s.min.nonEmpty =>
           statGe(s.typ, s.max, lo.toString) && statGe(s.typ, hi.toString, s.min)
         case Some(_) => false // all-null partition: no value can match
@@ -940,7 +1197,11 @@ object AtomicMart {
     f.mkdirs(new Path(dst, VersionsDir))
     val tmp = new Path(dst, s"$VersionsDir/.tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(render(Manifest(0L, m.partCols, m.entries))
+    // the clone's v0 carries the FULL metadata surface — schema,
+    // column mapping, tombstones — not just the pointers (dropping the
+    // schema here would make the clone read raw physical names)
+    try out.write(render(Manifest(0L, m.partCols, m.entries, m.schemaDdl,
+        m.colMap, m.maxColId, m.burned))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(dst, f"$VersionsDir/v${0L}%09d.json")
@@ -984,11 +1245,12 @@ object AtomicMart {
     // "bucket" dir value of "3" comes back INT even when written
     // STRING), which the B42 schema gate would rightly refuse
     val df = conform(spark, readEntries(spark, frag), m)
+    val lpc = logicalPartCols(m) // the conformed frame speaks logical names
     val packed = layout match {
       case Some(l) => l(df)
-      case None => df.repartition(m.partCols.map(col): _*)
+      case None => df.repartition(lpc.map(col): _*)
     }
-    publishReplacing(packed, path, m.partCols, frag.map(_.values),
+    publishReplacing(packed, path, lpc, frag.map(_.values),
       baseVersion = Some(readV), statCols = statCols)
   }
 

@@ -61,6 +61,16 @@ object MartCdf {
                 keyCols: Seq[String] = Nil): Tail = {
     val head = AtomicMart.currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
+    tailStartAt(spark, path, bookmarkPath, head, keyCols)
+  }
+
+  /** [[tailStart]] against a caller-PINNED head version — the B44
+    * consistent-pair consumer pins both tables' heads under one
+    * no-pending-transaction observation and tails each to its pin. A
+    * bookmark already at/past the pin yields an empty range (another
+    * consumer of the same bookmark advanced it), never a crash. */
+  def tailStartAt(spark: SparkSession, path: String, bookmarkPath: String,
+                  head: Long, keyCols: Seq[String] = Nil): Tail = {
     bookmark(spark, bookmarkPath) match {
       case None =>
         // Read the PINNED head version, not read(...)'s latest-at-call:
@@ -71,6 +81,11 @@ object MartCdf {
         // idempotent sink cannot dedupe).
         Tail(AtomicMart.readVersion(spark, path, head)
           .withColumn(ChangeType, lit("insert")), -1L, head)
+      case Some(v) if v >= head =>
+        // bookmark at/past the pinned head: empty range (shaped like
+        // the table at the pin)
+        Tail(AtomicMart.readVersion(spark, path, head).limit(0)
+          .withColumn(ChangeType, lit("")), v, v)
       case Some(v) =>
         Tail(readChanges(spark, path, v, head, keyCols), v, head)
     }

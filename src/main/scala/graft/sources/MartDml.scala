@@ -75,7 +75,7 @@ object MartDml {
              layout: Option[DataFrame => DataFrame] = None): DmlResult = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val partCols = AtomicMart.readManifest(spark, path)
-      .map(_.partCols).getOrElse(Nil)
+      .map(AtomicMart.logicalPartCols).getOrElse(Nil)
     val hit = assignments.keySet.intersect(partCols.toSet)
     require(hit.isEmpty,
       s"UPDATE may not assign partition column(s) ${hit.mkString(", ")} — " +
@@ -107,10 +107,13 @@ object MartDml {
     // conform so the predicate (and assignments) may reference columns
     // added by a B42 evolution that old snapshots don't carry yet
     val candDf = AtomicMart.conform(spark, AtomicMart.readEntries(spark, candidates), m)
+    // the conformed frame speaks LOGICAL names (B43); entry values are
+    // positional, so the physical/logical split never touches them
+    val lpc = AtomicMart.logicalPartCols(m)
     val touched: Seq[Seq[String]] = candDf.filter(predicate)
-      .select(m.partCols.map(c => col(c).cast("string").as(c)): _*)
+      .select(lpc.map(c => col(c).cast("string").as(c)): _*)
       .distinct().collect()
-      .map(r => m.partCols.indices
+      .map(r => lpc.indices
         .map(i => Option(r.getString(i)).getOrElse("__HIVE_DEFAULT_PARTITION__")): Seq[String])
       .toSeq
     if (touched.isEmpty)
@@ -119,7 +122,7 @@ object MartDml {
     val tEntries = m.entries.filter(e => touchedSet.contains(e.values))
     val out0 = transform(AtomicMart.conform(spark, AtomicMart.readEntries(spark, tEntries), m))
     val out = layout.fold(out0)(l => l(out0))
-    val v = AtomicMart.publishReplacing(out, path, m.partCols, touched,
+    val v = AtomicMart.publishReplacing(out, path, lpc, touched,
       baseVersion = Some(m.version), statCols = statCols)
     DmlResult(v, touched.size, m.entries.size - touched.size)
   }

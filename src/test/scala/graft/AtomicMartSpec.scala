@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.AtomicMart
+import graft.sources.{AtomicMart, MartCdf, MartDml}
 
 /** B27 — the crash-atomic publish contract, deterministically:
   *
@@ -653,5 +653,151 @@ class AtomicMartSpec extends SparkSpec {
     // either surface ALONE within budget still lands
     AtomicMart.publishDay(mart("2021-03-03", ("passport", 8L, 10L), ("passport", 8L, 20L)), path)
     assert(AtomicMart.read(spark, path).count() == 3)
+  }
+
+  test("B43 RENAME COLUMN: metadata-only, honored on every read path, old versions keep old names") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    val v0 = AtomicMart.publish(
+      mart("2021-03-01", ("passport", 1L, 100L), ("city", 2L, 200L)),
+      path, Seq("rule", "batch_date"), statCols = Seq("amount"))
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path, "data")).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val filesBefore = dataFiles()
+    AtomicMart.renameColumn(spark, path, "amount", "amount_cents")
+    val vRenamed = AtomicMart.renameColumn(spark, path, "rule", "fraud_rule") // partition col
+    // metadata-only: not one data file moved
+    assert(dataFiles() == filesBefore)
+    // head reads under NEW names; version 0 under its OWN (old) names
+    assert(AtomicMart.read(spark, path).columns.toSet ==
+      Set("fraud_rule", "tx_id", "amount_cents", "batch_date"))
+    assert(AtomicMart.readVersion(spark, path, v0).columns.toSet ==
+      Set("rule", "tx_id", "amount", "batch_date"))
+    // CDF across the renames is EMPTY (no pointer moved)
+    assert(MartCdf.readChanges(spark, path, v0, vRenamed).count() == 0)
+    // partition pruning by the NEW logical name
+    assert(AtomicMart.readWhere(spark, path, "fraud_rule", "city")
+      .select("tx_id").as[Long].collect().toSeq == Seq(2L))
+    // data skipping on the RENAMED stat column (stats are keyed by the
+    // rename-stable physical name)
+    val (df, scanned, skipped) = AtomicMart.readBetween(spark, path, "amount_cents", 150L, 300L)
+    assert(df.select("tx_id").as[Long].collect().toSeq == Seq(2L))
+    assert(scanned == 1 && skipped == 1)
+    // writes under the new names land in the OLD physical layout
+    AtomicMart.publish(Seq(("city", 3L, 300L)).toDF("fraud_rule", "tx_id", "amount_cents")
+      .withColumn("batch_date", lit("2021-03-02")), path, Seq("fraud_rule", "batch_date"))
+    assert(AtomicMart.read(spark, path).count() == 3)
+    // DML under the new names
+    MartDml.update(spark, path, col("tx_id") === 3L,
+      Map("amount_cents" -> lit(301L)))
+    assert(AtomicMart.read(spark, path).filter(col("tx_id") === 3L)
+      .select("amount_cents").as[Long].head() == 301L)
+    // renaming onto a live name / renaming a missing column refuse
+    intercept[IllegalArgumentException] {
+      AtomicMart.renameColumn(spark, path, "tx_id", "amount_cents")
+    }
+    intercept[IllegalArgumentException] {
+      AtomicMart.renameColumn(spark, path, "nope", "whatever")
+    }
+  }
+
+  test("B43 mapped re-add after DROP is resurrection-proof: fresh physical name reads NULL") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publish(mart("2021-03-01", ("passport", 1L, 100L)), path, Seq("rule", "batch_date"))
+    // enable mapping via a rename, then drop + re-add the SAME logical name
+    AtomicMart.renameColumn(spark, path, "tx_id", "txid")
+    AtomicMart.dropColumn(spark, path, "amount")
+    AtomicMart.addColumn(spark, path, "amount", "BIGINT") // legal under mapping
+    // the old files still physically carry 100L under "amount" — the
+    // re-added column must NOT see it (fresh generated physical name)
+    val got = AtomicMart.read(spark, path).select("txid", "amount")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, None)), s"resurrected: $got")
+    // and a new write round-trips through the generated physical name
+    AtomicMart.publish(
+      Seq(("passport", 2L, 7L)).toDF("rule", "txid", "amount")
+        .withColumn("batch_date", lit("2021-03-02")), path, Seq("rule", "batch_date"))
+    assert(AtomicMart.read(spark, path).filter(col("txid") === 2L)
+      .select("amount").as[Long].head() == 7L)
+  }
+
+  test("tombstone survives vacuum: unmapped DROP + vacuum(1) still refuses the burned re-add") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    AtomicMart.dropColumn(spark, path, "amount")
+    // ADVICE r11: vacuum used to erase the only evidence of the drop
+    // (the retained-manifest scan); the manifest-carried burned list
+    // must keep refusing after the horizon passes
+    AtomicMart.vacuum(spark, path, retainLast = 1)
+    val ex = intercept[IllegalArgumentException] {
+      AtomicMart.addColumn(spark, path, "amount", "BIGINT")
+    }
+    assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
+    // a genuinely fresh name still adds fine
+    AtomicMart.addColumn(spark, path, "amount_v2", "BIGINT")
+  }
+
+  test("schema TOCTOU: a first-attempt commit refuses when its schema basis went stale") {
+    val path = Files.createTempDirectory("graft_amart").toString
+    val day1 = mart("2021-03-01", ("passport", 1L, 100L))
+    AtomicMart.publishDay(day1, path)
+    // the schema the table declared at publish (= the batch's own DDL)
+    val staleBasis: Option[String] = Some(day1.schema.toDDL)
+    // a concurrent evolution lands between the read and the commit
+    AtomicMart.addColumn(spark, path, "region", "STRING")
+    // committing a schema derived from the stale basis must refuse on
+    // the FIRST attempt (no lost CAS needed) — silently re-declaring
+    // would revert the concurrent ADD COLUMN
+    intercept[AtomicMart.PartitionConflictException] {
+      AtomicMart.commit(spark, path, Nil, Seq("rule", "batch_date"),
+        schemaDdl = staleBasis, schemaBasis = Some(staleBasis))
+    }
+    // the concurrent evolution is intact
+    assert(AtomicMart.read(spark, path).columns.contains("region"))
+  }
+
+  test("B44 multi-table txn: kill between the two publishes, replay, consumer folds a consistent pair") {
+    import graft.sources.MartTxn
+    val root = Files.createTempDirectory("graft_txn").toString
+    val factPath = s"$root/fact"; val dimPath = s"$root/dim"
+    def fact(day: String, rows: (Long, Long)*) =
+      rows.toSeq.toDF("k", "amount").withColumn("batch_date", lit(day))
+    def dim(day: String, rows: (String, Long)*) =
+      rows.toSeq.toDF("status", "n").withColumn("batch_date", lit(day))
+    // txn 1 completes normally
+    val v1 = MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(factPath, fact("d1", (1L, 10L), (2L, 20L)), Seq("batch_date")),
+      MartTxn.TxnBatch(dimPath, dim("d1", ("A", 2L)), Seq("batch_date"))))
+    assert(v1.values.toSet == Set(0L))
+    // txn 2 DIES after committing only the fact leg
+    MartTxn.publishAllKilled(spark, root, Seq(
+      MartTxn.TxnBatch(factPath, fact("d2", (3L, 30L)), Seq("batch_date")),
+      MartTxn.TxnBatch(dimPath, dim("d2", ("B", 1L)), Seq("batch_date"))),
+      legsToCommit = 1)
+    // raw state is torn: fact has d2, dim does not
+    assert(AtomicMart.read(spark, factPath).count() == 3)
+    assert(AtomicMart.read(spark, dimPath).count() == 1)
+    assert(MartTxn.pending(spark, root).nonEmpty)
+    // the consistent-pair consumer rolls the txn FORWARD before pinning
+    val (ta, tb) = MartTxn.tailPair(spark, root, factPath, s"$root/bkA", dimPath, s"$root/bkB")
+    assert(MartTxn.pending(spark, root).isEmpty) // replayed
+    // initial snapshots: BOTH deliver the completed pair
+    assert(ta.changes.count() == 3 && tb.changes.count() == 2)
+    MartCdf.tailCommit(spark, s"$root/bkA", ta.toVersion)
+    MartCdf.tailCommit(spark, s"$root/bkB", tb.toVersion)
+    // replaying recover is a no-op; the done record names both legs
+    assert(MartTxn.recover(spark, root).isEmpty)
+    assert(MartTxn.doneRecords(spark, root).size == 2)
+    assert(MartTxn.doneRecords(spark, root).forall(r =>
+      r.contains(factPath) && r.contains(dimPath)))
+    // txn 3 completes; the next pair tick sees BOTH deltas, not one
+    MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(factPath, fact("d3", (4L, 40L)), Seq("batch_date")),
+      MartTxn.TxnBatch(dimPath, dim("d3", ("C", 1L)), Seq("batch_date"))))
+    val (ta3, tb3) = MartTxn.tailPair(spark, root, factPath, s"$root/bkA", dimPath, s"$root/bkB")
+    assert(ta3.changes.filter(col(MartCdf.ChangeType) === "insert").count() == 1)
+    assert(tb3.changes.filter(col(MartCdf.ChangeType) === "insert").count() == 1)
   }
 }
