@@ -103,28 +103,43 @@ python3 tools/compare_runs.py $R/close_canon $R/close_shuf7 $R/close_l32 $R/clos
 python3 tools/sweep_check.py $R/close_canon $R/close_shuf7 $R/close_l32 $R/close_tzny $R/close_trtr $R/tier10z $R/tier100z > $R/sweep_check.log 2>&1
 python3 tools/check.py /root/testdata/sf0.01 $R/close_canon > $R/check_close_sf001.log 2>&1
 
-# ---- phase 4: IDLE benches, strictly serial, nothing else running
-python3 tools/sweep_check.py --disk-gate /root/scaled 25 || exit 1
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" > $R/bench_sf01.log 2>&1
-grep -o '{"metric".*}' $R/bench_sf01.log | tail -1 > /root/repo/BENCH_SF01_r12.json
-SPARK_GRAFT_SF_DIR=/root/scaled/sfx10z SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
-  sbt -batch "runMain graft.Bench" > $R/bench_10z.log 2>&1
-grep -o '{"metric".*}' $R/bench_10z.log  | tail -1 > /root/repo/BENCH_SFX10Z_r12.json
-SPARK_GRAFT_SF_DIR=/root/scaled/sfx100z SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
-  SPARK_GRAFT_BENCH_TIMEOUT=900 \
-  sbt -batch "runMain graft.Bench" > $R/bench_100z.log 2>&1
-grep -o '{"metric".*}' $R/bench_100z.log | tail -1 > /root/repo/BENCH_SFX100Z_r12.json
+# ---- phase 4: IDLE benches, strictly serial, nothing else running.
+# Clock-budgeted (the r11 close died HERE): each bench is gated by an
+# env flag so the round can run exactly what fits and gates.txt
+# records exactly what ran — a skipped bench is a named SKIP line,
+# never an unwritten file silently claimed later.
+B1=skip; B10=skip; B100=skip
+if [ "${RUN_BENCH_SF01:-1}" = 1 ]; then
+  python3 tools/sweep_check.py --disk-gate /root/scaled 25 || exit 1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" > $R/bench_sf01.log 2>&1
+  grep -o '{"metric".*}' $R/bench_sf01.log | tail -1 > /root/repo/BENCH_SF01_r12.json
+  python3 tools/sweep_check.py --bench - BENCH_SF01_r12.json > $R/bench_gate.log 2>&1
+  B1=$?
+fi
+if [ "${RUN_BENCH_10Z:-0}" = 1 ]; then
+  python3 tools/sweep_check.py --disk-gate /root/scaled 25 || exit 1
+  SPARK_GRAFT_SF_DIR=/root/scaled/sfx10z SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
+    sbt -batch "runMain graft.Bench" > $R/bench_10z.log 2>&1
+  grep -o '{"metric".*}' $R/bench_10z.log  | tail -1 > /root/repo/BENCH_SFX10Z_r12.json
+  python3 tools/sweep_check.py --bench - BENCH_SFX10Z_r12.json >> $R/bench_gate.log 2>&1
+  B10=$?
+fi
+if [ "${RUN_BENCH_100Z:-0}" = 1 ]; then
+  python3 tools/sweep_check.py --disk-gate /root/scaled 25 || exit 1
+  SPARK_GRAFT_SF_DIR=/root/scaled/sfx100z SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+    SPARK_GRAFT_BENCH_TIMEOUT=900 \
+    sbt -batch "runMain graft.Bench" > $R/bench_100z.log 2>&1
+  grep -o '{"metric".*}' $R/bench_100z.log | tail -1 > /root/repo/BENCH_SFX100Z_r12.json
+  python3 tools/sweep_check.py --bench $BENCH_ALLOW BENCH_SFX100Z_r12.json >> $R/bench_gate.log 2>&1
+  B100=$?
+fi
 
 # ---- phase 5: machine-counted gates (any UNTRIAGED line fails the close)
 python3 tools/sweep_check.py --tally $R/tier100z $TALLY_ALLOW $R/check_tier100z_big.log $R/check_tier100z_s*.log > $R/tally_100z.log 2>&1
 T100=$?
 python3 tools/sweep_check.py --tally $R/tier10z - $R/check_tier10z_s*.log > $R/tally_10z.log 2>&1
 T10=$?
-python3 tools/sweep_check.py --bench - BENCH_SF01_r12.json BENCH_SFX10Z_r12.json > $R/bench_gate.log 2>&1
-B1=$?
-python3 tools/sweep_check.py --bench $BENCH_ALLOW BENCH_SFX100Z_r12.json >> $R/bench_gate.log 2>&1
-B2=$?
-echo "gates: tally100=$T100 tally10=$T10 bench01_10=$B1 bench100=$B2" > $R/gates.txt
+echo "gates: tally100=$T100 tally10=$T10 bench_sf01=$B1 bench10z=$B10 bench100z=$B100" > $R/gates.txt
 cat $R/gates.txt
 echo DONE > $R/close.done
