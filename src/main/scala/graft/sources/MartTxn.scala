@@ -209,17 +209,30 @@ object MartTxn {
     * writers and other repairers. */
   def recover(spark: SparkSession, txnRoot: String): Seq[String] = {
     val f = fs(spark, txnRoot)
-    pending(spark, txnRoot).map { txnId =>
+    pending(spark, txnRoot).flatMap { txnId =>
       val donePath = new Path(doneDir(txnRoot), s"$txnId.json")
-      if (f.exists(donePath)) {
-        f.delete(new Path(pendingDir(txnRoot), s"$txnId.json"), false)
-      } else {
-        val in = f.open(new Path(pendingDir(txnRoot), s"$txnId.json"))
-        val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-        val (id, legs) = parseLegs(body)
-        commitLegsAndRetire(spark, txnRoot, id, legs)
+      try {
+        if (f.exists(donePath)) {
+          f.delete(new Path(pendingDir(txnRoot), s"$txnId.json"), false)
+        } else {
+          val in = f.open(new Path(pendingDir(txnRoot), s"$txnId.json"))
+          val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          val (id, legs) = parseLegs(body)
+          commitLegsAndRetire(spark, txnRoot, id, legs)
+        }
+        Some(txnId)
+      } catch {
+        // a concurrent repairer retired this intent between our listing
+        // and the open — already recovered, not an error
+        case _: java.io.FileNotFoundException => None
       }
-      txnId
+      // NOTE: a PartitionConflictException here is DELIBERATELY not
+      // swallowed — it means an unrelated schema evolution landed
+      // between the crash and the replay, so the intent's staged legs
+      // were derived under a schema that no longer holds; completing
+      // them blindly would revert the evolution. The intent stays
+      // pending and loud until an operator re-derives or abandons it
+      // (the same poison-transaction posture 2PC coordinators take).
     }
   }
 
