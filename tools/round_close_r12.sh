@@ -59,6 +59,10 @@ for i in 0 1 2 3; do
 done
 wait
 rm -rf /root/scaled/ducktmp0 /root/scaled/ducktmp1 /root/scaled/ducktmp2 /root/scaled/ducktmp3
+# the q_mart_*/q_src_orc scratch tables live under the dump dir now
+# (per-run hermeticity); the oracle twins recompute from the base
+# tables and never read them, so reclaim the space once checks pass
+rm -rf $R/tier100z/_scratch
 
 # ---- phase 2: 10x dump + sliced check
 python3 tools/sweep_check.py --disk-gate /root/scaled 30 || exit 1
@@ -79,6 +83,7 @@ for i in 0 1; do
 done
 wait
 rm -rf /root/scaled/ducktmp0 /root/scaled/ducktmp1
+rm -rf $R/tier10z/_scratch
 
 # ---- phase 3: determinism sweeps at sf0.01 (5 configs; parallel is
 # safe now — each Verify's scratch + cells live under its own out dir)
