@@ -87,5 +87,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // The scratch tables (q_mart_*/q_src_orc live marts, ORC files…)
+    // are inputs the queries build and re-read DURING the dump; no
+    // oracle twin reads them (twins recompute from the base tables).
+    // Leaving them under outDir makes every downstream directory
+    // scanner (the driver's CORRECTNESS oracle enumerates outDir)
+    // choke on non-parquet artifacts — delete them once the dump is
+    // complete (VERDICT r12 #4). Only a scratch dir that lives under
+    // THIS run's outDir is ours to reclaim.
+    sys.props.get("graft.scratch.dir").foreach { s =>
+      val scratch = new java.io.File(s).getCanonicalFile
+      val out = new java.io.File(outDir).getCanonicalFile
+      if (scratch.getPath.startsWith(out.getPath + java.io.File.separator) && scratch.exists()) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+        }
+        rm(scratch)
+      }
+    }
   }
 }

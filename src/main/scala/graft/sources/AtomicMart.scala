@@ -475,6 +475,12 @@ object AtomicMart {
       throw new IllegalArgumentException(
         s"table at $path predates schema tracking — republish once to pin a schema")))
     require(!table.fieldNames.contains(name), s"column $name already exists")
+    // Reserved generated-physical pattern (ADVICE r12): letting a
+    // logical "_gcN" in would make a later auto-generated physical
+    // "_gcN" ambiguous with it; renameColumn and mergedSchemaDdlFrom
+    // already gate this — addColumn must too (both branches).
+    require(!name.matches("_gc\\d+"),
+      s"column name $name matches the reserved generated-physical pattern _gc<id>")
     val widened = StructType.fromDDL(s"$name $ddlType") // validates the type eagerly
     val widenedDdl = StructType(table.fields ++ widened.fields).toDDL
     m.colMap match {

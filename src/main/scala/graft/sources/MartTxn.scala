@@ -201,15 +201,32 @@ object MartTxn {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
   }
 
+  /** What one recovery pass did: intents rolled forward vs intents
+    * that REFUSED (poison-transaction posture) with the refusal. */
+  final case class Recovery(recovered: Seq[String], poisoned: Seq[(String, String)])
+
   /** ROLL FORWARD every pending transaction: re-commit each leg
     * (idempotently — legs that already landed are skipped by the txn
     * stamp), write the done record, retire the intent. A transaction
     * whose done record already exists (crash between done-write and
     * intent-delete) just retires. Safe to call concurrently with
-    * writers and other repairers. */
-  def recover(spark: SparkSession, txnRoot: String): Seq[String] = {
+    * writers and other repairers.
+    *
+    * A PartitionConflictException on an intent means an unrelated
+    * schema evolution landed between the crash and the replay, so that
+    * intent's staged legs were derived under a schema that no longer
+    * holds; completing them blindly would revert the evolution. That
+    * intent stays pending and loud until an operator re-derives or
+    * abandons it (the poison-transaction posture 2PC coordinators
+    * take) — but the refusal is PER INTENT (ADVICE r12): it is caught,
+    * reported in [[Recovery.poisoned]] and on stderr, and the pass
+    * CONTINUES, so one poisoned transaction never blocks roll-forward
+    * of the unrelated transactions sorted after it. */
+  def recoverDetailed(spark: SparkSession, txnRoot: String): Recovery = {
     val f = fs(spark, txnRoot)
-    pending(spark, txnRoot).flatMap { txnId =>
+    val recovered = Seq.newBuilder[String]
+    val poisoned = Seq.newBuilder[(String, String)]
+    pending(spark, txnRoot).foreach { txnId =>
       val donePath = new Path(doneDir(txnRoot), s"$txnId.json")
       try {
         if (f.exists(donePath)) {
@@ -220,19 +237,35 @@ object MartTxn {
           val (id, legs) = parseLegs(body)
           commitLegsAndRetire(spark, txnRoot, id, legs)
         }
-        Some(txnId)
+        recovered += txnId
       } catch {
         // a concurrent repairer retired this intent between our listing
         // and the open — already recovered, not an error
-        case _: java.io.FileNotFoundException => None
+        case _: java.io.FileNotFoundException => ()
+        case e: AtomicMart.PartitionConflictException =>
+          System.err.println(
+            s"[mart-txn] intent $txnId at $txnRoot is POISONED (schema moved " +
+              s"under it; staying pending for operator re-derive/abandon): ${e.getMessage}")
+          poisoned += txnId -> e.getMessage
       }
-      // NOTE: a PartitionConflictException here is DELIBERATELY not
-      // swallowed — it means an unrelated schema evolution landed
-      // between the crash and the replay, so the intent's staged legs
-      // were derived under a schema that no longer holds; completing
-      // them blindly would revert the evolution. The intent stays
-      // pending and loud until an operator re-derives or abandons it
-      // (the same poison-transaction posture 2PC coordinators take).
+    }
+    Recovery(recovered.result(), poisoned.result())
+  }
+
+  /** [[recoverDetailed]] keeping only the rolled-forward txn ids. */
+  def recover(spark: SparkSession, txnRoot: String): Seq[String] =
+    recoverDetailed(spark, txnRoot).recovered
+
+  /** The table paths each pending intent's legs touch (for consumers
+    * that must only wait on transactions involving THEIR tables). */
+  private def pendingLegPaths(spark: SparkSession, txnRoot: String): Seq[(String, Set[String])] = {
+    val f = fs(spark, txnRoot)
+    pending(spark, txnRoot).flatMap { txnId =>
+      try {
+        val in = f.open(new Path(pendingDir(txnRoot), s"$txnId.json"))
+        val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        Some(txnId -> parseLegs(body)._2.map(_.path).toSet)
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
@@ -278,12 +311,17 @@ object MartTxn {
                keyColsB: Seq[String] = Nil): (MartCdf.Tail, MartCdf.Tail) = {
     var tries = 0
     while (true) {
-      recover(spark, txnRoot)
+      val pass = recoverDetailed(spark, txnRoot)
       var hA = AtomicMart.currentVersion(spark, pathA).getOrElse(
         throw new IllegalArgumentException(s"no committed version at $pathA"))
       var hB = AtomicMart.currentVersion(spark, pathB).getOrElse(
         throw new IllegalArgumentException(s"no committed version at $pathB"))
-      if (pending(spark, txnRoot).isEmpty) {
+      // Only intents whose legs TOUCH this pair can half-commit it;
+      // pending transactions on other tables under the same txn root
+      // (poisoned or live) must not block this consumer (ADVICE r12).
+      val blocking = pendingLegPaths(spark, txnRoot)
+        .filter { case (_, ps) => ps(pathA) || ps(pathB) }
+      if (blocking.isEmpty) {
         val recs = doneRecords(spark, txnRoot)
         var widened = true
         while (widened) {
@@ -300,6 +338,18 @@ object MartTxn {
         return (MartCdf.tailStartAt(spark, pathA, bookmarkA, hA, keyColsA),
           MartCdf.tailStartAt(spark, pathB, bookmarkB, hB, keyColsB))
       }
+      // A pair-touching intent that REFUSED this pass will never clear
+      // by retrying — some of its legs may already be visible below
+      // the heads, so pair consistency is genuinely unprovable until
+      // an operator resolves it. Fail fast and name it rather than
+      // spinning the retry budget (the poison posture scoped to the
+      // transactions that actually involve this pair).
+      val poisonedIds = pass.poisoned.map(_._1).toSet
+      val blockedByPoison = blocking.collect { case (id, _) if poisonedIds(id) => id }
+      require(blockedByPoison.size < blocking.size,
+        s"tailPair at $txnRoot: poisoned intent(s) ${blockedByPoison.mkString(", ")} " +
+          s"touch $pathA / $pathB — their legs may be half-visible; re-derive or " +
+          "abandon them before consuming this pair")
       tries += 1
       require(tries < 10,
         s"tailPair at $txnRoot: intents stayed in flight across $tries recovery " +

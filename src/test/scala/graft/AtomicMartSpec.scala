@@ -800,4 +800,61 @@ class AtomicMartSpec extends SparkSpec {
     assert(ta3.changes.filter(col(MartCdf.ChangeType) === "insert").count() == 1)
     assert(tb3.changes.filter(col(MartCdf.ChangeType) === "insert").count() == 1)
   }
+
+  test("B44 poison isolation: one poisoned intent neither blocks unrelated recovery nor unrelated pair consumers (ADVICE r12)") {
+    import graft.sources.MartTxn
+    val root = Files.createTempDirectory("graft_txn_poison").toString
+    val pA = s"$root/a"; val pB = s"$root/b"; val pC = s"$root/c"; val pD = s"$root/d"
+    def batch(day: String, rows: (Long, Long)*) =
+      rows.toSeq.toDF("k", "v").withColumn("batch_date", lit(day))
+    // base versions on all four tables via two clean transactions
+    MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(pA, batch("d1", (1L, 1L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pB, batch("d1", (1L, 1L)), Seq("batch_date"))))
+    MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(pC, batch("d1", (1L, 1L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pD, batch("d1", (1L, 1L)), Seq("batch_date"))))
+    // txn P on (C, D) dies BEFORE any leg commit…
+    val pTxn = MartTxn.publishAllKilled(spark, root, Seq(
+      MartTxn.TxnBatch(pC, batch("d2", (2L, 2L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pD, batch("d2", (2L, 2L)), Seq("batch_date"))),
+      legsToCommit = 0)
+    // …and a schema evolution lands on C under it: P's staged C-leg
+    // basis is now stale — replaying it would revert the evolution
+    AtomicMart.addColumn(spark, pC, "region", "STRING")
+    // an UNRELATED txn Q on (A, B) dies half-committed
+    val qTxn = MartTxn.publishAllKilled(spark, root, Seq(
+      MartTxn.TxnBatch(pA, batch("d2", (2L, 2L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pB, batch("d2", (2L, 2L)), Seq("batch_date"))),
+      legsToCommit = 1)
+    // one pass: Q rolls forward, P refuses PER INTENT and stays pending
+    val pass = MartTxn.recoverDetailed(spark, root)
+    assert(pass.recovered == Seq(qTxn))
+    assert(pass.poisoned.map(_._1) == Seq(pTxn))
+    assert(MartTxn.pending(spark, root) == Seq(pTxn))
+    // the (A, B) consumer is NOT blocked by the poisoned (C, D) intent
+    val (ta, tb) = MartTxn.tailPair(spark, root, pA, s"$root/bkA", pB, s"$root/bkB")
+    assert(ta.changes.count() == 2 && tb.changes.count() == 2)
+    // the (C, D) consumer fails FAST and names the poisoned txn
+    val e = intercept[IllegalArgumentException] {
+      MartTxn.tailPair(spark, root, pC, s"$root/bkC", pD, s"$root/bkD")
+    }
+    assert(e.getMessage.contains(pTxn) && e.getMessage.contains("poisoned"))
+    // the concurrent evolution P would have reverted is intact
+    assert(AtomicMart.read(spark, pC).columns.contains("region"))
+  }
+
+  test("addColumn refuses logical names in the reserved _gc<id> pattern (ADVICE r12)") {
+    val path = Files.createTempDirectory("graft_amart_gc").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    // unmapped branch
+    val e1 = intercept[IllegalArgumentException](
+      AtomicMart.addColumn(spark, path, "_gc7", "STRING"))
+    assert(e1.getMessage.contains("reserved"))
+    // mapped branch (first rename auto-enables column mapping)
+    AtomicMart.renameColumn(spark, path, "amount", "amt")
+    val e2 = intercept[IllegalArgumentException](
+      AtomicMart.addColumn(spark, path, "_gc7", "STRING"))
+    assert(e2.getMessage.contains("reserved"))
+  }
 }
