@@ -1362,6 +1362,63 @@ object SparkEntry {
           col("n_orders"), col("sum_cents"))
         .orderBy(col("k"))
     }),
+    // ---- B44 at N=3 (VERDICT r12 #6): a THREE-table transaction
+    // (fact + status dim + per-part audit), the second txn KILLED
+    // after one leg, rolled forward by recovery — the oracle checks
+    // the final state on all three tables equals the both-slices
+    // recompute, i.e. the torn transaction completed rather than
+    // half-landing. The even/odd k slices hit disjoint `part`
+    // partitions but the SAME dim partition, so the replay exercises
+    // both the append-to-shared-partition and the fresh-partition leg
+    // shapes in one intent.
+    "q_mart_txn3" -> ((s, d) => {
+      val root = scratchDir("graft_mart_txn3")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def slices(even: Boolean) = {
+        val fact = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === (if (even) 0 else 1)).select(
+            col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+            col("o_orderstatus").as("status"),
+            expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+        // per-slice partition values: a same-valued partition would be
+        // REPLACED by the second transaction, not appended beside —
+        // the readback re-aggregates across the slice partitions
+        val slicePart = lit(if (even) "even" else "odd")
+        val dim = fact.groupBy(col("status"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+          .withColumn("dpart", slicePart)
+        val audit = fact.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+          .withColumn("apart", slicePart)
+        Seq(
+          sources.MartTxn.TxnBatch(s"$root/fact", fact, Seq("part")),
+          sources.MartTxn.TxnBatch(s"$root/dim", dim, Seq("dpart")),
+          sources.MartTxn.TxnBatch(s"$root/audit", audit, Seq("apart")))
+      }
+      sources.MartTxn.publishAll(s, root, slices(even = true))
+      val killed = sources.MartTxn.publishAllKilled(s, root, slices(even = false),
+        legsToCommit = 1)
+      // torn mid-crash: fact carries the killed leg, dim/audit do not
+      val tornBefore =
+        sources.AtomicMart.currentVersion(s, s"$root/fact").contains(1L) &&
+          sources.AtomicMart.currentVersion(s, s"$root/dim").contains(0L) &&
+          sources.AtomicMart.currentVersion(s, s"$root/audit").contains(0L)
+      val replayed = sources.MartTxn.recover(s, root) == Seq(killed)
+      val factBack = sources.AtomicMart.read(s, s"$root/fact")
+      val dimBack = sources.AtomicMart.read(s, s"$root/dim")
+        .groupBy(col("status")).agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_cents")).as("sum_cents"))
+      val auditBack = sources.AtomicMart.read(s, s"$root/audit")
+        .groupBy(col("part")).agg(sum(col("n_part")).as("n_part"))
+      factBack.join(dimBack, Seq("status")).join(auditBack, Seq("part"))
+        .select(col("k"), col("price_cents"), col("status"),
+          col("part").cast("string").as("part"),
+          col("n_orders"), col("sum_cents"), col("n_part"))
+        .withColumn("torn_before_replay", lit(tornBefore))
+        .withColumn("replay_recovered", lit(replayed))
+        .orderBy(col("k"))
+    }),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
     "q_km" -> ((s, d) =>
       ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -7047,6 +7104,26 @@ object SparkEntry {
         |  FROM fact GROUP BY status)
         |SELECT f.k, f.price_cents, f.status, f.part, d.n_orders, d.sum_cents
         |FROM fact f JOIN dim d USING (status)
+        |ORDER BY f.k""".stripMargin,
+
+    "q_mart_txn3" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus AS status,
+        |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part
+        |  FROM orders),
+        |dim AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |  FROM fact GROUP BY status),
+        |aud AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_part
+        |  FROM fact GROUP BY part)
+        |SELECT f.k, f.price_cents, f.status, f.part,
+        |  d.n_orders, d.sum_cents, a.n_part,
+        |  TRUE AS torn_before_replay, TRUE AS replay_recovered
+        |FROM fact f JOIN dim d USING (status) JOIN aud a USING (part)
         |ORDER BY f.k""".stripMargin,
 
     "q_km" ->

@@ -1274,9 +1274,23 @@ object AtomicMart {
     * documents: [[readVersion]] works for exactly the retained
     * versions; concurrent readers are safe as long as they bind to a
     * version inside the window for the duration of their scan. Returns
-    * the paths removed (manifests + snapshot dirs). */
-  def vacuum(spark: SparkSession, path: String, retainLast: Int = 1): Seq[String] = {
+    * the paths removed (manifests + snapshot dirs).
+    *
+    * `graceMs` (r13) closes the CONCURRENT-WRITER race: a snapshot a
+    * writer has staged but not yet committed is referenced by no
+    * manifest, so an ungated vacuum would delete it under the
+    * writer's feet and the commit would land pointing at dead files —
+    * the exact hazard Delta's `deletedFileRetentionDuration` exists
+    * for. An unreferenced snapshot is therefore only reclaimed once
+    * its modification time is at least `graceMs` old (default 24 h ≫
+    * any in-flight stage; maintenance that KNOWS no writer is live —
+    * and tests — pass 0). Manifests outside the window still drop
+    * IMMEDIATELY: the readability horizon moves now, only the storage
+    * reclaim of the newly-unreferenced files waits out the grace. */
+  def vacuum(spark: SparkSession, path: String, retainLast: Int = 1,
+             graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     require(retainLast >= 1, "must retain at least the head version")
+    require(graceMs >= 0, "graceMs must be nonnegative")
     val f = fs(spark, path)
     val vDir = new Path(path, VersionsDir)
     val versions: Seq[Long] =
@@ -1296,12 +1310,18 @@ object AtomicMart {
       .map(e => e.dir.substring(0, e.dir.indexOf("/", e.dir.indexOf("snap-"))))
       .toSet
     val dataRoot = new Path(path, DataDir)
+    val cutoff = System.currentTimeMillis() - graceMs
     val droppedSnaps =
       if (!f.exists(dataRoot)) Nil
       else f.listStatus(dataRoot).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
         .filterNot(s => live.contains(s.getPath.toString))
+        .filter(_.getModificationTime <= cutoff)
         .map { s => f.delete(s.getPath, true); s.getPath.toString }
     droppedManifests ++ droppedSnaps
   }
+
+  /** [[vacuum]]'s default in-flight-writer grace (24 h — far beyond
+    * any stage duration; Delta ships 7 days for the same knob). */
+  val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,7 +63,11 @@ class MartCdfSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new MartCdfSource.CdfTable(properties.get("path"))
+    new MartCdfSource.CdfTable(properties.get("path"),
+      // option keys may arrive original-case or lowered depending on
+      // which map the session hands a TableProvider — accept both
+      Option(properties.get("maxVersionsPerTrigger"))
+        .orElse(Option(properties.get("maxversionspertrigger"))).map(_.toLong))
 }
 
 object MartCdfSource {
@@ -99,8 +103,10 @@ object MartCdfSource {
     override def json(): String = v.toString
   }
 
-  private[streaming] class CdfTable(path: String) extends Table with SupportsRead {
+  private[streaming] class CdfTable(path: String, maxVersions: Option[Long])
+      extends Table with SupportsRead {
     require(path != null, "option 'path' (the AtomicMart table root) is required")
+    require(maxVersions.forall(_ > 0), "maxVersionsPerTrigger must be positive")
     override def name(): String = s"graft-mart-cdf:$path"
     override def schema(): StructType = TicketSchema
     override def capabilities(): JSet[TableCapability] =
@@ -110,12 +116,12 @@ object MartCdfSource {
         override def build(): Scan = new Scan {
           override def readSchema(): StructType = TicketSchema
           override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-            new CdfMicroBatchStream(path)
+            new CdfMicroBatchStream(path, maxVersions)
         }
       }
   }
 
-  private[streaming] class CdfMicroBatchStream(path: String)
+  private[streaming] class CdfMicroBatchStream(path: String, maxVersions: Option[Long])
       extends MicroBatchStream with SupportsAdmissionControl
       with SupportsTriggerAvailableNow {
 
@@ -129,10 +135,29 @@ object MartCdfSource {
     override def reportLatestOffset(): Offset =
       new VOffset(availableNowCap.getOrElse(head(path)))
 
-    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+    // Rate-limited admission (VERDICT r12 #7 — Delta's
+    // maxFilesPerTrigger analog at this source's granularity): the
+    // admission unit is the MANIFEST VERSION, so a backfill over many
+    // retained versions drains in bounded (from, from+N] tickets
+    // instead of one giant range. Expressed through Spark's ReadLimit
+    // so AvailableNow still composes: the cap is pinned at prepare
+    // time, each micro-batch advances at most N versions toward it,
+    // and the query stops once the cap is reached. From the initial
+    // sentinel -1 the first batch is the snapshot pinned at version
+    // (-1 + N) — bounded like every later batch, exactly Delta's
+    // limited-initial-snapshot shape.
+    override def getDefaultReadLimit: ReadLimit =
+      maxVersions.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      new VOffset(availableNowCap.getOrElse(head(path)))
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val cap = availableNowCap.getOrElse(head(path))
+      val from = start.asInstanceOf[VOffset].v
+      val to = limit match {
+        case r: ReadMaxRows => math.min(cap, from + r.maxRows())
+        case _ => cap
+      }
+      new VOffset(math.max(to, from)) // never regress below the start
+    }
 
     override def latestOffset(): Offset =
       throw new UnsupportedOperationException(

@@ -65,7 +65,7 @@ class AtomicMartSpec extends SparkSpec {
     // invisible and is reclaimed by vacuum.
     AtomicMart.publishDay(mart("2021-03-02", ("passport", 9L, 900L)), path)
     assert(AtomicMart.read(spark, path).count() == 2)
-    val removed = AtomicMart.vacuum(spark, path)
+    val removed = AtomicMart.vacuum(spark, path, graceMs = 0L)
     // exactly the crashed stage's snapshot (plus the aged-out manifest)
     assert(removed.count(_.contains("/data/")) == 1)
     assert(AtomicMart.read(spark, path).count() == 2)
@@ -85,7 +85,7 @@ class AtomicMartSpec extends SparkSpec {
       AtomicMart.readVersion(spark, path, 9L)).getMessage.contains("no committed version"))
     // vacuum keeps only snapshots the LATEST manifest references: v0's
     // replaced snapshot goes, v0 stops being readable, v2 is untouched
-    AtomicMart.vacuum(spark, path)
+    AtomicMart.vacuum(spark, path, graceMs = 0L)
     assert(amounts(2) == Seq(200L, 999L))
     assert(intercept[Exception](amounts(0)).getMessage != null)
   }
@@ -124,7 +124,7 @@ class AtomicMartSpec extends SparkSpec {
     assert(AtomicMart.read(spark, src).select("amount").as[Long].collect().toSet
       == Set(100L, 300L))
     // the clone's vacuum reclaims nothing borrowed: source still reads
-    AtomicMart.vacuum(spark, dst)
+    AtomicMart.vacuum(spark, dst, graceMs = 0L)
     assert(AtomicMart.read(spark, src).count() == 2)
     assert(AtomicMart.read(spark, dst).count() == 2)
   }
@@ -183,7 +183,7 @@ class AtomicMartSpec extends SparkSpec {
     AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path) // v0
     AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 200L)), path) // v1
     AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 300L)), path) // v2
-    AtomicMart.vacuum(spark, path, retainLast = 2)
+    AtomicMart.vacuum(spark, path, retainLast = 2, graceMs = 0L)
     def amount(v: Long) = AtomicMart.readVersion(spark, path, v)
       .select("amount").as[Long].collect().toSeq
     assert(amount(2L) == Seq(300L)) // head untouched
@@ -225,7 +225,7 @@ class AtomicMartSpec extends SparkSpec {
     assert(city.select("tx_id").as[Long].collect().toSeq == Seq(2L))
     // vacuum is snapshot-granular: the first snapshot stays (city's
     // live pointer still targets it) and live rows are unchanged
-    AtomicMart.vacuum(spark, path)
+    AtomicMart.vacuum(spark, path, graceMs = 0L)
     assert(AtomicMart.read(spark, path).count() == 4)
   }
 
@@ -433,7 +433,7 @@ class AtomicMartSpec extends SparkSpec {
       .groupBy(MartCdf.ChangeType).count().as[(String, Long)].collect().toMap
     assert(keyless == Map("delete" -> 2L, "insert" -> 2L))
     AtomicMart.publishDay(mart("2021-03-02", ("city", 9L, 900L)), path)
-    AtomicMart.vacuum(spark, path, retainLast = 1)
+    AtomicMart.vacuum(spark, path, retainLast = 1, graceMs = 0L)
     intercept[Exception] {
       MartCdf.readChanges(spark, path, 0L, 2L, Seq("tx_id")).count()
     }
@@ -730,7 +730,7 @@ class AtomicMartSpec extends SparkSpec {
     // ADVICE r11: vacuum used to erase the only evidence of the drop
     // (the retained-manifest scan); the manifest-carried burned list
     // must keep refusing after the horizon passes
-    AtomicMart.vacuum(spark, path, retainLast = 1)
+    AtomicMart.vacuum(spark, path, retainLast = 1, graceMs = 0L)
     val ex = intercept[IllegalArgumentException] {
       AtomicMart.addColumn(spark, path, "amount", "BIGINT")
     }
@@ -801,6 +801,39 @@ class AtomicMartSpec extends SparkSpec {
     assert(tb3.changes.filter(col(MartCdf.ChangeType) === "insert").count() == 1)
   }
 
+  test("B44 three-leg txn: kill after two legs; every pair consumer folds the txn on the same side of both windows (VERDICT r12 #6)") {
+    import graft.sources.MartTxn
+    val root = Files.createTempDirectory("graft_txn3").toString
+    val pA = s"$root/a"; val pB = s"$root/b"; val pC = s"$root/c"
+    def batch(day: String, rows: (Long, Long)*) =
+      rows.toSeq.toDF("k", "v").withColumn("batch_date", lit(day))
+    MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(pA, batch("d1", (1L, 1L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pB, batch("d1", (1L, 1L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pC, batch("d1", (1L, 1L)), Seq("batch_date"))))
+    MartTxn.publishAllKilled(spark, root, Seq(
+      MartTxn.TxnBatch(pA, batch("d2", (2L, 2L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pB, batch("d2", (2L, 2L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pC, batch("d2", (2L, 2L)), Seq("batch_date"))),
+      legsToCommit = 2)
+    // torn: a, b carry the killed txn's leg; c does not
+    assert(AtomicMart.currentVersion(spark, pC).contains(0L))
+    // every pair consumer rolls forward and folds consistently — the
+    // widening loop's pair lookups now hit done records naming THREE
+    // paths, more than the pair being pinned
+    for ((x, y, tag) <- Seq((pA, pB, "ab"), (pB, pC, "bc"), (pA, pC, "ac"))) {
+      val (tx, ty) = MartTxn.tailPair(spark, root, x, s"$root/bk_${tag}_x", y, s"$root/bk_${tag}_y")
+      assert(tx.toVersion == 1L && ty.toVersion == 1L, tag)
+      assert(tx.changes.count() == 2 && ty.changes.count() == 2, tag)
+    }
+    assert(MartTxn.pending(spark, root).isEmpty)
+    val recs = MartTxn.doneRecords(spark, root)
+    assert(recs.size == 2 && recs.forall(_.keySet == Set(pA, pB, pC)))
+    // same-side property on the records themselves: every recorded
+    // per-table version sits inside the windows delivered above
+    assert(recs.forall(_.values.forall(_ <= 1L)))
+  }
+
   test("B44 poison isolation: one poisoned intent neither blocks unrelated recovery nor unrelated pair consumers (ADVICE r12)") {
     import graft.sources.MartTxn
     val root = Files.createTempDirectory("graft_txn_poison").toString
@@ -856,5 +889,31 @@ class AtomicMartSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       AtomicMart.addColumn(spark, path, "_gc7", "STRING"))
     assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("vacuum grace window: an in-flight staged snapshot survives vacuum; its commit lands intact (r13)") {
+    val path = Files.createTempDirectory("graft_amart_grace").toString
+    AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
+    // a concurrent writer has STAGED day 2 but not yet committed...
+    val day2 = mart("2021-03-02", ("passport", 2L, 200L))
+    val (_, entries) = AtomicMart.stage(day2, path, Seq("rule", "batch_date"))
+    // ...and a maintenance vacuum runs in the stage-commit window: the
+    // fresh unreferenced snapshot is protected by the default grace
+    // (deleting it would land the commit on dead files — the
+    // concurrent-writer race Delta's file-retention duration closes)
+    val removed = AtomicMart.vacuum(spark, path)
+    assert(!removed.exists(_.contains("/data/")), s"removed=$removed")
+    // the writer's commit lands on intact files
+    AtomicMart.commit(spark, path, entries, Seq("rule", "batch_date"),
+      schemaDdl = Some(day2.schema.toDDL),
+      schemaBasis = Some(Some(day2.schema.toDDL)))
+    assert(AtomicMart.read(spark, path).count() == 2)
+    // an orphan the operator KNOWS is dead (no writer live) reclaims
+    // with an explicit zero grace — and only that orphan
+    AtomicMart.stage(mart("2021-03-03", ("passport", 3L, 300L)), path,
+      Seq("rule", "batch_date"))
+    assert(AtomicMart.vacuum(spark, path, graceMs = 0L)
+      .count(_.contains("/data/")) == 1)
+    assert(AtomicMart.read(spark, path).count() == 2)
   }
 }

@@ -191,7 +191,7 @@ class StreamingIngestSpec extends SparkSpec {
       Set(("u1", 10L), ("u2", 20L), ("u1", 11L), ("u3", 30L), ("u4", 40L)))
     // exactly one orphan snapshot (the staged-only attempt) to reclaim,
     // and the pre-kill reader still sees its own version in full
-    assert(AtomicMart.vacuum(spark, mart, retainLast = 10)
+    assert(AtomicMart.vacuum(spark, mart, retainLast = 10, graceMs = 0L)
       .count(_.contains("/data/")) == 1)
     assert(reader0.count() == 2)
   }
