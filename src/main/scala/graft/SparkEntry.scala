@@ -1419,6 +1419,32 @@ object SparkEntry {
         .withColumn("replay_recovered", lit(replayed))
         .orderBy(col("k"))
     }),
+    // ---- B45: the ALTER TABLE SQL skin end-to-end — a migration
+    // chain (rename, add, drop) arrives as SQL strings against a live
+    // mart; the readback under the migrated names hash-matches the
+    // direct recompute, and an out-of-grammar statement is refused
+    // whole (flag column).
+    "q_mart_sql" -> ((s, d) => {
+      val out = scratchDir("graft_mart_sql")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus").as("status"),
+        expr("concat('p', CAST(o_orderkey % 8 AS STRING))").as("part"))
+      sources.AtomicMart.publish(base, out, Seq("part"))
+      sources.MartSql.exec(s, s"ALTER TABLE '$out' RENAME COLUMN price_cents TO amount_cents")
+      sources.MartSql.exec(s, s"ALTER TABLE '$out' ADD COLUMN note STRING")
+      sources.MartSql.exec(s, s"ALTER TABLE '$out' DROP COLUMN note;")
+      val refused = scala.util.Try(
+        sources.MartSql.exec(s, s"DROP TABLE '$out'")).isFailure
+      sources.AtomicMart.read(s, out)
+        .select(col("k"), col("amount_cents"), col("status"),
+          col("part").cast("string").as("part"))
+        .withColumn("bad_stmt_refused", lit(refused))
+        .orderBy(col("k"))
+    }),
     // ---- D67: Kaplan–Meier fulfilment curve with real right-censoring
     "q_km" -> ((s, d) =>
       ops.Survival.kaplanMeier(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -7125,6 +7151,14 @@ object SparkEntry {
         |  TRUE AS torn_before_replay, TRUE AS replay_recovered
         |FROM fact f JOIN dim d USING (status) JOIN aud a USING (part)
         |ORDER BY f.k""".stripMargin,
+
+    "q_mart_sql" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents,
+        |  o_orderstatus AS status,
+        |  'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part,
+        |  TRUE AS bad_stmt_refused
+        |FROM orders ORDER BY 1""".stripMargin,
 
     "q_km" ->
       """WITH j AS (

@@ -231,6 +231,12 @@ object MartTxn {
       try {
         if (f.exists(donePath)) {
           f.delete(new Path(pendingDir(txnRoot), s"$txnId.json"), false)
+        } else if (f.exists(new Path(txnRoot, s"_txn/abandoned/$txnId.json"))) {
+          // a crashed [[abandon]] left the intent pending AND
+          // tombstoned — finish the retirement, never replay it (the
+          // done-record branch above wins if a racing repairer
+          // completed the txn before the abandon tombstone landed)
+          f.delete(new Path(pendingDir(txnRoot), s"$txnId.json"), false)
         } else {
           val in = f.open(new Path(pendingDir(txnRoot), s"$txnId.json"))
           val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
@@ -255,6 +261,37 @@ object MartTxn {
   /** [[recoverDetailed]] keeping only the rolled-forward txn ids. */
   def recover(spark: SparkSession, txnRoot: String): Seq[String] =
     recoverDetailed(spark, txnRoot).recovered
+
+  /** OPERATOR RESOLUTION for a poisoned intent (the other half of the
+    * posture [[recoverDetailed]] documents): retire the pending intent
+    * WITHOUT committing its remaining legs. The already-committed legs
+    * stay committed — abandoning is "this transaction will never
+    * complete; stop waiting for it", not a rollback (staged snapshots
+    * are invisible and immutable, so the only states are committed and
+    * never-was; the uncommitted legs' staged files fall to vacuum's
+    * grace-gated orphan sweep). A tombstone under `_txn/abandoned/`
+    * records the decision durably, and the done record is NOT written
+    * — consumers' widening loops never see an abandoned txn as a
+    * version pair to straddle-check. Refuses on an intent that is not
+    * pending (already completed or already abandoned). */
+  def abandon(spark: SparkSession, txnRoot: String, txnId: String): Unit = {
+    val f = fs(spark, txnRoot)
+    val pendingPath = new Path(pendingDir(txnRoot), s"$txnId.json")
+    require(f.exists(pendingPath),
+      s"txn $txnId at $txnRoot is not pending (completed, abandoned, or never existed)")
+    val in = f.open(pendingPath)
+    val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val dir = new Path(txnRoot, "_txn/abandoned")
+    f.mkdirs(dir)
+    val tmp = new Path(txnRoot, s"_txn/.abandon-tmp-$txnId")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // tombstone first, then retire: a crash between the two leaves the
+    // intent pending AND tombstoned — the next abandon call (or a
+    // repairer honoring tombstones) just finishes the retirement
+    if (!f.rename(tmp, new Path(dir, s"$txnId.json"))) f.delete(tmp, false)
+    f.delete(pendingPath, false)
+  }
 
   /** The table paths each pending intent's legs touch (for consumers
     * that must only wait on transactions involving THEIR tables). */

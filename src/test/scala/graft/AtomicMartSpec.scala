@@ -875,6 +875,18 @@ class AtomicMartSpec extends SparkSpec {
     assert(e.getMessage.contains(pTxn) && e.getMessage.contains("poisoned"))
     // the concurrent evolution P would have reverted is intact
     assert(AtomicMart.read(spark, pC).columns.contains("region"))
+    // OPERATOR RESOLUTION: abandon the poisoned txn — already-committed
+    // legs stay (none here), remaining legs never commit, the (C, D)
+    // consumer unblocks, and the done ledger never lists P
+    MartTxn.abandon(spark, root, pTxn)
+    assert(MartTxn.pending(spark, root).isEmpty)
+    val (tc, td) = MartTxn.tailPair(spark, root, pC, s"$root/bkC", pD, s"$root/bkD")
+    assert(tc.changes.count() == 1 && td.changes.count() == 1) // d1 base only
+    assert(MartTxn.doneRecords(spark, root).size == 3) // two base txns + Q
+    // a recovery pass after the abandon replays nothing
+    assert(MartTxn.recoverDetailed(spark, root) == MartTxn.Recovery(Nil, Nil))
+    // abandoning a retired txn refuses
+    intercept[IllegalArgumentException](MartTxn.abandon(spark, root, pTxn))
   }
 
   test("addColumn refuses logical names in the reserved _gc<id> pattern (ADVICE r12)") {
