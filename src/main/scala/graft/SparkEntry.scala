@@ -2523,6 +2523,41 @@ object SparkEntry {
         |  CAST(min(cheb) AS BIGINT) AS cheb_min,
         |  CAST(max(id2) AS BIGINT) AS id2_max
         |FROM pairs GROUP BY id1 ORDER BY id1""".stripMargin,
+
+    // VERDICT r13 #3: the default q_bm25 / q_rrf_fusion twins peaked
+    // ~150 GB at 100x — NOT because the data is big (27M bigram
+    // instances), but because DuckDB inlines every non-materialized CTE
+    // reference, so the tf group-by ran 8x and the postings window 4x,
+    // each spilling its own copy. The override (a) pins the shared
+    // fragments with AS MATERIALIZED, (b) filters the bigram stream to
+    // QUERY-DOC TOKENS before tf — exact because the filter is by
+    // token, never by doc: every (doc, tok) instance of a query token
+    // survives, so tf, df, the df cap, and the per-token impact window
+    // are byte-identical for every token that can reach the scoring
+    // join, and (c) replaces the semantic leg's interpreted
+    // list_reduce integer dot with native list_dot_product over
+    // round(x*1e6) doubles — exact equality, not approximation: every
+    // partial sum is an integer below 2^53 (|component| <= 1e6, 64
+    // dims => dot <= 6.4e13), so the double arithmetic IS the integer
+    // arithmetic, followed by the same /(sqrt*sqrt) IEEE ops.
+    // Measured r14: 100x under a 16 GB cap in ~25 s each, results
+    // equal to the default twin at sf0.1/10x and to the r13 engine
+    // dumps at 100x. The independent default still guards sf0.01.
+    "q_bm25" -> ScaledTwins.bm25Override,
+    "q_rrf_fusion" -> ScaledTwins.rrfFusionOverride,
+
+    // VERDICT r13 #3 (extension): the default q_attribution twin
+    // materializes the 1.15e9-row (touch, conversion) pair set through
+    // TWO windows partitioned by conv_id. The override never windows:
+    // per-conversion touch counts and the last-touch argmax fold in ONE
+    // streaming group-by (the (ts, id) order packed into a single
+    // HUGEINT key for max_by — ts*2^63 + id, order-preserving since
+    // both are non-negative and id < 2^63), then per-channel metrics
+    // re-aggregate the conversion-grain frames. Exact: linear credit
+    // sums n_pairs * (1e6 div n_touch) per (channel, conv) instead of
+    // per pair — the same integers in the same groups. Measured r14:
+    // 100x in 23 s under 16 GB (default: >66 GB spill and climbing).
+    "q_attribution" -> ScaledTwins.attributionOverride,
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -482,6 +482,15 @@ object AtomicMart {
     require(!name.matches("_gc\\d+"),
       s"column name $name matches the reserved generated-physical pattern _gc<id>")
     val widened = StructType.fromDDL(s"$name $ddlType") // validates the type eagerly
+    // ADVICE r13: fromDDL happily parses "STRING, smuggled BIGINT" into
+    // TWO fields, but every guard above (duplicate / reserved-_gc /
+    // tombstone) and the colMap assignment below ran for `name` alone —
+    // a multi-field ddlType would append unguarded columns (on unmapped
+    // tables even bypassing the resurrection tombstone). One call adds
+    // exactly one column; callers add several columns with several calls.
+    require(widened.fields.length == 1,
+      s"ddl type '$ddlType' parses to ${widened.fields.length} fields — " +
+        "addColumn adds exactly one column per call")
     val widenedDdl = StructType(table.fields ++ widened.fields).toDDL
     m.colMap match {
       case Some(cm) =>

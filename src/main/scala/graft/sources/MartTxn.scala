@@ -58,6 +58,16 @@ object MartTxn {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Canonical spelling of a table location (scheme + authority +
+    * normalized path via the location's own filesystem), so that the
+    * pair barrier and head widening in [[tailPair]] compare locations
+    * rather than the caller's byte-for-byte string (ADVICE r13). */
+  private def qualifiedLoc(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString
+  }
+
   private def pendingDir(root: String) = new Path(root, "_txn/pending")
   private def doneDir(root: String) = new Path(root, "_txn/done")
 
@@ -347,6 +357,13 @@ object MartTxn {
                keyColsA: Seq[String] = Nil,
                keyColsB: Seq[String] = Nil): (MartCdf.Tail, MartCdf.Tail) = {
     var tries = 0
+    // ADVICE r13: the pair barrier compares LOCATIONS, not strings — a
+    // consumer spelling the same table as `file:///x`, `/x/` or a
+    // relative path must still be blocked by (and widened against) an
+    // intent that recorded it as `/x`. Both sides are qualified through
+    // the Hadoop filesystem before any comparison.
+    val qA = qualifiedLoc(spark, pathA)
+    val qB = qualifiedLoc(spark, pathB)
     while (true) {
       val pass = recoverDetailed(spark, txnRoot)
       var hA = AtomicMart.currentVersion(spark, pathA).getOrElse(
@@ -357,14 +374,16 @@ object MartTxn {
       // pending transactions on other tables under the same txn root
       // (poisoned or live) must not block this consumer (ADVICE r12).
       val blocking = pendingLegPaths(spark, txnRoot)
-        .filter { case (_, ps) => ps(pathA) || ps(pathB) }
+        .map { case (id, ps) => (id, ps.map(qualifiedLoc(spark, _))) }
+        .filter { case (_, ps) => ps(qA) || ps(qB) }
       if (blocking.isEmpty) {
         val recs = doneRecords(spark, txnRoot)
+          .map(_.map { case (p, v) => qualifiedLoc(spark, p) -> v })
         var widened = true
         while (widened) {
           widened = false
           recs.foreach { r =>
-            (r.get(pathA), r.get(pathB)) match {
+            (r.get(qA), r.get(qB)) match {
               case (Some(va), Some(vb)) =>
                 if (va <= hA && vb > hB) { hB = vb; widened = true }
                 if (vb <= hB && va > hA) { hA = va; widened = true }

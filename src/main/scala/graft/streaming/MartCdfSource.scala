@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,7 +154,19 @@ object MartCdfSource {
       val from = start.asInstanceOf[VOffset].v
       val to = limit match {
         case r: ReadMaxRows => math.min(cap, from + r.maxRows())
-        case _ => cap
+        // ADVICE r13: Spark composes admission limits (e.g. Trigger
+        // AvailableNow wraps the source's own limit) into a
+        // CompositeReadLimit — treating it as allAvailable would
+        // silently drop the maxVersionsPerTrigger pacing. Extract the
+        // inner ReadMaxRows; for any other unrecognized limit shape,
+        // fall back to the CONFIGURED cap rather than the full head.
+        case c: CompositeReadLimit =>
+          c.getReadLimits.collectFirst { case r: ReadMaxRows => r.maxRows() }
+            .orElse(maxVersions)
+            .map(n => math.min(cap, from + n)).getOrElse(cap)
+        case _: ReadAllAvailable => cap
+        case _ =>
+          maxVersions.map(n => math.min(cap, from + n)).getOrElse(cap)
       }
       new VOffset(math.max(to, from)) // never regress below the start
     }

@@ -889,6 +889,38 @@ class AtomicMartSpec extends SparkSpec {
     intercept[IllegalArgumentException](MartTxn.abandon(spark, root, pTxn))
   }
 
+  test("B44 pair barrier compares LOCATIONS, not strings: aliased path spellings still block on a poisoned pair intent (ADVICE r13)") {
+    import graft.sources.MartTxn
+    val root = Files.createTempDirectory("graft_txn_alias").toString
+    val pC = s"$root/c"; val pD = s"$root/d"
+    def batch(day: String, rows: (Long, Long)*) =
+      rows.toSeq.toDF("k", "v").withColumn("batch_date", lit(day))
+    MartTxn.publishAll(spark, root, Seq(
+      MartTxn.TxnBatch(pC, batch("d1", (1L, 1L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pD, batch("d1", (1L, 1L)), Seq("batch_date"))))
+    // poison an intent on (C, D): dies pre-commit, then a schema
+    // evolution makes its staged basis stale
+    val pTxn = MartTxn.publishAllKilled(spark, root, Seq(
+      MartTxn.TxnBatch(pC, batch("d2", (2L, 2L)), Seq("batch_date")),
+      MartTxn.TxnBatch(pD, batch("d2", (2L, 2L)), Seq("batch_date"))),
+      legsToCommit = 0)
+    AtomicMart.addColumn(spark, pC, "region", "STRING")
+    // the consumer spells the SAME tables differently: trailing slash
+    // on one leg, an explicit file: scheme on the other. The intent
+    // recorded the bare spellings — before the qualification fix the
+    // barrier compared raw strings, silently skipped, and returned a
+    // potentially half-committed pair.
+    val e = intercept[IllegalArgumentException] {
+      MartTxn.tailPair(spark, root, s"$pC/", s"$root/bkC", s"file://$pD", s"$root/bkD")
+    }
+    assert(e.getMessage.contains(pTxn) && e.getMessage.contains("poisoned"))
+    // after operator resolution the aliased consumer proceeds normally
+    MartTxn.abandon(spark, root, pTxn)
+    val (tc, td) = MartTxn.tailPair(
+      spark, root, s"$pC/", s"$root/bkC", s"file://$pD", s"$root/bkD")
+    assert(tc.changes.count() == 1 && td.changes.count() == 1)
+  }
+
   test("addColumn refuses logical names in the reserved _gc<id> pattern (ADVICE r12)") {
     val path = Files.createTempDirectory("graft_amart_gc").toString
     AtomicMart.publishDay(mart("2021-03-01", ("passport", 1L, 100L)), path)
