@@ -205,6 +205,14 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      // The signature pipeline (scan → tokenize → k running mins) is
+      // the corpus-heavy stage and feeds BOTH sides of the bucket
+      // self-join; un-materialized, the executed plan duplicated the
+      // whole pipeline into the broadcast build side (2x scan+hash per
+      // query — the r14 plan audit). One eager cut pins the band index
+      // — (doc_id, band, bucket), corpus x bands rows of ids+hashes,
+      // the §8 lightweight proxy the self-join actually needs.
+      .localCheckpoint(true)
     val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -537,6 +545,10 @@ object Dedup {
       .withColumn("sigarr",
         graft.functions.TextNative.minHashSigL(col("text"), 3, k))
       .select(col("doc_id"), col("sigarr"))
+      // feeds both the id1 and id2 joins below — one eager cut keeps
+      // the re-signature pass (scan+tokenize+hash) from running twice;
+      // (doc_id, k longs) rows, corpus-linear metadata
+      .localCheckpoint(true)
     val eq = (0 until k).map(i =>
       when(element_at(col("a1"), i + 1) === element_at(col("a2"), i + 1), 1L)
         .otherwise(0L)).reduce(_ + _)

@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
+  /** Scoped loop configuration shared by the iterative operators
+    * (PageRank / BFS / SSSP / k-core), mirroring
+    * [[Dedup.minLabelClosure]]'s measured recipe: the candidate graph
+    * is orders of magnitude smaller than the corpus, so the loop's
+    * shuffles are sized to the GRAPH (one partition per ~100k edges,
+    * capped) rather than the session's corpus partitioning, and AQE is
+    * off for the loop (nothing to re-plan — shapes are fixed and
+    * partitioning is already sized; its per-job re-planning is pure
+    * per-round latency). Scale-adaptive by construction: the partition
+    * count derives from the measured edge count, not a constant. Every
+    * frame the loop returns is eagerly checkpointed inside the scope,
+    * so restored session conf only governs the caller's presentation
+    * sort. */
+  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
+                              nEdges: Long)(body: Int => T): T = {
+    val parts = math.max(1L, math.min(nEdges / 100000L, 4096L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body(parts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   /** Per-node triangle counts; nodes in no triangle are absent.
     * `edges` must hold each undirected edge once as (id1 < id2). */
   def triangles(edges: DataFrame): DataFrame = {
@@ -84,33 +111,38 @@ object GraphStats {
     * the common "no dangling redistribution" simplification.
     */
   def pageRank(rawEdges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = rawEdges.sparkSession
+    // the corpus-shaped edge build runs under the session's own conf;
+    // everything after is graph-sized and runs under the loop conf
     val e = rawEdges.select(col("src"), col("dst")).localCheckpoint(true)
-    // out-degree is static across iterations — join it into the edge
-    // list ONCE (and pre-partition by src, the per-round join key) so
-    // each round pays one join + one aggregate, not two joins
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val par = rawEdges.sparkSession.sparkContext.defaultParallelism
-    val eDeg = e.join(outdeg, Seq("src"))
-      .repartition(par, col("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    val nEdges = e.count() // materialized RDD — one cheap count job
+    withLoopConf(spark, nEdges) { parts =>
+      // out-degree is static across iterations — join it into the edge
+      // list ONCE (and pre-partition by src, the per-round join key) so
+      // each round pays one join + one aggregate, not two joins
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val eDeg = e.join(outdeg, Seq("src"))
+        .repartition(parts, col("src")).localCheckpoint(true)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
 
-    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank_ppm div outdeg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("c"))
-      // Eager per-round cut: the next round's plan references THIS
-      // round's 2k-node result, not the whole unrolled join tree.
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr("150000L + (coalesce(c, 0L) * 85) div 100").as("rank_ppm"))
-        .localCheckpoint(true)
-    }
-    rank.orderBy(col("node"))
+      var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+      for (_ <- 1 to iters) {
+        val contrib = eDeg
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            expr("rank_ppm div outdeg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("c"))
+        // Eager per-round cut: the next round's plan references THIS
+        // round's 2k-node result, not the whole unrolled join tree.
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("150000L + (coalesce(c, 0L) * 85) div 100").as("rank_ppm"))
+          .localCheckpoint(true)
+      }
+      rank
+    }.orderBy(col("node"))
   }
 
   /** D50 — k-hop BFS distances from a seeded source set: the graph
@@ -134,27 +166,31 @@ object GraphStats {
     * Sources: customer-side nodes (residue < 5·10^8 mod 10^9, the
     * replica-safe id-space test) with node ≡ 0 (mod srcMod). */
   def khopDistances(edges: DataFrame, srcMod: Long = 211, k: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-    var settled = nodes
-      .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
-        col("node") % srcMod === 0)
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    var frontier = settled
-    for (_ <- 1 to k) {
-      val cand = frontier
-        .join(e.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      frontier = cand
-        .join(settled.select(col("node")), Seq("node"), "left_anti")
+    val nEdges = e.count()
+    withLoopConf(spark, nEdges) { _ =>
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+      var settled = nodes
+        .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
+          col("node") % srcMod === 0)
+        .withColumn("dist", lit(0L))
         .localCheckpoint(true)
-      settled = settled.unionByName(frontier).localCheckpoint(true)
-    }
-    settled.orderBy(col("node"))
+      var frontier = settled
+      for (_ <- 1 to k) {
+        val cand = frontier
+          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        frontier = cand
+          .join(settled.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        settled = settled.unionByName(frontier).localCheckpoint(true)
+      }
+      settled
+    }.orderBy(col("node"))
   }
 
   /** The customer↔supplier trade graph (who transacts with whom),
@@ -213,32 +249,36 @@ object GraphStats {
     * FULL relaxation unrolled as chained CTEs (same d_k by the
     * induction; standard SQL recursion cannot carry a min fixpoint). */
   def ssspCosts(edges: DataFrame, srcMod: Long = 211, k: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-    var dist = nodes
-      .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
-        col("node") % srcMod === 0)
-      .withColumn("cost", lit(0L))
-      .localCheckpoint(true)
-    var frontier = dist
-    for (_ <- 1 to k) {
-      val cand = frontier
-        .join(e.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("c"))
-        .groupBy(col("node")).agg(min(col("c")).as("c"))
-      val improved = cand
-        .join(dist, Seq("node"), "left")
-        .filter(col("cost").isNull || col("c") < col("cost"))
-        .select(col("node"), col("c").as("cost"))
+    val nEdges = e.count()
+    withLoopConf(spark, nEdges) { _ =>
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+      var dist = nodes
+        .filter(pmod(col("node"), lit(1000000000L)) < 500000000L &&
+          col("node") % srcMod === 0)
+        .withColumn("cost", lit(0L))
         .localCheckpoint(true)
-      dist = dist.unionByName(improved)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
-      frontier = improved
-    }
-    dist.orderBy(col("node"))
+      var frontier = dist
+      for (_ <- 1 to k) {
+        val cand = frontier
+          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("dst").as("node"), (col("cost") + col("w")).as("c"))
+          .groupBy(col("node")).agg(min(col("c")).as("c"))
+        val improved = cand
+          .join(dist, Seq("node"), "left")
+          .filter(col("cost").isNull || col("c") < col("cost"))
+          .select(col("node"), col("c").as("cost"))
+          .localCheckpoint(true)
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      dist
+    }.orderBy(col("node"))
   }
 
   /** D64 — k-core decomposition (Seidman 1983; distributed peeling as
@@ -276,38 +316,42 @@ object GraphStats {
     * convergence sentinel at its fixed round count. */
   def kCore(rawEdges: DataFrame, k: Int = 24, maxRounds: Int = 12,
             escalateTo: Int = 96): DataFrame = {
+    val spark = rawEdges.sparkSession
     var edges = rawEdges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    var nNodes = -1L
-    var converged = false
-    var round = 0
-    var budget = maxRounds
-    while (!converged && round < budget) {
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-        .localCheckpoint(true)
-      edges = edges
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
-      val m = edges.agg(countDistinct(col("src"))).head().getLong(0)
-      converged = m == nNodes
-      nNodes = m
-      round += 1
-      if (!converged && round == budget && budget < escalateTo) {
-        // still strictly shrinking at the budget edge: double it (a
-        // deep cascade needs more rounds, not a different algorithm)
-        budget = math.min(budget * 2, escalateTo)
-        rawEdges.sparkSession.sparkContext.setJobDescription(
-          s"kCore: escalating round budget to $budget")
+    val nEdges = edges.count()
+    withLoopConf(spark, nEdges) { _ =>
+      var nNodes = -1L
+      var converged = false
+      var round = 0
+      var budget = maxRounds
+      while (!converged && round < budget) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src"))
+          .localCheckpoint(true)
+        edges = edges
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        val m = edges.agg(countDistinct(col("src"))).head().getLong(0)
+        converged = m == nNodes
+        nNodes = m
+        round += 1
+        if (!converged && round == budget && budget < escalateTo) {
+          // still strictly shrinking at the budget edge: double it (a
+          // deep cascade needs more rounds, not a different algorithm)
+          budget = math.min(budget * 2, escalateTo)
+          spark.sparkContext.setJobDescription(
+            s"kCore: escalating round budget to $budget")
+        }
       }
-    }
-    require(converged || nNodes == 0L,
-      s"k-core peel did not converge within $budget rounds " +
-        s"($nNodes nodes still shedding) — raise escalateTo")
-    edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("core_deg"))
-      .orderBy(col("node"))
+      require(converged || nNodes == 0L,
+        s"k-core peel did not converge within $budget rounds " +
+          s"($nNodes nodes still shedding) — raise escalateTo")
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint(true)
+    }.orderBy(col("node"))
   }
 
   /** The exact-content duplicate graph with TWO synthetic replicas per

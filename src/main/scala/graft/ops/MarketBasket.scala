@@ -24,12 +24,23 @@ object MarketBasket {
   /** Output: (p1, p2, n_orders, lift_ppm), p1 < p2, support ≥
     * `minSupport` co-occurring orders. */
   def coPurchase(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    // items/freq/kept each feed SEVERAL downstream consumers (freq, the
+    // semi-join, tot; both sides of the pair self-join; the two lift
+    // joins). Un-materialized, every consumer re-derives its whole
+    // subtree from the fact scan — the r14 plan audit measured the
+    // un-cut form at 18 parquet scans / 34 exchanges for this one
+    // query. Eager localCheckpoints (the I10 discipline) pin each
+    // frame once; all three are basket/item-contracted, far below the
+    // fact table, so the materialization is the §8 lightweight proxy.
     val items = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true)
     val freq = items.groupBy(col("p")).agg(count(lit(1)).as("nf"))
       .filter(col("nf") >= minSupport)
+      .localCheckpoint(true)
     val kept = items.join(freq.select(col("p")), Seq("p"), "left_semi")
+      .localCheckpoint(true)
     val tot = items.select(col("o")).distinct().agg(count(lit(1)).as("tot"))
     kept.as("a")
       .join(kept.as("b"),
@@ -70,14 +81,23 @@ object MarketBasket {
   def linkPredict(lineitem: DataFrame, minSupport: Long = 2,
                   maxDeg: Long = 60, topK: Int = 20,
                   maxFreq: Long = 1000): DataFrame = {
+    // Same lineage-cut posture as [[coPurchase]], one level deeper: the
+    // r14 plan audit measured the un-cut form at 203 parquet scans /
+    // 313 exchanges — `edges` alone has four consumers (deg, both adj
+    // directions, the existing-edge anti-join) and each re-derivation
+    // multiplied the whole basket self-join back in. Every pinned frame
+    // is graph-sized (edges/deg/adj), bounded by the caps documented
+    // above — the §8 lightweight proxy, never the fact table.
     val items = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true)
     // one basket-count pass serves BOTH gates: Apriori support floor
     // and the hub-frequency ceiling
     val freq = items.groupBy(col("p")).agg(count(lit(1)).as("nf"))
       .filter(col("nf") >= minSupport && col("nf") <= maxFreq)
     val kept = items.join(freq.select(col("p")), Seq("p"), "left_semi")
+      .localCheckpoint(true)
     val edges = kept.as("a")
       .join(kept.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -85,14 +105,17 @@ object MarketBasket {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
       .select(col("p1"), col("p2"))
+      .localCheckpoint(true)
     val deg = edges.select(col("p1").as("p"))
       .unionByName(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDeg)
+      .localCheckpoint(true)
     val adj = edges.select(col("p1").as("x"), col("p2").as("nbr"))
       .unionByName(edges.select(col("p2").as("x"), col("p1").as("nbr")))
       .join(deg.select(col("p").as("x")), Seq("x"), "left_semi")
       .join(deg.select(col("p").as("nbr")), Seq("nbr"), "left_semi")
+      .localCheckpoint(true)
     val wedges = adj.select(col("x").as("a"), col("nbr").as("n"))
       .join(adj.select(col("nbr").as("n"), col("x").as("c")), Seq("n"))
       .filter(col("a") < col("c"))

@@ -76,6 +76,12 @@ object PrefixJoin {
       .select(col("doc_id"),
         explode(graft.functions.TextNative.ngramsL(col("text"), 3)).as("g"))
       .distinct()
+      // three consumers (df table, prefix ordering, the verification
+      // gram-set build) — un-cut, each re-ran the text scan + shingle
+      // explode + (doc,gram) distinct shuffle (34 parquet scans in the
+      // r14 plan audit). Distinct-content gram rows, the same unit the
+      // prefix checkpoint below already pins a subset of.
+      .localCheckpoint(true)
     val dfTab = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("g"))
@@ -168,6 +174,10 @@ object PrefixJoin {
     val members = withCh
       .join(reps.select(col("ch"), col("rep")), Seq("ch"))
       .select(col("rep"), col("doc_id"))
+      // four consumers (both expansion joins, both within-pair sides) —
+      // un-cut, each re-derived withCh (two doc scans + md5 + the reps
+      // join). Narrow (rep, doc_id) rows: corpus-linear ids only.
+      .localCheckpoint(true)
     val cross = repPairs
       .join(members.select(col("rep").as("r1"), col("doc_id").as("d1")), Seq("r1"))
       .join(members.select(col("rep").as("r2"), col("doc_id").as("d2")), Seq("r2"))

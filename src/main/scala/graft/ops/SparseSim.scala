@@ -52,6 +52,9 @@ object SparseSim {
       .localCheckpoint(true)
     val members = withCh.join(reps, Seq("ch"))
       .select(col("rep"), col("doc_id"))
+      // two consumers (query routing + candidate expansion) — un-cut,
+      // each re-ran the doc scan + md5 + reps join. Narrow id pairs.
+      .localCheckpoint(true)
     val repDocs = withCh
       .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
@@ -73,8 +76,18 @@ object SparseSim {
       .withColumn("pr", row_number().over(wPost))
       .filter(col("pr") <= postMax)
       .drop("pr")
+      // the truncated posting table feeds THREE consumers (norms, the
+      // query-side postings, the corpus side of the dot join) — un-cut,
+      // each re-ran tokenize + tf + df-gate + impact window (35 parquet
+      // scans / 83 exchanges in the r14 plan audit). Postings are
+      // absolutely bounded per gram (postMax) — index-sized, not
+      // corpus-sized.
+      .localCheckpoint(true)
     val norms = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
+      // content-count-sized; read by both the query-norm broadcast and
+      // the corpus-norm join
+      .localCheckpoint(true)
 
     val qDocs = members
       .filter(col("doc_id") % qMod === 0 && col("doc_id") < qMax)

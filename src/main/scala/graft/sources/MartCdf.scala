@@ -137,18 +137,24 @@ object MartCdf {
       if (oldDf.columns.isEmpty) (newDf.limit(0), newDf)
       else if (newDf.columns.isEmpty) (oldDf, oldDf.limit(0))
       else (oldDf, newDf)
-    val deleted = o.exceptAll(n)
-    val inserted = n.exceptAll(o)
     if (keyCols.isEmpty)
-      deleted.withColumn(ChangeType, lit("delete"))
-        .unionByName(inserted.withColumn(ChangeType, lit("insert")))
+      o.exceptAll(n).withColumn(ChangeType, lit("delete"))
+        .unionByName(n.exceptAll(o).withColumn(ChangeType, lit("insert")))
     else {
-      val delKeys = deleted.select(keyCols.map(col): _*)
-      val insKeys = inserted.select(keyCols.map(col): _*)
-      def split(df: DataFrame, other: DataFrame, hit: String, miss: String) =
-        df.join(other.distinct(), keyCols, "left_semi").withColumn(ChangeType, lit(hit))
+      // Each diff side feeds THREE consumers below (its own semi + anti
+      // splits and the other side's key build) — un-materialized, the
+      // multiset EXCEPT ALL subtrees (a shuffle of both snapshot sides
+      // each) re-ran once per consumer. The diffs are CHANGE-sized —
+      // one commit range's delta, bounded far below the table — so one
+      // eager cut each is the cheap side of the trade at any scale.
+      val deleted = o.exceptAll(n).localCheckpoint(true)
+      val inserted = n.exceptAll(o).localCheckpoint(true)
+      val delKeys = deleted.select(keyCols.map(col): _*).distinct()
+      val insKeys = inserted.select(keyCols.map(col): _*).distinct()
+      def split(df: DataFrame, otherKeys: DataFrame, hit: String, miss: String) =
+        df.join(otherKeys, keyCols, "left_semi").withColumn(ChangeType, lit(hit))
           .unionByName(
-            df.join(other.distinct(), keyCols, "left_anti").withColumn(ChangeType, lit(miss)))
+            df.join(otherKeys, keyCols, "left_anti").withColumn(ChangeType, lit(miss)))
       split(deleted, insKeys, "update_preimage", "delete")
         .unionByName(split(inserted, delKeys, "update_postimage", "insert"))
     }

@@ -91,8 +91,14 @@ class PlansSpec extends SparkSpec {
     // query -> (max sort-merge joins, min broadcast joins)
     val audited = Seq(
       "q_pagerank"        -> (0, 0),
-      "q_prefix_join"     -> (3, 20),
-      "q_sparse_sim"      -> (6, 25),
+      // r14: the optimization round's eager lineage cuts (grams /
+      // members / postings / norms materialized once instead of
+      // re-derived per consumer) truncate the previously-DUPLICATED
+      // candidate pipelines out of the final plan, so the broadcast
+      // floor drops with them (13 / 7 audited at this scale post-cut;
+      // the old 20 / 25 counted the same joins several times over).
+      "q_prefix_join"     -> (3, 13),
+      "q_sparse_sim"      -> (6, 7),
       "q_bfs"             -> (0, 0),
       "q_dedup_cc"        -> (2, 0),
       "q_sssp"            -> (0, 0),
