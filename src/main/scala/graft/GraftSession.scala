@@ -33,6 +33,14 @@ object GraftSession {
       // until retention was bounded. A monitored production deployment
       // raises these consciously; unbounded-by-default is the wrong
       // posture for a long-lived session.
+      // The codegen class cache defaults to 100 entries — a 242-query
+      // session generates far more distinct whole-stage classes than
+      // that, so interleaved sweeps thrash the cache and EVERY pass
+      // pays janino recompilation for every query. Static conf (read
+      // once at first codegen), scale-independent: any long-lived
+      // multi-query session wants its working set of generated classes
+      // resident. ~50 KB/class; thousands fit comfortably in metaspace.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")

@@ -72,11 +72,17 @@ object DataQuality {
                 valueCol: String, nBins: Int = 10): DataFrame = {
     val all = baseline.select(col(group), col(valueCol).as("v"))
       .unionByName(current.select(col(group), col(valueCol).as("v")))
+    // one row; un-cut it re-derived BOTH input frames per binned side
+    // (the r14 plan audit counted 54 scans through this operator)
     val bounds = all.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .localCheckpoint(true)
     def binned(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(bounds))
       .withColumn("bin", expr(s"((v - mn) * $nBins) div (mx - mn + 1)"))
       .groupBy(col(group), col("bin")).agg(count(lit(1)).as("n"))
+    // b/c stay lazy: chi2FromBins reads each twice (totals + the bin
+    // join), but from the pinned bounds that is one cheap input re-scan
+    // each — measured cheaper than two more materialization barriers.
     val b = binned(baseline.select(col(group), col(valueCol).as("v")))
       .withColumnRenamed("n", "n_b")
     val c = binned(current.select(col(group), col(valueCol).as("v")))

@@ -67,6 +67,10 @@ object Scd2 {
     val current = history
       .filter(col("deleted_flg") === 0L && col("effective_to") === HighDate)
       .select(cols.map(col): _*)
+      // three consumers (the new/deleted/changed detects) — un-cut,
+      // each re-derived the history scan + open-version filter.
+      // Current-dimension-sized.
+      .localCheckpoint(true)
 
     val newRows = detectNew(current, snapshot, key)
     val deletedRows = detectDeleted(current, snapshot, key)
@@ -74,6 +78,9 @@ object Scd2 {
 
     val touchedKeys = changedRows.select(col(key))
       .unionByName(deletedRows.select(col(key)))
+      // three consumers (close semi, untouched anti + semi) — un-cut,
+      // each re-ran the changed+deleted detect joins. Key-only rows.
+      .localCheckpoint(true)
 
     // Close the open version of every touched key (reference's UPDATE …
     // SET effective_to = now()-1s, re-expressed as a column rewrite).

@@ -661,6 +661,11 @@ object Evaluation {
                        score: String = "sbin"): DataFrame = {
     val cells = surv.groupBy(col(time).as("t"), col(score).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(event)).as("ne"))
+      // three consumers (both grid axes + the grid join) — un-cut, each
+      // re-ran the caller's study frame (for q_cindex the whole
+      // lineitem⋈orders censoring join; 32 scans in the r14 plan
+      // audit). (t, s)-grid-sized: bounded by contract.
+      .localCheckpoint(true)
     // the score-bin domain is bounded BY CONTRACT (callers bin), so it
     // carries the engine's bounded-by-construction broadcast marker
     val grid = cells.select(col("t")).distinct()

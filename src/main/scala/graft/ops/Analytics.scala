@@ -847,6 +847,11 @@ object Analytics {
       .withColumn("ps", sum(when(isReal, col("amt_cents")).otherwise(0L))
         .over(w))
       .withColumn("pc", sum(when(isReal, 1L).otherwise(0L)).over(w))
+      // feeds both the probe pivot and the real-row side — un-cut, the
+      // (windows+1)x-union prefix-sum window (the operator's one
+      // corpus-sized sort) ran twice. Narrow rows, linear in the
+      // probe-augmented timeline.
+      .localCheckpoint(true)
     val pivotAggs = windowsUs.zipWithIndex.flatMap { case ((nm, _), i) =>
       Seq(max(when(col("kind") === i, col("ps"))).as(s"lo_s_$nm"),
         max(when(col("kind") === i, col("pc"))).as(s"lo_c_$nm"))

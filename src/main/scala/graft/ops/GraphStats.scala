@@ -326,9 +326,12 @@ object GraphStats {
       var round = 0
       var budget = maxRounds
       while (!converged && round < budget) {
+        // no eager cut on keep: both semi-joins share its groupBy-src
+        // exchange (ReuseExchange), and the duplicated post-exchange
+        // aggregate+filter is graph-sized — cheaper than a per-round
+        // materialization barrier (measured r14)
         val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src"))
-          .localCheckpoint(true)
         edges = edges
           .join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")

@@ -66,6 +66,10 @@ object LmQuality {
     val uni = toks.join(tcnts, Seq("doc_id"))
       .filter(col("tcnt") > 0)
       .groupBy(col("w")).agg(sum(col("tcnt")).as("c1"))
+      // the unigram model feeds three consumers (both scoring joins +
+      // tot) — un-cut, each re-ran the token explode + count. Vocab-
+      // sized at any corpus scale.
+      .localCheckpoint(true)
     val big = pairs.join(tcnts, Seq("doc_id"))
       .filter(col("tcnt") > 0)
       .groupBy(col("w1"), col("w2")).agg(sum(col("tcnt")).as("c2"))
@@ -118,6 +122,10 @@ object LmQuality {
   def perplexityBuckets(docs: DataFrame, trainMod: Long = 5): DataFrame = {
     val scored = score(docs, trainMod).filter(col("n_pairs") > 0)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // feeds the cutoff histogram AND the final bucket join — un-cut,
+      // the whole E50 scoring pipeline ran twice. Doc-count-sized,
+      // five narrow columns.
+      .localCheckpoint(true)
     val hist = scored.groupBy(col("lang"), col("mbits_per_pair"))
       .agg(count(lit(1)).as("c"))
     val wc = Window.partitionBy(col("lang")).orderBy(col("mbits_per_pair"))

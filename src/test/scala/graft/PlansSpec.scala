@@ -110,6 +110,15 @@ class PlansSpec extends SparkSpec {
       // at round close: km bhj=7 smj=1, impact bhj=3 smj=1)
       "q_km"              -> (1, 6),
       "q_dedup_impact"    -> (1, 3),
+      // r14: queries whose shared frames gained eager lineage cuts
+      // (Scd2.merge current/touchedKeys, concordanceIndex cells,
+      // perplexityBuckets scored) now truncate the materialized
+      // pipeline out of the final plan — the floors drop to the joins
+      // that remain visible after the cuts.
+      "q_scd2_pit"          -> (0, 12),
+      "q_scd2_squash"       -> (0, 12),
+      "q_cindex"            -> (1, 1),
+      "q_lm_buckets"        -> (8, 2),
       // r7 (VERDICT r6 #6): coverage extended to EVERY query ≥2 s in
       // BENCH_SF01_r06.json; counts audited via graft.Explain at
       // sf0.001. q_kcore/q_dedup_clusters truncate at localCheckpoint
@@ -121,9 +130,7 @@ class PlansSpec extends SparkSpec {
       "q_winnow_pairs"      -> (0, 11),
       "q_dedup_clusters"    -> (0, 0),
       "q_semdedup"          -> (2, 7),
-      "q_lm_buckets"        -> (8, 41),
       "q_dedup_verify"      -> (2, 8),
-      "q_scd2_pit"          -> (0, 18),
       "q_dedup_incremental" -> (2, 18),
       "q_dsir"              -> (0, 2),
       "q_dupspan_removal"   -> (0, 6),
@@ -138,13 +145,11 @@ class PlansSpec extends SparkSpec {
       // r7 third leg's ≥2s newcomers (audited via graft.Explain at
       // sf0.001: cindex bhj=11 smj=1; curve bhj=18 smj=6; funnel
       // bhj=1 smj=1 — its LSH clustering truncates at checkpoint cuts)
-      "q_cindex"            -> (1, 11),
       "q_dedup_curve"       -> (6, 18),
       "q_curation_funnel"   -> (1, 1),
       // r8 newcomers ≥2s (audited via graft.Explain at sf0.001:
       // squash bhj=18 smj=0 — the SCD2 merge's detect joins all
       // broadcast; explain bhj=8 smj=2, verifyCore's shape)
-      "q_scd2_squash"       -> (0, 18),
       "q_dedup_explain"     -> (2, 8),
       // r9: q_mart_merge's returned frame is the read-back of the merged
       // AtomicMart (fold is one window pass inside the publish): ZERO
